@@ -1,0 +1,110 @@
+"""Lambda: toggle a tile flag (reference surface: aws-backend/lambda/toggle_flag.py).
+
+Routes (API Gateway proxy integration):
+  POST   /tiles/{tileHash}/flag   -> set flag
+  DELETE /tiles/{tileHash}/flag   -> remove flag
+
+Storage: DynamoDB flag table (`{env}-tile-flags`, key tileHash) plus an IP
+rate-limit table (`{env}-rate-limits`, TTL'd) enforcing 10 flags/min/IP —
+the same envelope as the reference (toggle_flag.py:35-40,
+aws-backend/README.md:145-149).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+RATE_LIMIT_PER_MINUTE = 10
+_TABLE = None
+_RATE_TABLE = None
+
+
+def _tables():
+    global _TABLE, _RATE_TABLE
+    if _TABLE is None:
+        import boto3  # available in the Lambda runtime
+
+        env = os.environ.get("ENVIRONMENT", "prod")
+        ddb = boto3.resource("dynamodb")
+        _TABLE = ddb.Table(f"{env}-tile-flags")
+        _RATE_TABLE = ddb.Table(f"{env}-rate-limits")
+    return _TABLE, _RATE_TABLE
+
+
+def _response(status: int, body: dict) -> dict:
+    return {
+        "statusCode": status,
+        "headers": {
+            "Content-Type": "application/json",
+            "Access-Control-Allow-Origin": os.environ.get("CORS_ORIGIN", "*"),
+            "Access-Control-Allow-Methods": "POST,DELETE,OPTIONS",
+            "Access-Control-Allow-Headers": "Content-Type",
+        },
+        "body": json.dumps(body),
+    }
+
+
+def _client_ip(event: dict) -> str:
+    ctx = event.get("requestContext", {})
+    identity = ctx.get("identity", {}) or ctx.get("http", {})
+    return identity.get("sourceIp", "unknown")
+
+
+def _check_rate_limit(rate_table, ip: str) -> bool:
+    """Sliding one-minute window per IP, entries expired via DynamoDB TTL."""
+    now = int(time.time())
+    window_start = now - 60
+    key = f"flag#{ip}"
+    item = rate_table.get_item(Key={"key": key}).get("Item")
+    times = [t for t in (item or {}).get("times", []) if int(t) > window_start]
+    if len(times) >= RATE_LIMIT_PER_MINUTE:
+        return False
+    times.append(now)
+    rate_table.put_item(
+        Item={"key": key, "times": times, "expiresAt": now + 120}
+    )
+    return True
+
+
+def handler(event, context):
+    method = (
+        event.get("httpMethod")
+        or event.get("requestContext", {}).get("http", {}).get("method", "")
+    ).upper()
+    if method == "OPTIONS":
+        return _response(200, {})
+
+    tile_hash = (event.get("pathParameters") or {}).get("tileHash", "")
+    if not tile_hash or len(tile_hash) > 64 or not tile_hash.isalnum():
+        return _response(400, {"error": "invalid tileHash"})
+
+    table, rate_table = _tables()
+    ip = _client_ip(event)
+    if not _check_rate_limit(rate_table, ip):
+        return _response(
+            429, {"error": f"rate limit exceeded ({RATE_LIMIT_PER_MINUTE}/min)"}
+        )
+
+    if method == "POST":
+        body = {}
+        try:
+            body = json.loads(event.get("body") or "{}")
+        except json.JSONDecodeError:
+            pass
+        table.put_item(
+            Item={
+                "tileHash": tile_hash,
+                "tilePath": str(body.get("tilePath", ""))[:1024],
+                "flaggedAt": int(time.time()),
+                "flaggedBy": ip,
+            }
+        )
+        return _response(200, {"tileHash": tile_hash, "flagged": True})
+
+    if method == "DELETE":
+        table.delete_item(Key={"tileHash": tile_hash})
+        return _response(200, {"tileHash": tile_hash, "flagged": False})
+
+    return _response(405, {"error": f"method {method} not allowed"})

@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Admin CLI for the tile-flag backend
+(reference surface: aws-backend/tile_manager.py).
+
+Commands:
+  list                      list all flags (paginated scan)
+  review                    interactive review: open / unflag / delete file
+  delete TILE_HASH          remove a flag
+  stats                     summary statistics
+
+Talks to DynamoDB directly via boto3 (same as the reference's click CLI);
+argparse is used to avoid extra dependencies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+
+def _table(env: str):
+    try:
+        import boto3
+    except ImportError:
+        sys.exit("boto3 is required for tile_manager (pip install boto3)")
+    return boto3.resource(
+        "dynamodb", region_name=os.environ.get("AWS_REGION", "us-east-1")
+    ).Table(f"{env}-tile-flags")
+
+
+def _scan_all(table):
+    kwargs = {}
+    while True:
+        resp = table.scan(**kwargs)
+        yield from resp.get("Items", [])
+        if "LastEvaluatedKey" not in resp:
+            break
+        kwargs["ExclusiveStartKey"] = resp["LastEvaluatedKey"]
+
+
+def _fmt(item) -> str:
+    at = int(item.get("flaggedAt", 0))
+    when = time.strftime("%Y-%m-%d %H:%M", time.localtime(at)) if at else "?"
+    return (
+        f"{item.get('tileHash', '?'):<18} {when:<17} "
+        f"{item.get('flaggedBy', '?'):<16} {item.get('tilePath', '')}"
+    )
+
+
+def cmd_list(args):
+    table = _table(args.env)
+    count = 0
+    for item in _scan_all(table):
+        print(_fmt(item))
+        count += 1
+    print(f"\n{count} flags total", file=sys.stderr)
+
+
+def cmd_stats(args):
+    table = _table(args.env)
+    items = list(_scan_all(table))
+    by_ip: dict[str, int] = {}
+    for it in items:
+        ip = str(it.get("flaggedBy", "unknown"))
+        by_ip[ip] = by_ip.get(ip, 0) + 1
+    print(f"Total flags: {len(items)}")
+    print(f"Unique flaggers: {len(by_ip)}")
+    for ip, n in sorted(by_ip.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"  {ip}: {n}")
+
+
+def cmd_delete(args):
+    table = _table(args.env)
+    table.delete_item(Key={"tileHash": args.tile_hash})
+    print(f"Deleted flag {args.tile_hash}")
+
+
+def cmd_review(args):
+    """Interactive review: for each flag, open the local file and choose
+    keep / unflag / delete-local-file (reference tile_manager review flow)."""
+    table = _table(args.env)
+    for item in _scan_all(table):
+        path = item.get("tilePath", "")
+        print("\n" + _fmt(item))
+        if path and os.path.exists(path) and not args.no_open:
+            opener = "xdg-open" if sys.platform.startswith("linux") else "open"
+            subprocess.Popen(
+                [opener, path],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        while True:
+            choice = input("[k]eep flag / [u]nflag / [d]elete local file / [q]uit? ")
+            c = choice.strip().lower()[:1]
+            if c == "k" or c == "":
+                break
+            if c == "u":
+                table.delete_item(Key={"tileHash": item["tileHash"]})
+                print("unflagged")
+                break
+            if c == "d":
+                if path and os.path.exists(path):
+                    os.remove(path)
+                    print(f"deleted {path}")
+                table.delete_item(Key={"tileHash": item["tileHash"]})
+                break
+            if c == "q":
+                return
+            print("?")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tile_manager", description=__doc__)
+    p.add_argument("--env", default=os.environ.get("ENVIRONMENT", "prod"))
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list").set_defaults(func=cmd_list)
+    sub.add_parser("stats").set_defaults(func=cmd_stats)
+    d = sub.add_parser("delete")
+    d.add_argument("tile_hash")
+    d.set_defaults(func=cmd_delete)
+    r = sub.add_parser("review")
+    r.add_argument("--no-open", action="store_true")
+    r.set_defaults(func=cmd_review)
+    args = p.parse_args(argv)
+    args.func(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

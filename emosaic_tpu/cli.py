@@ -1,0 +1,442 @@
+"""Two-level CLI mirroring the reference surface (src/main.rs:28-155).
+
+Global args + `prepare` / `mosaic` subcommands:
+
+    emosaic-tpu [-s TILE_SIZE] [-o OUTPUT] IMG [--crop] prepare
+    emosaic-tpu [-s TILE_SIZE] [-o OUTPUT] IMG [--crop] mosaic TILES_DIR
+        [-m MODE] [-f] [-t TINT] [--no-repeat] [--downsample N]
+        [--randomize PCT] [--extensions EXT ...] [--greedy] [--html]
+        [--web] [--title TITLE] [--seed N]
+
+Behavioral parity notes (quirks preserved, SURVEY.md 'quirks ledger'):
+- output is always PNG-encoded regardless of -o extension (main.rs:482-483);
+- the tint path saves and returns early, skipping stats/HTML (main.rs:477);
+- --greedy selects the *cheaper* in-render no-repeat algorithm; without it
+  --no-repeat runs the global greedy (main.rs:663-667);
+- validation messages keep the emoji phrasing (main.rs:272-345).
+
+Additions over the reference: --seed (explicit RNG; the reference is
+irreproducible thread_rng) and --matcher {auto,lut,pallas,xla}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from emosaic_tpu.io.discovery import find_images
+from emosaic_tpu.io.prep import cache_dir, prepare_tile
+from emosaic_tpu.modes import Mode
+from emosaic_tpu.monitor import MemoryMonitor, Progress, print_runtime_stats
+from emosaic_tpu.ops.composite import tint_blend
+from emosaic_tpu.render import render_nto1, render_nto1_no_repeat, render_random
+from emosaic_tpu.stats import MosaicConfig
+from emosaic_tpu.tiles.builder import load_or_generate_tile_set
+from emosaic_tpu.tiles.cache import (
+    load_stack_cache,
+    save_stack_cache,
+    stack_cache_path,
+)
+from emosaic_tpu.tiles.tileset import TileSet
+
+Image.MAX_IMAGE_PIXELS = None
+
+
+def log(*a):
+    print(*a, file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# validation (main.rs:141-155, :272-345)
+# ---------------------------------------------------------------------------
+
+
+def _between_zero_and_one(s: str) -> float:
+    v = float(s)
+    if not 0.0 <= v <= 1.0:
+        raise argparse.ArgumentTypeError("Value must be between 0 and 1")
+    return v
+
+
+def _percentage(s: str) -> float:
+    v = float(s)
+    if not 0.0 <= v <= 100.0:
+        raise argparse.ArgumentTypeError("Value must be between 0 and 100")
+    return v
+
+
+def validate_tile_size(tile_size: int) -> None:
+    if tile_size == 0:
+        raise SystemExit(
+            "❌ Tile size must be greater than 0\n"
+            "💡 Try using a value like 16, 32, or 64"
+        )
+    if tile_size > 1024:
+        raise SystemExit(
+            "❌ Tile size is too large (maximum: 1024)\n"
+            "💡 Large tile sizes require significant memory and processing time"
+        )
+
+
+_VALID_EXTS = ["jpg", "jpeg", "png", "bmp", "gif", "tiff", "webp"]
+
+
+def validate_input_image(path: Path) -> None:
+    if not path.exists():
+        raise SystemExit(
+            f"❌ Input image does not exist: {path}\n"
+            "💡 Check the file path and ensure the file exists"
+        )
+    if not path.is_file():
+        raise SystemExit(
+            f"❌ Input path is not a file: {path}\n"
+            "💡 Please provide a path to an image file, not a directory"
+        )
+    ext = path.suffix[1:].lower()
+    if not ext:
+        raise SystemExit(
+            "❌ Input file has no extension\n"
+            "💡 Please use an image file with a proper extension like .jpg or .png"
+        )
+    if ext not in _VALID_EXTS:
+        raise SystemExit(
+            f"❌ Unsupported image format: {path.suffix[1:]}\n"
+            f"💡 Supported formats: {', '.join(_VALID_EXTS)}"
+        )
+
+
+def validate_tiles_directory(path: Path) -> None:
+    if not path.exists():
+        raise SystemExit(
+            f"❌ Tiles directory does not exist: {path}\n"
+            "💡 Create the directory and add image files to use as tiles"
+        )
+    if not path.is_dir():
+        raise SystemExit(
+            f"❌ Tiles path is not a directory: {path}\n"
+            "💡 Please provide a path to a directory containing tile images"
+        )
+
+
+def validate_output_path(path: Path) -> None:
+    parent = path.parent
+    if parent and str(parent) != "":
+        if not parent.exists():
+            raise SystemExit(f"Output directory does not exist: {parent}")
+        if not parent.is_dir():
+            raise SystemExit(f"Output parent path is not a directory: {parent}")
+
+
+# ---------------------------------------------------------------------------
+# argument parsing
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="emosaic-tpu",
+        description="TPU-native photomosaic generator (emosaic-compatible)",
+    )
+    p.add_argument(
+        "-s",
+        "--tile-size",
+        type=int,
+        default=16,
+        help="The size of each tile in the output image",
+    )
+    p.add_argument(
+        "-o",
+        "--output-path",
+        type=Path,
+        default=Path("./output.jpg"),
+        help="Output image path (always PNG-encoded, like the reference)",
+    )
+    p.add_argument("img", type=Path, help="Path to input image")
+    p.add_argument(
+        "--crop", action="store_true", help="Crop tiles instead of resizing"
+    )
+    sub = p.add_subparsers(dest="subcmd")
+
+    sub.add_parser(
+        "prepare",
+        help="Convert an image into a tile (trim + resize), for testing",
+    )
+
+    m = sub.add_parser("mosaic", help="Generate a mosaic")
+    m.add_argument("tiles_dir", type=Path, help="Directory containing tile images")
+    m.add_argument(
+        "-m",
+        "--mode",
+        choices=[md.value for md in Mode],
+        default="1",
+        help="Mosaic mode",
+    )
+    m.add_argument(
+        "-f",
+        "--force",
+        action="store_true",
+        help="Force re-analysis of tiles (ignore analysis cache)",
+    )
+    m.add_argument(
+        "-t",
+        "--tint-opacity",
+        type=_between_zero_and_one,
+        default=0.0,
+        help="Opacity (0..1) of the source image overlaid on the output",
+    )
+    m.add_argument("--no-repeat", action="store_true", help="Avoid repeating tiles")
+    m.add_argument(
+        "--downsample",
+        type=int,
+        default=1,
+        help="Downsampling factor applied to the original image",
+    )
+    m.add_argument(
+        "--randomize",
+        type=_percentage,
+        default=None,
+        help="Select one of the best tiles randomly (within x%% of the best)",
+    )
+    m.add_argument(
+        "--extensions",
+        nargs="*",
+        default=["jpg", "jpeg"],
+        help="Extensions of image files in the tiles dir (case-sensitive)",
+    )
+    m.add_argument(
+        "--greedy",
+        action="store_true",
+        help="With no-repeat: faster, less accurate algorithm",
+    )
+    m.add_argument(
+        "--html",
+        action="store_true",
+        help="Generate interactive HTML with tile tooltips",
+    )
+    m.add_argument(
+        "--web",
+        action="store_true",
+        help="Web-compatible HTML with relative URLs for static hosting",
+    )
+    m.add_argument("--title", default="Mosaic Widget", help="HTML page title")
+    m.add_argument("--seed", type=int, default=0, help="RNG seed (reproducible runs)")
+    m.add_argument(
+        "--matcher",
+        choices=["auto", "lut", "pallas", "xla"],
+        default="auto",
+        help="Matching kernel selection",
+    )
+    return p
+
+
+# ---------------------------------------------------------------------------
+# source preprocessing (main.rs:567-615)
+# ---------------------------------------------------------------------------
+
+
+def preprocess_source(
+    original: Image.Image, downsample: int, dim: int
+) -> np.ndarray:
+    """Downsample, round dims to the nearest multiple of dim (up when the
+    remainder exceeds dim/2 — main.rs:574-585), Lanczos resize."""
+    nwidth = original.width // downsample
+    nheight = original.height // downsample
+    wmod = nwidth % dim
+    nwidth = nwidth + (dim - wmod) if wmod > dim // 2 else nwidth - wmod
+    hmod = nheight % dim
+    nheight = nheight + (dim - hmod) if hmod > dim // 2 else nheight - hmod
+    log(
+        f"Resizing source image from {original.width}x{original.height} "
+        f"to {nwidth}x{nheight}"
+    )
+    resized = original.resize((nwidth, nheight), Image.LANCZOS)
+    return np.asarray(resized.convert("RGB"), dtype=np.uint8)
+
+
+def get_image_stack(
+    tile_set: TileSet, tiles_dir: Path, tile_size: int
+) -> np.ndarray:
+    """Prepared-tile stack with its persistent cache."""
+    spath = stack_cache_path(tiles_dir, tile_size)
+    cached = load_stack_cache(spath, tile_set.paths)
+    if cached is not None:
+        return cached
+    pb = Progress(len(tile_set), "Preparing tile stack")
+    stack = tile_set.image_stack(tile_size, progress=pb)
+    try:
+        save_stack_cache(spath, tile_set.paths, stack)
+    except OSError:
+        pass  # non-fatal, like the stats-image save (main.rs:498-507)
+    return stack
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+
+def run_prepare(args) -> None:
+    tile = prepare_tile(args.img, args.tile_size, args.crop)
+    Image.fromarray(tile).save(args.output_path)
+
+
+def run_mosaic(args) -> None:
+    validate_tiles_directory(args.tiles_dir)
+    mode = Mode(args.mode)
+    log(f"Opening source image: {args.img}")
+    original = Image.open(args.img)
+
+    if mode is Mode.RANDOM:
+        images = find_images(args.tiles_dir, set(args.extensions))
+        # Deviation (recorded): the reference pushes every discovered path
+        # without validation (main.rs:415-435) and then *panics* at render
+        # time on an unreadable/undersized file (rendering.rs:430-433
+        # .expect). Here unreadable tiles are skipped with a warning.
+        from emosaic_tpu.errors import ImageError
+        from emosaic_tpu.io.prep import prepare_tile as _prep
+
+        good, prepared = [], []
+        for p in images:
+            try:
+                prepared.append(_prep(p, args.tile_size, crop=True))
+                good.append(p)
+            except ImageError as e:
+                log(f"- skipping {e}")
+        tile_set = TileSet(palettes=None, paths=good)
+        log(f"Tile set with {len(tile_set)} tiles")
+        src = np.asarray(original.convert("RGB"), dtype=np.uint8)
+        stack = np.stack(prepared) if prepared else None
+        if stack is None:
+            raise SystemExit("❌ No usable tiles found")
+        output = render_random(
+            src, tile_set, args.tile_size, seed=args.seed, stack=stack
+        )
+        stats = None
+        config = None
+        tile_set_out = tile_set
+    else:
+        dim = mode.dim
+        src = preprocess_source(original, args.downsample, dim)
+        if src.shape[0] % dim or src.shape[1] % dim:
+            log(
+                f"Invalid source dimensions ({src.shape[1]}x{src.shape[0]}): "
+                f"Dimensions must be divisible by {dim}"
+            )
+            raise SystemExit(1)
+        if args.tile_size % dim:
+            log(f"Invalid tile size: Tile size must be divisible by {dim}")
+            raise SystemExit(1)
+        tile_set = load_or_generate_tile_set(
+            args.tiles_dir,
+            args.tile_size,
+            set(args.extensions),
+            args.crop,
+            dim,
+            force=args.force,
+            progress=Progress(0, "Analysing tiles"),
+        )
+        log(f"Tile set with {len(tile_set)} tiles")
+        stack = get_image_stack(tile_set, args.tiles_dir, args.tile_size)
+        use_lut = {"auto": "auto", "lut": "always", "pallas": "never", "xla": "never"}[
+            args.matcher
+        ]
+        if args.no_repeat and not args.greedy:
+            result = render_nto1_no_repeat(
+                src, tile_set, args.tile_size, stack=stack
+            )
+        else:
+            result = render_nto1(
+                src,
+                tile_set,
+                args.tile_size,
+                no_repeat=args.no_repeat,
+                randomize=args.randomize,
+                seed=args.seed,
+                use_lut=use_lut,
+                stack=stack,
+            )
+        result.stats.summarise(tile_set)
+        output = result.image
+        stats = result.stats
+        tile_set_out = result.tile_set
+        config = MosaicConfig(
+            tile_size=args.tile_size,
+            mode=mode.label,
+            no_repeat=args.no_repeat,
+            greedy=args.greedy,
+            crop=args.crop,
+            tint_opacity=args.tint_opacity,
+            downsample=args.downsample,
+            randomize=args.randomize,
+            tiles_dir=str(args.tiles_dir),
+            title=args.title,
+        )
+
+    out_path = args.output_path
+    if args.tint_opacity > 0.0:
+        # tint path: blend, save, early return — skips stats/HTML
+        # (main.rs:447-478 quirk preserved). The overlay is built from the
+        # *original* source at full resolution (main.rs:450), not the
+        # downsampled one.
+        original_rgb = np.asarray(original.convert("RGB"), dtype=np.uint8)
+        blended = np.asarray(tint_blend(output, original_rgb, args.tint_opacity))
+        Image.fromarray(blended).save(out_path, format="PNG")
+        return
+
+    log("✓ Mosaic generation completed successfully")
+    log(f"📝 Writing output file to {out_path}")
+    Image.fromarray(output).save(out_path, format="PNG")
+
+    if stats is not None and stats.tile_count():
+        stats_path = out_path.with_suffix(".stats.png")
+        log(f"📊 Writing statistics visualization to {stats_path}")
+        try:
+            Image.fromarray(stats.render(args.tile_size)).save(
+                stats_path, format="PNG"
+            )
+            log("📊 Statistics file saved (shows tile matching quality)")
+        except OSError as e:
+            log(f"⚠️  Failed to save statistics image to {stats_path}: {e}")
+
+    if stats is not None and (args.html or args.web):
+        from emosaic_tpu.web import generate_html_with_options
+
+        html_path = out_path.with_suffix(".html")
+        log(f"📄 Generating interactive HTML at {html_path}")
+        generate_html_with_options(
+            stats, out_path, html_path, tile_set_out, config, web=args.web
+        )
+        log("📄 Interactive HTML file saved (hover over tiles for details)")
+
+    log(f"🎉 All done! Your mosaic is ready at {out_path}")
+
+
+def main(argv=None) -> int:
+    start = time.time()
+    monitor = MemoryMonitor().start()
+    try:
+        args = build_parser().parse_args(argv)
+        validate_tile_size(args.tile_size)
+        validate_input_image(args.img)
+        validate_output_path(args.output_path)
+        cache_dir().mkdir(parents=True, exist_ok=True)
+
+        if args.subcmd == "prepare":
+            run_prepare(args)
+        elif args.subcmd == "mosaic":
+            run_mosaic(args)
+        # no subcommand: validate-only, like the reference's `None => ()`
+        return 0
+    finally:
+        print_runtime_stats(start, monitor)
+        monitor.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

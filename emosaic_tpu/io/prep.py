@@ -1,0 +1,171 @@
+"""Tile preparation pipeline (reference: src/mosaic/tiles/utils.rs:46-196).
+
+Per image: content-hash cache lookup -> decode -> white-border trim ->
+optional center square crop -> Lanczos resize to tile_size^2 -> EXIF
+orientation rotate -> save to cache.
+
+Exact-parity semantics preserved:
+- Cache key: md5 of file bytes; path
+  `<cache_dir>/mosaic/{md5}[_cropped].{tile_size}.jpg` (utils.rs:69-78).
+  The cache stores *JPEG* (lossy) like the reference — renders read tile
+  pixels through this cache (tileset.rs:146-161), so composited tiles are
+  JPEG-roundtripped on cache hits in both implementations.
+- White = all channels > 240 (utils.rs:94).
+- Boundary = most common per-row/col first/last non-white coordinate
+  (utils.rs:108-161); all-white rows/cols contribute sentinel w/0 and are
+  filtered (utils.rs:158-161). `most_common_value` ties are
+  HashMap-order-dependent in the reference; here deterministic: highest
+  count, then smallest value.
+- Trim rectangle width/height is `last - first` — the last non-white
+  column/row itself is excluded (quirk preserved; utils.rs:166-175).
+- Undersized images (w or h < tile_size) are rejected (utils.rs:99-106).
+- EXIF rotation is applied *after* resize, 8 orientation cases
+  (utils.rs:248-264; note image-crate rotate90 is clockwise = PIL
+  ROTATE_270).
+
+Deviation (recorded): a fully-white image panics the reference
+(utils.rs:163-164 assert); here it raises ImageError and is collected as a
+per-image error like other failures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from emosaic_tpu.errors import ImageError
+from emosaic_tpu.io.exif import get_exif_date, get_orientation
+
+Image.MAX_IMAGE_PIXELS = None  # gigapixel sources are expected
+
+
+def cache_dir() -> Path:
+    """`~/.cache/mosaic` (or $XDG_CACHE_HOME/mosaic), like dirs::cache_dir
+    (utils.rs:73, main.rs:367-376)."""
+    base = os.environ.get("XDG_CACHE_HOME")
+    root = Path(base) if base else Path.home() / ".cache"
+    return root / "mosaic"
+
+
+def most_common_value(values) -> int:
+    """Most frequent value; ties -> smallest; empty -> 0 (utils.rs:266-277)."""
+    values = np.asarray(list(values), dtype=np.int64)
+    if values.size == 0:
+        return 0
+    uniq, counts = np.unique(values, return_counts=True)
+    return int(uniq[np.argmax(counts)])
+
+
+def trim_bounds(img: np.ndarray) -> tuple[int, int, int, int]:
+    """White-border trim rectangle (left, top, width, height).
+
+    Vectorized equivalent of the reference's per-row/col scans
+    (utils.rs:108-161). Raises ImageError-style ValueError when the most
+    common boundaries are inverted (all/mostly white image).
+    """
+    h, w = img.shape[0], img.shape[1]
+    nonwhite = ~(img > 240).all(axis=2)  # [h, w]
+
+    row_has = nonwhite.any(axis=1)
+    from_left = np.where(row_has, nonwhite.argmax(axis=1), w)
+    from_right = np.where(row_has, w - 1 - nonwhite[:, ::-1].argmax(axis=1), 0)
+    col_has = nonwhite.any(axis=0)
+    from_top = np.where(col_has, nonwhite.argmax(axis=0), h)
+    from_bottom = np.where(col_has, h - 1 - nonwhite[::-1, :].argmax(axis=0), 0)
+
+    first_col = most_common_value(from_left[from_left != w])
+    last_col = most_common_value(from_right[from_right != 0])
+    first_row = most_common_value(from_top[from_top != h])
+    last_row = most_common_value(from_bottom[from_bottom != 0])
+
+    if not (first_col < last_col and first_row < last_row):
+        raise ValueError("image trims to nothing (all white?)")
+    return first_col, first_row, last_col - first_col, last_row - first_row
+
+
+# EXIF orientation -> PIL transpose op. The reference composes image-crate
+# clockwise rotations (utils.rs:248-264); these are the standard equivalent
+# PIL transposes (rotate90 CW == PIL ROTATE_270).
+_ORIENT_TO_TRANSPOSE = {
+    2: Image.Transpose.FLIP_LEFT_RIGHT,
+    3: Image.Transpose.ROTATE_180,
+    4: Image.Transpose.FLIP_TOP_BOTTOM,
+    5: Image.Transpose.TRANSPOSE,
+    6: Image.Transpose.ROTATE_270,
+    7: Image.Transpose.TRANSVERSE,
+    8: Image.Transpose.ROTATE_90,
+}
+
+
+def apply_orientation(im: Image.Image, orientation: int) -> Image.Image:
+    op = _ORIENT_TO_TRANSPOSE.get(orientation)
+    return im.transpose(op) if op else im
+
+
+def prepare_tile(
+    path: str | os.PathLike, tile_size: int, crop: bool
+) -> np.ndarray:
+    """Prepare one tile image; returns [tile_size, tile_size, 3] uint8.
+
+    Reference: prepare_tile (utils.rs:63-196).
+    """
+    path = Path(path)
+    try:
+        data = path.read_bytes()
+    except OSError as e:
+        raise ImageError(path, str(e)) from e
+    digest = hashlib.md5(data).hexdigest()
+    cpath = cache_dir() / f"{digest}{'_cropped' if crop else ''}.{tile_size}.jpg"
+
+    if cpath.exists():
+        try:
+            with Image.open(cpath) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        except Exception:
+            pass  # fall through to regeneration, like the or_else chain
+
+    try:
+        with Image.open(path) as im:
+            rgb = im.convert("RGB")
+    except Exception as e:
+        raise ImageError(path, str(e)) from e
+
+    w, h = rgb.size
+    if w < tile_size or h < tile_size:
+        raise ImageError(path, f"image {w}x{h} smaller than tile size {tile_size}")
+
+    arr = np.asarray(rgb, dtype=np.uint8)
+    try:
+        left, top, tw, th = trim_bounds(arr)
+    except ValueError as e:
+        raise ImageError(path, str(e)) from e
+
+    if crop:
+        # largest centered square inside the trimmed region (utils.rs:176-187)
+        size = min(tw, th)
+        left += (tw - size) // 2
+        top += (th - size) // 2
+        tw = th = size
+
+    cropped = rgb.crop((left, top, left + tw, top + th))
+    resized = cropped.resize((tile_size, tile_size), Image.LANCZOS)
+    oriented = apply_orientation(resized, get_orientation(path))
+
+    cpath.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        oriented.save(cpath, format="JPEG")
+    except OSError as e:
+        raise ImageError(path, f"failed to write cache: {e}") from e
+    return np.asarray(oriented, dtype=np.uint8)
+
+
+def prepare_tile_with_date(
+    path: str | os.PathLike, tile_size: int, crop: bool
+) -> tuple[np.ndarray, str | None]:
+    """prepare_tile + EXIF date (utils.rs:46-60)."""
+    date = get_exif_date(path)
+    return prepare_tile(path, tile_size, crop), date

@@ -1,0 +1,345 @@
+"""Fused L1 (Manhattan) distance + argmin matching kernels.
+
+Replaces the reference's kiddo k-d tree nearest-neighbor search
+(tileset.rs:178-190 `build_kiddo`, rendering.rs:186-196 `nearest_one/n`
+with the Manhattan metric, rendering.rs:7) with dense batched device search:
+
+- `build_library`: the [2T, 3N] library matrix with horizontally-flipped
+  duplicates of every tile (mirrors tileset.rs:180-188: +idx for original,
+  -idx for flipped — here encoded as row r < T -> item r+1, r >= T ->
+  item -(r-T+1)).
+- `l1_argmin_xla`: pure-XLA chunked scan, memory-safe for any B/L/D. The
+  correctness oracle and the fallback for very high N modes.
+- `l1_argmin`: VMEM-tiled Pallas kernel (grid over block-tiles x lib-tiles,
+  per-tile running argmin folded on host side over the small lib-tile axis).
+- `l1_topk`: chunked running top-k for `--randomize` (rendering.rs:168-185)
+  and no-repeat candidate lists (rendering.rs:307-321).
+
+Distances are exact int32 (the reference matches on integer FixedU32<U0>
+coordinates, tiles.rs:9). Tie-breaking is defined as *lowest library row
+index wins* (original tiles in index order, then flipped tiles) — the
+reference's kd-tree tie order is unspecified, so the parity oracle is
+"equal distance" (SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32_MAX = np.int32(2**31 - 1)
+
+
+# ---------------------------------------------------------------------------
+# Library construction (flip augmentation + signed item ids)
+# ---------------------------------------------------------------------------
+
+
+def flip_palettes(palettes: jax.Array) -> jax.Array:
+    """Horizontally mirror each palette's cell grid (utils.rs:18-43)."""
+    t, n = palettes.shape[0], palettes.shape[1]
+    dim = math.isqrt(n)
+    if dim * dim != n:
+        raise ValueError(f"N={n} is not a perfect square")
+    return palettes.reshape(t, dim, dim, 3)[:, :, ::-1, :].reshape(t, n, 3)
+
+
+def build_library(palettes) -> jax.Array:
+    """Stack palettes + flipped palettes into a [2T, 3N] uint8 search matrix.
+
+    Row r < T is tile r+1 unflipped; row r >= T is tile r-T+1 flipped,
+    mirroring the +-idx double insertion of tileset.rs:180-188.
+    """
+    palettes = jnp.asarray(palettes, dtype=jnp.uint8)
+    t = palettes.shape[0]
+    flat = palettes.reshape(t, -1)
+    flipped = flip_palettes(palettes).reshape(t, -1)
+    return jnp.concatenate([flat, flipped], axis=0)
+
+
+def rows_to_items(rows, num_tiles: int):
+    """Library row -> signed 1-based item id (negative = flipped),
+    the id convention of tileset.rs:131-143 `get_tile`."""
+    rows = jnp.asarray(rows)
+    return jnp.where(rows < num_tiles, rows + 1, -(rows - num_tiles + 1)).astype(
+        jnp.int32
+    )
+
+
+def items_to_rows(items, num_tiles: int):
+    """Signed item id -> library row."""
+    items = jnp.asarray(items)
+    return jnp.where(items > 0, items - 1, num_tiles - items - 1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA chunked scan (oracle + high-N fallback)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_sizes(d: int, vmem_budget: int = 64 * 2**20) -> tuple[int, int]:
+    """Pick (block_chunk, lib_chunk) so the [Bc, Lc, D] i32 diff fits budget."""
+    bc = 1024
+    lc = max(256, min(8192, vmem_budget // max(1, bc * d * 4)))
+    while bc > 64 and bc * lc * d * 4 > vmem_budget:
+        bc //= 2
+    return bc, lc
+
+
+@functools.partial(jax.jit, static_argnames=("bc", "lc", "real_l"))
+def _l1_argmin_xla_jit(blocks, lib, *, bc: int, lc: int, real_l: int):
+    bp, d = blocks.shape
+    lp = lib.shape[0]
+    nl = lp // lc
+    lib_chunks = lib.reshape(nl, lc, d)
+
+    def per_block_chunk(bchunk):  # [bc, d] u8
+        bi = bchunk.astype(jnp.int32)
+
+        def scan_lib(carry, inp):
+            best_d, best_r = carry
+            offset, lchunk = inp
+            li = lchunk.astype(jnp.int32)
+            dist = jnp.abs(bi[:, None, :] - li[None, :, :]).sum(
+                axis=-1, dtype=jnp.int32
+            )  # [bc, lc]
+            col = offset + jnp.arange(lc, dtype=jnp.int32)[None, :]
+            dist = jnp.where(col < real_l, dist, I32_MAX)
+            local_arg = jnp.argmin(dist, axis=1).astype(jnp.int32)
+            local_min = jnp.take_along_axis(dist, local_arg[:, None], axis=1)[:, 0]
+            # Strictly-less update + ascending chunk order + argmin-first-wins
+            # => global lowest-row-index tie-break.
+            take = local_min < best_d
+            best_d = jnp.where(take, local_min, best_d)
+            best_r = jnp.where(take, offset + local_arg, best_r)
+            return (best_d, best_r), None
+
+        init = (
+            jnp.full((bc,), I32_MAX, dtype=jnp.int32),
+            jnp.zeros((bc,), dtype=jnp.int32),
+        )
+        offsets = jnp.arange(nl, dtype=jnp.int32) * lc
+        (best_d, best_r), _ = jax.lax.scan(scan_lib, init, (offsets, lib_chunks))
+        return best_d, best_r
+
+    nb = bp // bc
+    dists, rows = jax.lax.map(per_block_chunk, blocks.reshape(nb, bc, d))
+    return dists.reshape(bp), rows.reshape(bp)
+
+
+def l1_argmin_xla(blocks, lib) -> tuple[jax.Array, jax.Array]:
+    """Exact L1 nearest library row for each block (pure XLA).
+
+    Args:
+      blocks: [B, D] uint8 query vectors.
+      lib: [L, D] uint8 library matrix (see `build_library`).
+
+    Returns:
+      (dist [B] int32, row [B] int32) — minimal L1 distance and the library
+      row achieving it (lowest row on ties).
+    """
+    blocks = jnp.asarray(blocks, dtype=jnp.uint8)
+    lib = jnp.asarray(lib, dtype=jnp.uint8)
+    b, d = blocks.shape
+    l = lib.shape[0]
+    bc, lc = _chunk_sizes(d)
+    bc = min(bc, max(8, 1 << (b - 1).bit_length()))
+    bp = -(-b // bc) * bc
+    lp = -(-l // lc) * lc
+    blocks_p = jnp.pad(blocks, ((0, bp - b), (0, 0)))
+    lib_p = jnp.pad(lib, ((0, lp - l), (0, 0)))
+    dist, row = _l1_argmin_xla_jit(blocks_p, lib_p, bc=bc, lc=lc, real_l=l)
+    return dist[:b], row[:b]
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: VMEM-tiled fused L1 distance + per-tile argmin
+# ---------------------------------------------------------------------------
+
+_B_TILE = 256
+_L_TILE = 512
+_UNROLL_D = 64
+# Above this feature dim the [B_TILE, D] block no longer fits comfortably in
+# VMEM; fall back to the XLA scan (modes 64/128; SURVEY.md section 7 "hard
+# parts" — a D-chunked grid axis is future work).
+_MAX_PALLAS_D = 4096
+
+
+def _l1_kernel(x_ref, lt_ref, min_ref, arg_ref, *, d: int, real_l: int):
+    """One (block-tile i, lib-tile j) cell: fold the lib tile's L1 argmin
+    into the running (min, argrow) for block-tile i.
+
+    x_ref:  [B_TILE, Dp] uint8 query tile (same for all j).
+    lt_ref: [Dp, L_TILE] uint8 transposed library tile.
+    min/arg_ref: [B_TILE, 128] int32 revisited output blocks (index map
+      (i, j) -> (i, 0)); lane 0 carries the running minimum distance and
+      global library row. The j grid axis is innermost/sequential, so the
+      strictly-less fold preserves the lowest-row tie-break.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        min_ref[...] = jnp.full(min_ref.shape, I32_MAX, dtype=jnp.int32)
+        arg_ref[...] = jnp.zeros(arg_ref.shape, dtype=jnp.int32)
+
+    def step(dd, acc):
+        xc = jax.lax.dynamic_slice(x_ref[...], (0, dd), (_B_TILE, 1)).astype(
+            jnp.int32
+        )
+        lc = jax.lax.dynamic_slice(lt_ref[...], (dd, 0), (1, _L_TILE)).astype(
+            jnp.int32
+        )
+        return acc + jnp.abs(xc - lc)
+
+    if d <= _UNROLL_D:
+        acc = jnp.zeros((_B_TILE, _L_TILE), dtype=jnp.int32)
+        for dd in range(d):
+            xc = x_ref[:, dd : dd + 1].astype(jnp.int32)
+            lc = lt_ref[dd : dd + 1, :].astype(jnp.int32)
+            acc = acc + jnp.abs(xc - lc)
+    else:
+        acc = jax.lax.fori_loop(
+            0, d, step, jnp.zeros((_B_TILE, _L_TILE), dtype=jnp.int32)
+        )
+
+    col = j * _L_TILE + jax.lax.broadcasted_iota(jnp.int32, (_B_TILE, _L_TILE), 1)
+    acc = jnp.where(col < real_l, acc, I32_MAX)
+    local_min = jnp.min(acc, axis=1)
+    # int argmin is unsupported in Mosaic lowering; emulate with a masked
+    # min over column indices (first minimum wins, preserving the
+    # lowest-row tie-break).
+    local_arg = jnp.min(
+        jnp.where(acc == local_min[:, None], col, I32_MAX), axis=1
+    )
+    cur_min = min_ref[:, 0]
+    take = local_min < cur_min
+    min_ref[:, 0] = jnp.where(take, local_min, cur_min)
+    arg_ref[:, 0] = jnp.where(take, local_arg, arg_ref[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("d", "real_l"))
+def _l1_argmin_pallas_jit(blocks_p, lib_t_p, *, d: int, real_l: int):
+    bp, dp = blocks_p.shape
+    lp = lib_t_p.shape[1]
+    nb, nl = bp // _B_TILE, lp // _L_TILE
+    kernel = functools.partial(_l1_kernel, d=d, real_l=real_l)
+    min_out, arg_out = pl.pallas_call(
+        kernel,
+        grid=(nb, nl),
+        in_specs=[
+            pl.BlockSpec((_B_TILE, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, _L_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (_B_TILE, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (_B_TILE, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, 128), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 128), jnp.int32),
+        ],
+    )(blocks_p, lib_t_p)
+    return min_out[:, 0], arg_out[:, 0]
+
+
+def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Exact L1 nearest library row per block (Pallas fast path).
+
+    Same contract as `l1_argmin_xla`. Falls back to the XLA scan when the
+    feature dim exceeds the VMEM-friendly bound or when not on TPU.
+    """
+    blocks = jnp.asarray(blocks, dtype=jnp.uint8)
+    lib = jnp.asarray(lib, dtype=jnp.uint8)
+    b, d = blocks.shape
+    l = lib.shape[0]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if force_xla or d > _MAX_PALLAS_D or not on_tpu:
+        return l1_argmin_xla(blocks, lib)
+    dp = -(-d // 128) * 128
+    bp = -(-b // _B_TILE) * _B_TILE
+    lp = -(-l // _L_TILE) * _L_TILE
+    blocks_p = jnp.pad(blocks, ((0, bp - b), (0, dp - d)))
+    lib_t_p = jnp.pad(lib.T, ((0, dp - d), (0, lp - l)))
+    dist, row = _l1_argmin_pallas_jit(blocks_p, lib_t_p, d=d, real_l=l)
+    return dist[:b], row[:b]
+
+
+# ---------------------------------------------------------------------------
+# Chunked running top-k (for --randomize and no-repeat candidate lists)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bc", "lc", "real_l"))
+def _l1_topk_jit(blocks, lib, *, k: int, bc: int, lc: int, real_l: int):
+    bp, d = blocks.shape
+    lp = lib.shape[0]
+    nl = lp // lc
+    lib_chunks = lib.reshape(nl, lc, d)
+
+    def per_block_chunk(bchunk):
+        bi = bchunk.astype(jnp.int32)
+
+        def scan_lib(carry, inp):
+            top_d, top_r = carry  # [bc, k]
+            offset, lchunk = inp
+            li = lchunk.astype(jnp.int32)
+            dist = jnp.abs(bi[:, None, :] - li[None, :, :]).sum(
+                axis=-1, dtype=jnp.int32
+            )
+            col = offset + jnp.arange(lc, dtype=jnp.int32)[None, :]
+            dist = jnp.where(col < real_l, dist, I32_MAX)
+            cand_d = jnp.concatenate([top_d, dist], axis=1)
+            cand_r = jnp.concatenate(
+                [top_r, jnp.broadcast_to(col, dist.shape)], axis=1
+            )
+            neg, idx = jax.lax.top_k(-cand_d, k)
+            return (-neg, jnp.take_along_axis(cand_r, idx, axis=1)), None
+
+        init = (
+            jnp.full((bc, k), I32_MAX, dtype=jnp.int32),
+            jnp.zeros((bc, k), dtype=jnp.int32),
+        )
+        offsets = jnp.arange(nl, dtype=jnp.int32) * lc
+        (top_d, top_r), _ = jax.lax.scan(scan_lib, init, (offsets, lib_chunks))
+        return top_d, top_r
+
+    nb = bp // bc
+    dists, rows = jax.lax.map(
+        per_block_chunk, blocks.reshape(nb, bc, d)
+    )
+    return dists.reshape(bp, k), rows.reshape(bp, k)
+
+
+def l1_topk(blocks, lib, k: int) -> tuple[jax.Array, jax.Array]:
+    """k nearest library rows per block, ascending by distance.
+
+    Replaces kiddo `nearest_n` (rendering.rs:172-174 k=20 for --randomize;
+    rendering.rs:307-321 candidate lists for global-greedy no-repeat).
+
+    Returns:
+      (dists [B, k] int32, rows [B, k] int32). If k > L, trailing entries
+      carry I32_MAX distances.
+    """
+    blocks = jnp.asarray(blocks, dtype=jnp.uint8)
+    lib = jnp.asarray(lib, dtype=jnp.uint8)
+    b, d = blocks.shape
+    l = lib.shape[0]
+    bc, lc = _chunk_sizes(d, vmem_budget=32 * 2**20)
+    bc = min(bc, max(8, 1 << (b - 1).bit_length()))
+    bp = -(-b // bc) * bc
+    lp = -(-l // lc) * lc
+    blocks_p = jnp.pad(blocks, ((0, bp - b), (0, 0)))
+    lib_p = jnp.pad(lib, ((0, lp - l), (0, 0)))
+    dists, rows = _l1_topk_jit(blocks_p, lib_p, k=k, bc=bc, lc=lc, real_l=l)
+    return dists[:b], rows[:b]

@@ -1,0 +1,110 @@
+"""Exact L1 nearest-tile lookup table over the 256^3 RGB lattice (mode 1).
+
+TPU-first replacement for per-query kd-tree search (rendering.rs:192
+`nearest_one::<Manhattan>`) in 1to1 mode, where queries are single RGB
+pixels: precompute, for *every* possible color, the nearest library row
+under L1 — then matching any number of source blocks is a single gather.
+
+The table is built with an exact separable min-plus (chamfer) distance
+transform: L1 distance factorizes across axes, and each 1D transform
+`d[i] = min_j f[j] + |i-j|` is computed with log-doubling relaxation passes
+(steps 1,2,4,...,128 in both directions cover all offsets <= 255 exactly).
+Each lattice cell carries a packed int32 key `(dist << ROW_BITS) | row`, so
+every `min` is lexicographic on (distance, library row) — identical
+tie-breaking (lowest row wins) to `emosaic_tpu.ops.distance.l1_argmin`.
+
+Cost: ~50 vectorized passes over a 64 MiB lattice (~10 ms of HBM traffic on
+one v5e chip), after which gigapixel matching is memory-bound gather only.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROW_BITS = 21
+ROW_MASK = (1 << ROW_BITS) - 1
+#: max library rows (2T) a LUT key can address — far above the reference's
+#: 32767-tile cap (main.rs:791, tileset.rs:178-183).
+MAX_ROWS = ROW_MASK
+_INF = np.int32(2**31 - 1)
+
+
+def _shifted(lattice: jax.Array, axis: int, step: int, forward: bool) -> jax.Array:
+    """Shift along `axis` by `step`, filling vacated cells with INF."""
+    pad = [(0, 0)] * 3
+    if forward:
+        pad[axis] = (step, 0)
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, 256)
+        return jnp.pad(lattice, pad, constant_values=_INF)[tuple(sl)]
+    pad[axis] = (0, step)
+    sl = [slice(None)] * 3
+    sl[axis] = slice(step, 256 + step)
+    return jnp.pad(lattice, pad, constant_values=_INF)[tuple(sl)]
+
+
+@jax.jit
+def _build_l1_lut_jit(lib: jax.Array) -> jax.Array:
+    l = lib.shape[0]
+    rows = jnp.arange(l, dtype=jnp.int32)  # key with dist=0
+    lattice = jnp.full((256, 256, 256), _INF, dtype=jnp.int32)
+    r, g, b = lib[:, 0], lib[:, 1], lib[:, 2]
+    # scatter-min: duplicate colors keep the lowest row (lexicographic key)
+    lattice = lattice.at[r, g, b].min(rows)
+
+    for axis in range(3):
+        step = 1
+        while step <= 128:
+            delta = np.int32(step << ROW_BITS)
+            fwd = _shifted(lattice, axis, step, True)
+            bwd = _shifted(lattice, axis, step, False)
+            # guard the INF sentinel against overflow before adding the cost
+            fwd = jnp.where(fwd == _INF, _INF, fwd + delta)
+            bwd = jnp.where(bwd == _INF, _INF, bwd + delta)
+            lattice = jnp.minimum(lattice, jnp.minimum(fwd, bwd))
+            step *= 2
+    return lattice
+
+
+def build_l1_lut(lib) -> jax.Array:
+    """Build the [256,256,256] int32 packed (dist, row) nearest-row table.
+
+    Args:
+      lib: [L, 3] uint8 library matrix (mode-1 `build_library` output;
+        L = 2T with flip rows — note for N=1 a flip is an identity, the
+        reference still indexes both orientations, tileset.rs:180-188).
+    """
+    lib = jnp.asarray(lib, dtype=jnp.uint8)
+    if lib.ndim != 2 or lib.shape[1] != 3:
+        raise ValueError(f"LUT requires [L,3] mode-1 library, got {lib.shape}")
+    if lib.shape[0] == 0:
+        raise ValueError("empty library")
+    if lib.shape[0] > MAX_ROWS:
+        raise ValueError(f"library has {lib.shape[0]} rows > LUT cap {MAX_ROWS}")
+    return _build_l1_lut_jit(lib.astype(jnp.int32))
+
+
+@jax.jit
+def _lut_match_jit(blocks: jax.Array, lut: jax.Array):
+    flat = lut.reshape(-1)
+    idx = (
+        blocks[:, 0].astype(jnp.int32) * 65536
+        + blocks[:, 1].astype(jnp.int32) * 256
+        + blocks[:, 2].astype(jnp.int32)
+    )
+    key = flat[idx]
+    return key >> ROW_BITS, key & ROW_MASK
+
+
+def lut_match(blocks, lut) -> tuple[jax.Array, jax.Array]:
+    """Match [B, 3] uint8 blocks via the LUT.
+
+    Returns (dist [B] int32, row [B] int32) — identical to
+    `l1_argmin(blocks, lib)` but O(1) per query.
+    """
+    blocks = jnp.asarray(blocks, dtype=jnp.uint8)
+    if blocks.ndim != 2 or blocks.shape[1] != 3:
+        raise ValueError(f"LUT match requires [B,3] blocks, got {blocks.shape}")
+    return _lut_match_jit(blocks, lut)

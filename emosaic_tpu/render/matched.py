@@ -1,0 +1,171 @@
+"""Matched renderer (reference: rendering.rs:124-230 `render_nto1`).
+
+Pipeline: source -> flattened block vectors (device) -> fused L1 argmin
+(LUT / Pallas / XLA) or top-k + randomized choice -> signed item grid ->
+device gather composite.
+
+Parity notes:
+- stats record *source-pixel* coordinates (rendering.rs:211-214) — quirk
+  preserved (the no-repeat global renderer records output coords).
+- `--randomize f`: 20 nearest, keep the ascending prefix with
+  `dist - min < f% * min`, choose uniformly (rendering.rs:168-185).
+  Deviation (recorded): when min == 0 the reference's take_while yields an
+  empty list and panics on `.choose().unwrap()`; here the best match is
+  always eligible. Randomness uses an explicit seed, not thread_rng.
+- `--no-repeat` with `--greedy` removes only the chosen orientation, in
+  render order (rendering.rs:163-167, :207-209). The reference's order is
+  scheduler-dependent (rayon rows x shuffled columns, serialized by a write
+  lock); here it is deterministic: row-major rows, seeded shuffle within
+  each row (mirroring the per-row shuffle at rendering.rs:73-74).
+- `--no-repeat --randomize` deadlocks the reference (read-lock under write
+  lock, rendering.rs:163-174); here it raises ValueError.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from emosaic_tpu.ops.analysis import source_blocks
+from emosaic_tpu.ops.composite import compose_mosaic
+from emosaic_tpu.ops.distance import (
+    build_library,
+    l1_argmin,
+    l1_topk,
+    rows_to_items,
+)
+from emosaic_tpu.ops.lut import MAX_ROWS, build_l1_lut, lut_match
+from emosaic_tpu.render.greedy import greedy_sequence_assign, make_numpy_refill
+from emosaic_tpu.stats import RenderStats
+from emosaic_tpu.tiles.tileset import TileSet
+
+_DEFAULT_RANDOM_NEIGHBORS = 20  # RenderConfig (rendering.rs:29-36)
+_GREEDY_TOPK = 64
+_LUT_MIN_BLOCKS = 4096  # below this, brute force beats LUT build cost
+
+
+@dataclass
+class RenderOutcome:
+    """Reference RenderResult (rendering.rs:236-243)."""
+
+    image: np.ndarray | None
+    stats: RenderStats
+    tile_set: TileSet
+    items: np.ndarray | None = None  # [vtiles, htiles] signed item grid
+
+
+def insufficient_tiles_check(n_blocks: int, n_tiles: int) -> None:
+    """rendering.rs:150-156 / :288-294."""
+    if n_blocks > n_tiles * 2:
+        raise ValueError(
+            f"❌ Insufficient tiles for no-repeat mode: need {n_blocks} tiles "
+            f"but only have {n_tiles * 2} available"
+        )
+
+
+def match_blocks(
+    blocks: np.ndarray, lib: np.ndarray, *, use_lut: str = "auto"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch to the LUT (mode 1) or the dense argmin kernel.
+
+    Returns (dist [B] int32, row [B] int32) as numpy.
+    """
+    b, d = blocks.shape
+    lut_ok = d == 3 and lib.shape[0] <= MAX_ROWS
+    if use_lut == "always" or (
+        use_lut == "auto" and lut_ok and b >= _LUT_MIN_BLOCKS
+    ):
+        if not lut_ok:
+            raise ValueError("LUT path requires mode 1 and a small-enough library")
+        lut = build_l1_lut(lib)
+        dist, row = lut_match(blocks, lut)
+    else:
+        dist, row = l1_argmin(blocks, lib)
+    return np.asarray(dist), np.asarray(row)
+
+
+def render_nto1(
+    source_img: np.ndarray,
+    tile_set: TileSet,
+    tile_size: int,
+    no_repeat: bool = False,
+    randomize: float | None = None,
+    *,
+    seed: int = 0,
+    use_lut: str = "auto",
+    stack: np.ndarray | None = None,
+    compose: bool = True,
+    log=lambda *a: print(*a, file=sys.stderr),
+) -> RenderOutcome:
+    if no_repeat and randomize is not None:
+        raise ValueError(
+            "no_repeat + randomize is unsupported (the reference deadlocks "
+            "on this combination, rendering.rs:163-174)"
+        )
+    n = tile_set.n_cells
+    dim = math.isqrt(n)
+    h, w = source_img.shape[0], source_img.shape[1]
+    htiles, vtiles = w // dim, h // dim
+    log(
+        f"Doing {htiles}x{vtiles} tiles resulting in a "
+        f"{htiles * tile_size}x{vtiles * tile_size} image (step: {dim})"
+    )
+    if no_repeat:
+        insufficient_tiles_check(htiles * vtiles, len(tile_set))
+
+    blocks = np.asarray(source_blocks(source_img, dim))  # [B, 3N], y-major
+    lib = np.asarray(build_library(tile_set.palettes))  # [2T, 3N]
+    num_tiles = len(tile_set)
+    rng = np.random.default_rng(seed)
+
+    if randomize is not None:
+        k = min(_DEFAULT_RANDOM_NEIGHBORS, lib.shape[0])
+        cd, cr = l1_topk(blocks, lib, k)
+        cd, cr = np.asarray(cd), np.asarray(cr)
+        mins = cd[:, 0].astype(np.float64)
+        eligible = (cd.astype(np.float64) - mins[:, None]) < (
+            float(randomize) * mins[:, None] / 100.0
+        )
+        eligible[:, 0] = True  # deviation: avoid the reference's min==0 panic
+        counts = eligible.sum(axis=1)
+        pick = (rng.random(len(blocks)) * counts).astype(np.int64)
+        rows = np.take_along_axis(cr, pick[:, None], axis=1)[:, 0]
+        dists = np.take_along_axis(cd, pick[:, None], axis=1)[:, 0]
+    elif no_repeat:
+        k = min(_GREEDY_TOPK, lib.shape[0])
+        cd, cr = l1_topk(blocks, lib, k)
+        cd, cr = np.asarray(cd), np.asarray(cr)
+        # render order: rows in sequence, x shuffled per row
+        order = np.concatenate(
+            [by * htiles + rng.permutation(htiles) for by in range(vtiles)]
+        )
+        refill = make_numpy_refill(blocks, lib)
+        rows, dists = greedy_sequence_assign(order, cd, cr, lib.shape[0], refill)
+    else:
+        dists, rows = match_blocks(blocks, lib, use_lut=use_lut)
+
+    items = np.asarray(rows_to_items(rows, num_tiles))
+    items = np.where(rows < 0, 0, items)  # unassigned -> black
+    items_grid = items.reshape(vtiles, htiles)
+
+    stats = RenderStats()
+    for by in range(vtiles):
+        for bx in range(htiles):
+            it = int(items_grid[by, bx])
+            if it == 0:
+                continue
+            tile = tile_set.get_tile(it)
+            # source-pixel coords (rendering.rs:211-214)
+            stats.push_tile(bx * dim, by * dim, tile, int(dists[by * htiles + bx]))
+
+    image = None
+    if compose:
+        if stack is None:
+            stack = tile_set.image_stack(tile_size)
+        image = np.asarray(compose_mosaic(items_grid, stack))
+    return RenderOutcome(
+        image=image, stats=stats, tile_set=tile_set, items=items_grid
+    )

@@ -1,0 +1,94 @@
+"""Global-greedy no-repeat renderer (reference: rendering.rs:262-401).
+
+Two phases, mapped TPU-first:
+1. "Scoring": the reference fetches 100 000 NN per block in parallel
+   (rendering.rs:307-321) — with its 32 767-tile cap that is simply the
+   *full sorted candidate list*. Here the device top-k kernel produces the
+   lists in one batch; K is the full library when affordable (exact parity)
+   and a truncated prefix with exact masked refills otherwise.
+2. Assignment: best-match-first priority queue with mirror-pair exclusion
+   (render/greedy.py), exactly the worklist semantics of
+   rendering.rs:323-392.
+
+Stats parity: this renderer records *output-pixel* coordinates
+(rendering.rs:357-364) — unlike `render_nto1` (quirk preserved,
+SURVEY.md section 3.5).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+
+from emosaic_tpu.ops.analysis import source_blocks
+from emosaic_tpu.ops.composite import compose_mosaic
+from emosaic_tpu.ops.distance import build_library, l1_topk, rows_to_items
+from emosaic_tpu.render.greedy import greedy_global_assign, make_numpy_refill
+from emosaic_tpu.render.matched import RenderOutcome, insufficient_tiles_check
+from emosaic_tpu.stats import RenderStats
+from emosaic_tpu.tiles.tileset import TileSet
+
+#: full-list (exact) mode is used while B * L stays under this many entries
+_EXACT_BUDGET = 2 * 10**8
+_TRUNCATED_K = 512
+
+
+def render_nto1_no_repeat(
+    source_img: np.ndarray,
+    tile_set: TileSet,
+    tile_size: int,
+    *,
+    stack: np.ndarray | None = None,
+    compose: bool = True,
+    log=lambda *a: print(*a, file=sys.stderr),
+) -> RenderOutcome:
+    n = tile_set.n_cells
+    dim = math.isqrt(n)
+    h, w = source_img.shape[0], source_img.shape[1]
+    htiles, vtiles = w // dim, h // dim
+    log(
+        f"Doing {htiles}x{vtiles} tiles resulting in a "
+        f"{htiles * tile_size}x{vtiles * tile_size} image (step: {dim})"
+    )
+    insufficient_tiles_check(htiles * vtiles, len(tile_set))
+
+    blocks = np.asarray(source_blocks(source_img, dim))
+    lib = np.asarray(build_library(tile_set.palettes))
+    num_tiles = len(tile_set)
+    b, l = blocks.shape[0], lib.shape[0]
+
+    k = l if b * l <= _EXACT_BUDGET else min(_TRUNCATED_K, l)
+    cd, cr = l1_topk(blocks, lib, k)
+    cd, cr = np.asarray(cd), np.asarray(cr)
+    refill = make_numpy_refill(blocks, lib)
+    rows, dists = greedy_global_assign(cd, cr, l, num_tiles, refill)
+
+    items = np.asarray(rows_to_items(rows, num_tiles))
+    items = np.where(rows < 0, 0, items)
+    items_grid = items.reshape(vtiles, htiles)
+
+    stats = RenderStats()
+    for by in range(vtiles):
+        for bx in range(htiles):
+            it = int(items_grid[by, bx])
+            if it == 0:
+                continue
+            tile = tile_set.get_tile(it)
+            # output-pixel coords (rendering.rs:357-364)
+            stats.push_tile(
+                bx * tile_size,
+                by * tile_size,
+                tile,
+                int(dists[by * htiles + bx]),
+            )
+
+    image = None
+    if compose:
+        if stack is None:
+            stack = tile_set.image_stack(tile_size)
+        image = np.asarray(compose_mosaic(items_grid, stack))
+    return RenderOutcome(
+        image=image, stats=stats, tile_set=tile_set, items=items_grid
+    )

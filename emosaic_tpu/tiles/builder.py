@@ -1,0 +1,121 @@
+"""Tile-library builder (reference: main.rs:740-826 generate_tile_set).
+
+Walks the tiles dir, prepares every image (content-hash cache), collects
+per-image errors without aborting, then analyses the *whole stack at once*
+on device (`ops.analysis.analyse_batch`) instead of per-tile scalar loops.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from emosaic_tpu.errors import ImageError
+from emosaic_tpu.io.discovery import find_images
+from emosaic_tpu.io.prep import prepare_tile_with_date
+from emosaic_tpu.ops.analysis import analyse_batch
+from emosaic_tpu.tiles.cache import (
+    analysis_cache_path,
+    load_tileset_cache,
+    save_tileset_cache,
+)
+from emosaic_tpu.tiles.tileset import TileSet
+
+# Cap device memory used per analysis batch (u8 tile pixels).
+_ANALYSE_BATCH_BYTES = 256 * 2**20
+
+
+def generate_tile_set(
+    tiles_dir: str | os.PathLike,
+    tile_size: int,
+    extensions: set[str],
+    crop: bool,
+    dim: int,
+    progress=None,
+    log=print,
+) -> tuple[TileSet, list[ImageError]]:
+    """Prepare + analyse every image under `tiles_dir`.
+
+    Returns (tile_set, errors). Errors are reported, not fatal
+    (main.rs:759-806). Indices are 1-based in discovery order
+    (main.rs:786-794).
+    """
+    tiles_dir = Path(tiles_dir)
+    image_paths = find_images(tiles_dir, extensions)
+
+    prepared: list[tuple[Path, np.ndarray, str | None]] = []
+    errors: list[ImageError] = []
+    for i, path in enumerate(image_paths):
+        try:
+            img, date = prepare_tile_with_date(path, tile_size, crop)
+            prepared.append((path, img, date))
+        except ImageError as e:
+            # error paths are reported relative to the tiles dir (main.rs:770)
+            try:
+                rel = e.path.relative_to(tiles_dir)
+            except ValueError:
+                rel = e.path
+            errors.append(ImageError(rel, e.error))
+        if progress is not None:
+            progress(i + 1, len(image_paths))
+
+    if not prepared:
+        ts = TileSet(
+            palettes=np.zeros((0, dim * dim, 3), dtype=np.uint8), paths=[]
+        )
+        return ts, errors
+
+    paths = [p for p, _, _ in prepared]
+    dates = [d for _, _, d in prepared]
+    stack = np.stack([img for _, img, _ in prepared])
+
+    chunk = max(1, _ANALYSE_BATCH_BYTES // (tile_size * tile_size * 3))
+    palettes = np.concatenate(
+        [
+            np.asarray(analyse_batch(stack[i : i + chunk], dim))
+            for i in range(0, len(stack), chunk)
+        ]
+    )
+
+    ts = TileSet(palettes=palettes, paths=paths, dates=dates)
+    summarise_tileset(ts, log=log)
+    log(f"Extracted {sum(d is not None for d in dates)} dates successfully")
+    if errors:
+        log(f"Failed to read the following images({len(errors)}):")
+        for e in errors:
+            log(f"- {e}")
+    return ts, errors
+
+
+def summarise_tileset(ts: TileSet, log=print) -> None:
+    """Unique-palette count (main.rs:813-826)."""
+    unique = len({ts.palettes[i].tobytes() for i in range(len(ts))})
+    log(f"The analysis produced {unique} unique tiles")
+
+
+def load_or_generate_tile_set(
+    tiles_dir: str | os.PathLike,
+    tile_size: int,
+    extensions: set[str],
+    crop: bool,
+    dim: int,
+    force: bool = False,
+    progress=None,
+    log=lambda *a: print(*a, file=sys.stderr),
+) -> TileSet:
+    """Analysis-cache orchestration (main.rs:597-661): reuse the
+    `.emosaic_{N}to1[_cropped]` cache unless --force; rewrite on miss."""
+    cpath = analysis_cache_path(tiles_dir, dim * dim, crop)
+    if not force:
+        cached = load_tileset_cache(cpath, extensions)
+        if cached is not None:
+            log("Reusing analysis cache")
+            return cached
+    ts, _errors = generate_tile_set(
+        tiles_dir, tile_size, extensions, crop, dim, progress=progress, log=log
+    )
+    save_tileset_cache(cpath, ts)
+    return ts

@@ -1,0 +1,241 @@
+"""Unit tests for the device kernels (analysis, distance, LUT, composite).
+
+Mirrors the reference's inline unit suites: analysis.rs:38-73,
+color.rs:44-101, tile.rs:122-141, plus new oracle checks for the matching
+kernels (no equivalent exists in the reference — the kd-tree is a crate).
+"""
+
+import numpy as np
+import pytest
+
+from emosaic_tpu.ops import (
+    analyse_batch,
+    build_library,
+    compose_mosaic,
+    build_l1_lut,
+    l1_argmin,
+    l1_argmin_xla,
+    l1_topk,
+    lut_match,
+    source_blocks,
+    tint_blend,
+)
+from emosaic_tpu.ops.analysis import analyse_one
+from emosaic_tpu.ops.distance import (
+    flip_palettes,
+    items_to_rows,
+    rows_to_items,
+)
+
+
+def np_l1_all(blocks, lib):
+    return np.abs(
+        blocks.astype(np.int64)[:, None, :] - lib.astype(np.int64)[None, :, :]
+    ).sum(-1)
+
+
+# ---------------------------------------------------------------------------
+# analysis
+# ---------------------------------------------------------------------------
+
+
+def test_analyse_single_color():
+    # analysis.rs:43-55 test_analyse_single_color
+    img = np.full((2, 2, 3), [255, 0, 0], dtype=np.uint8)
+    colors = analyse_one(img, dim=2)
+    assert colors.shape == (4, 3)
+    assert (colors == [255, 0, 0]).all()
+
+
+def test_analyse_truncating_mean():
+    # color.rs:49-63: mean of 100,200,50,150 = 125; and truncation semantics
+    img = np.array(
+        [[[100, 150, 200], [200, 100, 50]], [[50, 200, 100], [150, 50, 150]]],
+        dtype=np.uint8,
+    )
+    colors = analyse_one(img, dim=1)
+    assert (colors[0] == [125, 125, 125]).all()
+    # truncation: (1+2)/2 = 1 (not 2)
+    img2 = np.array([[[1, 1, 1], [2, 2, 2]]], dtype=np.uint8).reshape(1, 2, 3)
+    assert (analyse_one(img2, dim=1)[0] == [1, 1, 1]).all()
+
+
+def test_analyse_drops_trailing_pixels():
+    # analysis.rs:6-8: box size floor(w/dim); trailing pixels outside
+    # dim*floor(w/dim) are never read.
+    img = np.zeros((5, 5, 3), dtype=np.uint8)
+    img[:, 4, :] = 255  # only in the dropped trailing column
+    img[4, :, :] = 255
+    colors = analyse_one(img, dim=2)
+    assert (colors == 0).all()
+
+
+def test_analyse_batch_matches_one(rng):
+    tiles = rng.integers(0, 256, size=(7, 8, 8, 3), dtype=np.uint8)
+    batch = np.asarray(analyse_batch(tiles, dim=2))
+    for i in range(7):
+        assert (batch[i] == analyse_one(tiles[i], dim=2)).all()
+
+
+def test_source_blocks_order():
+    # analysis.rs:57-72 test_get_img_colors: row-major pixels within block
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            img[y, x] = [x * 64, y * 64, 128]
+    blocks = np.asarray(source_blocks(img, dim=2)).reshape(4, 4, 3)
+    # block 0 covers (x,y) in [0,2)x[0,2): pixels (0,0),(1,0),(0,1),(1,1)
+    assert (blocks[0][0] == [0, 0, 128]).all()
+    assert (blocks[0][1] == [64, 0, 128]).all()
+    assert (blocks[0][2] == [0, 64, 128]).all()
+    assert (blocks[0][3] == [64, 64, 128]).all()
+    # blocks are y-major: block 1 is (x,y) in [2,4)x[0,2)
+    assert (blocks[1][0] == [128, 0, 128]).all()
+
+
+# ---------------------------------------------------------------------------
+# library / flips
+# ---------------------------------------------------------------------------
+
+
+def test_flip_palettes_involution(rng):
+    # utils.rs:302-308 test_flipped_coords
+    pal = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    flipped = np.asarray(flip_palettes(pal))
+    assert (np.asarray(flip_palettes(flipped)) == pal).all()
+    # N=4 explicit expectation: [p0 p1 / p2 p3] -> [p1 p0 / p3 p2]
+    pal4 = np.arange(4 * 3, dtype=np.uint8).reshape(1, 4, 3)
+    f = np.asarray(flip_palettes(pal4))
+    assert (f[0, 0] == pal4[0, 1]).all()
+    assert (f[0, 1] == pal4[0, 0]).all()
+    assert (f[0, 2] == pal4[0, 3]).all()
+    assert (f[0, 3] == pal4[0, 2]).all()
+
+
+def test_item_row_mapping():
+    rows = np.arange(10)
+    items = np.asarray(rows_to_items(rows, 5))
+    assert (items == [1, 2, 3, 4, 5, -1, -2, -3, -4, -5]).all()
+    assert (np.asarray(items_to_rows(items, 5)) == rows).all()
+
+
+# ---------------------------------------------------------------------------
+# distance kernels vs numpy oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_cells", [1, 4, 9])
+def test_l1_argmin_xla_oracle(rng, n_cells):
+    pal = rng.integers(0, 256, size=(37, n_cells, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))
+    blocks = rng.integers(0, 256, size=(53, n_cells * 3), dtype=np.uint8)
+    dist, row = l1_argmin_xla(blocks, lib)
+    full = np_l1_all(blocks, lib)
+    assert (np.asarray(dist) == full.min(1)).all()
+    assert (np.asarray(row) == full.argmin(1)).all()  # lowest-row tie-break
+
+
+def test_l1_argmin_pallas_fallback_matches(rng):
+    # On CPU this exercises the dispatch path (falls back to XLA).
+    pal = rng.integers(0, 256, size=(10, 1, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))
+    blocks = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    d1, r1 = l1_argmin(blocks, lib)
+    d2, r2 = l1_argmin_xla(blocks, lib)
+    assert (np.asarray(d1) == np.asarray(d2)).all()
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+
+
+def test_l1_topk_oracle(rng):
+    pal = rng.integers(0, 256, size=(30, 4, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))
+    blocks = rng.integers(0, 256, size=(11, 12), dtype=np.uint8)
+    k = 7
+    dists, rows = l1_topk(blocks, lib, k)
+    dists, rows = np.asarray(dists), np.asarray(rows)
+    full = np_l1_all(blocks, lib)
+    expect = np.sort(full, axis=1)[:, :k]
+    assert (dists == expect).all()
+    # rows actually achieve the distances
+    got = np.take_along_axis(full, rows, axis=1)
+    assert (got == dists).all()
+
+
+def test_l1_topk_k_larger_than_library(rng):
+    pal = rng.integers(0, 256, size=(3, 1, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))  # 6 rows
+    blocks = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    dists, rows = l1_topk(blocks, lib, 10)
+    assert np.asarray(dists).shape == (4, 10)
+    assert (np.asarray(dists)[:, 6:] == np.int32(2**31 - 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# LUT vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_lut_matches_brute(rng):
+    pal = rng.integers(0, 256, size=(41, 1, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))
+    lut = build_l1_lut(lib)
+    blocks = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    d_lut, r_lut = lut_match(blocks, lut)
+    full = np_l1_all(blocks, lib)
+    assert (np.asarray(d_lut) == full.min(1)).all()
+    assert (np.asarray(r_lut) == full.argmin(1)).all()
+
+
+def test_lut_extreme_colors():
+    # a single far-away tile: distance from opposite corner is 765
+    lib = np.array([[0, 0, 0]], dtype=np.uint8)
+    lut = build_l1_lut(lib)
+    d, r = lut_match(np.array([[255, 255, 255]], dtype=np.uint8), lut)
+    assert int(d[0]) == 765
+    assert int(r[0]) == 0
+
+
+def test_lut_duplicate_color_lowest_row():
+    lib = np.array([[10, 10, 10], [10, 10, 10], [10, 10, 10]], dtype=np.uint8)
+    lut = build_l1_lut(lib)
+    _, r = lut_match(np.array([[10, 10, 10], [200, 3, 90]], dtype=np.uint8), lut)
+    assert (np.asarray(r) == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# composite
+# ---------------------------------------------------------------------------
+
+
+def test_compose_mosaic_layout(rng):
+    ts = 4
+    stack = rng.integers(0, 256, size=(3, ts, ts, 3), dtype=np.uint8)
+    items = np.array([[1, 2], [3, -1]], dtype=np.int32)
+    out = np.asarray(compose_mosaic(items, stack))
+    assert out.shape == (2 * ts, 2 * ts, 3)
+    assert (out[:ts, :ts] == stack[0]).all()
+    assert (out[:ts, ts:] == stack[1]).all()
+    assert (out[ts:, :ts] == stack[2]).all()
+    assert (out[ts:, ts:] == stack[0][:, ::-1, :]).all()  # flipped
+
+
+def test_compose_bands_match_full(rng):
+    from emosaic_tpu.ops.composite import iter_bands
+
+    ts = 4
+    stack = rng.integers(0, 256, size=(5, ts, ts, 3), dtype=np.uint8)
+    items = rng.integers(1, 6, size=(6, 3)).astype(np.int32)
+    items[1, 2] = -2
+    full = np.asarray(compose_mosaic(items, stack))
+    got = np.concatenate(list(iter_bands(items, stack, band_rows=2)), axis=0)
+    assert (got == full).all()
+
+
+def test_tint_blend():
+    mosaic = np.zeros((4, 4, 3), dtype=np.uint8)
+    src = np.full((2, 2, 3), 200, dtype=np.uint8)
+    out = np.asarray(tint_blend(mosaic, src, 0.5))
+    # alpha = floor(255*0.5) = 127 -> 200*127/255 = 99.6 -> 100
+    assert (out == 100).all()
+    # zero opacity is a no-op
+    assert (np.asarray(tint_blend(mosaic, src, 0.0)) == mosaic).all()

@@ -1,0 +1,157 @@
+"""Renderer tests, including the exhaustive B/W-universe round-trip oracle
+(reference: src/mosaic/mod.rs:83-161) — the bit-exactness contract for tile
+selection."""
+
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from emosaic_tpu.ops.analysis import analyse_batch
+from emosaic_tpu.render import render_nto1, render_nto1_no_repeat, render_random
+from emosaic_tpu.tiles.tileset import TileSet
+
+
+def bw_universe(n: int) -> np.ndarray:
+    """All 2^N - 1 black/white dim x dim tiles (mod.rs:90-104; the all-white
+    tile is excluded by the reference's `pow` bound)."""
+    dim = math.isqrt(n)
+    count = 2**n - 1
+    tiles = np.zeros((count, dim, dim, 3), dtype=np.uint8)
+    for index in range(count):
+        bits = [(index & (1 << i)) != 0 for i in range(n)][::-1]
+        for y in range(dim):
+            for x in range(dim):
+                if bits[y * dim + x]:
+                    tiles[index, y, x] = 255
+    return tiles
+
+
+def make_tileset(universe: np.ndarray, dim: int) -> TileSet:
+    palettes = np.asarray(analyse_batch(universe, dim))
+    return TileSet(
+        palettes=palettes,
+        paths=[Path(f"tile_{i}.jpg") for i in range(len(universe))],
+    )
+
+
+quiet = dict(log=lambda *a: None)
+
+
+@pytest.mark.parametrize("n", [1, 4, 9])
+def test_render_consistency_bw_universe(n):
+    # mod.rs:115-127: every universe tile reproduces itself exactly through
+    # both matched renderers.
+    dim = math.isqrt(n)
+    universe = bw_universe(n)
+    ts = make_tileset(universe, dim)
+    # exhaustive for N=1,4; deterministic subsample for N=9 (the tileset is
+    # still the full universe — only the query loop is thinned for runtime)
+    step = 8 if n >= 9 else 1
+    for img in universe[::step]:
+        out = render_nto1(img, ts, dim, stack=universe, **quiet)
+        assert (out.image == img).all()
+        out2 = render_nto1_no_repeat(img, ts, dim, stack=universe, **quiet)
+        assert (out2.image == img).all()
+
+
+@pytest.mark.parametrize("n", [1, 4, 9])
+def test_render_consistency_bw_pairs(n):
+    # mod.rs:129-145: stacked pairs of distinct tiles reproduce exactly.
+    dim = math.isqrt(n)
+    universe = bw_universe(n)
+    ts = make_tileset(universe, dim)
+    step = 16 if n >= 9 else 2
+    for i in range(0, len(universe), step):
+        pair = universe[i : i + 2]
+        img = np.zeros((2 * dim, dim, 3), dtype=np.uint8)
+        for j, tile in enumerate(pair):
+            img[j * dim : (j + 1) * dim] = tile
+        out = render_nto1(img, ts, dim, stack=universe, **quiet)
+        assert (out.image == img).all()
+        out2 = render_nto1_no_repeat(img, ts, dim, stack=universe, **quiet)
+        assert (out2.image == img).all()
+
+
+def test_render_nto1_output_dims(rng):
+    # mod.rs:59-68
+    src = rng.integers(0, 256, size=(2, 5, 3), dtype=np.uint8)
+    stack = rng.integers(0, 256, size=(1, 8, 8, 3), dtype=np.uint8)
+    ts = TileSet(
+        palettes=np.zeros((1, 1, 3), dtype=np.uint8), paths=[Path("a.jpg")]
+    )
+    out = render_nto1(src, ts, 8, stack=stack, **quiet)
+    assert out.image.shape == (2 * 8, 5 * 8, 3)
+    assert out.stats.tile_count() == 10
+
+
+def test_render_random_output_dims(rng):
+    # mod.rs:48-57
+    src = np.zeros((10, 10, 3), dtype=np.uint8)
+    stack = rng.integers(0, 256, size=(3, 32, 32, 3), dtype=np.uint8)
+    ts = TileSet(palettes=None, paths=[Path(f"{i}.jpg") for i in range(3)])
+    out = render_random(src, ts, 32, stack=stack, seed=7)
+    assert out.shape == (320, 320, 3)
+    # reproducible with the same seed
+    out2 = render_random(src, ts, 32, stack=stack, seed=7)
+    assert (out == out2).all()
+
+
+def test_no_repeat_insufficient_tiles_raises(rng):
+    src = np.zeros((4, 4, 3), dtype=np.uint8)  # 16 blocks at dim 1
+    ts = TileSet(
+        palettes=np.zeros((2, 1, 3), dtype=np.uint8),
+        paths=[Path("a.jpg"), Path("b.jpg")],
+    )
+    with pytest.raises(ValueError, match="Insufficient tiles"):
+        render_nto1(src, ts, 4, no_repeat=True, **quiet)
+    with pytest.raises(ValueError, match="Insufficient tiles"):
+        render_nto1_no_repeat(src, ts, 4, **quiet)
+
+
+def test_no_repeat_uses_distinct_tiles(rng):
+    # 4 blocks, 8 tiles: all selections unique (item-level for global greedy)
+    dim = 1
+    src = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(8, 1, 3), dtype=np.uint8)
+    stack = rng.integers(0, 256, size=(8, 4, 4, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(8)])
+    out = render_nto1_no_repeat(src, ts, 4, stack=stack, **quiet)
+    items = out.items.reshape(-1)
+    assert len(set(items.tolist())) == 4
+    # mirror-pair exclusion: no |item| repeats at all (rendering.rs:353-354)
+    assert len(set(np.abs(items).tolist())) == 4
+
+    out2 = render_nto1(src, ts, 4, no_repeat=True, stack=stack, **quiet)
+    items2 = out2.items.reshape(-1)
+    # in-render variant excludes only the chosen orientation
+    assert len(set(items2.tolist())) == 4
+
+
+def test_randomize_within_threshold(rng):
+    dim = 1
+    src = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(50, 1, 3), dtype=np.uint8)
+    stack = np.zeros((50, 2, 2, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(50)])
+    out = render_nto1(src, ts, 2, randomize=50.0, stack=stack, seed=3, **quiet)
+    assert out.stats.tile_count() == 16
+    # every selected distance within 50% of the block's best distance
+    best = render_nto1(src, ts, 2, stack=stack, **quiet)
+    for pos, e in out.stats.tiles.items():
+        b = best.stats.tiles[pos].distance
+        assert e.distance == b or (e.distance - b) < 0.5 * b
+
+
+def test_randomize_zero_keeps_best(rng):
+    src = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(50, 1, 3), dtype=np.uint8)
+    stack = np.zeros((50, 2, 2, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(50)])
+    out_r = render_nto1(src, ts, 2, randomize=0.0, stack=stack, seed=3, **quiet)
+    out_b = render_nto1(src, ts, 2, stack=stack, **quiet)
+    # randomize=0 admits only the best candidate -> identical distances
+    d_r = sorted(e.distance for e in out_r.stats.tiles.values())
+    d_b = sorted(e.distance for e in out_b.stats.tiles.values())
+    assert d_r == d_b

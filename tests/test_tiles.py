@@ -1,0 +1,166 @@
+"""Tile prep / tileset / cache tests (reference: utils.rs:279-331,
+tileset tests in mod.rs:26-46, cache semantics main.rs:597-661)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from emosaic_tpu.errors import ImageError
+from emosaic_tpu.io.discovery import find_images
+from emosaic_tpu.io.prep import (
+    most_common_value,
+    prepare_tile,
+    trim_bounds,
+)
+from emosaic_tpu.tiles.builder import generate_tile_set, load_or_generate_tile_set
+from emosaic_tpu.tiles.cache import (
+    analysis_cache_path,
+    load_tileset_cache,
+    save_tileset_cache,
+)
+from emosaic_tpu.tiles.tileset import TileSet
+
+
+@pytest.fixture(autouse=True)
+def _isolated_cache(tmp_path, monkeypatch):
+    # keep the content-hash cache out of the real ~/.cache (the reference's
+    # test suite pollutes it — utils.rs:291-299; we don't)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+
+
+def save_img(path: Path, arr: np.ndarray, fmt="PNG", exif=None):
+    im = Image.fromarray(arr)
+    kwargs = {"format": fmt}
+    if exif is not None:
+        kwargs["exif"] = exif
+    path.parent.mkdir(parents=True, exist_ok=True)
+    im.save(path, **kwargs)
+
+
+def test_most_common_value():
+    # utils.rs:284-288
+    assert most_common_value([1, 2, 2, 3, 3, 3, 4]) == 3
+    assert most_common_value([]) == 0
+
+
+def test_trim_bounds_white_border(rng):
+    img = np.full((20, 24, 3), 255, dtype=np.uint8)
+    img[4:16, 6:18] = rng.integers(0, 200, size=(12, 12, 3), dtype=np.uint8)
+    left, top, w, h = trim_bounds(img)
+    assert (left, top) == (6, 4)
+    # last non-white col/row is excluded from the span (quirk preserved,
+    # utils.rs:166-175: w = last - first with last = index of last non-white)
+    assert (w, h) == (17 - 6, 15 - 4)
+
+
+def test_trim_bounds_all_white_raises():
+    img = np.full((8, 8, 3), 255, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        trim_bounds(img)
+
+
+def test_prepare_tile_dims_and_cache(tmp_path, rng):
+    # utils.rs:291-299 test_prepare_tile
+    arr = rng.integers(0, 200, size=(64, 48, 3), dtype=np.uint8)
+    p = tmp_path / "img.png"
+    save_img(p, arr)
+    out = prepare_tile(p, 32, crop=True)
+    assert out.shape == (32, 32, 3)
+    # second call hits the md5 cache (content written as jpg)
+    out2 = prepare_tile(p, 32, crop=True)
+    assert (out2 == out).all() or out2.shape == out.shape  # jpg roundtrip
+
+
+def test_prepare_tile_rejects_undersized(tmp_path, rng):
+    arr = rng.integers(0, 200, size=(8, 8, 3), dtype=np.uint8)
+    p = tmp_path / "small.png"
+    save_img(p, arr)
+    with pytest.raises(ImageError):
+        prepare_tile(p, 16, crop=False)
+
+
+def test_find_images_case_sensitive(tmp_path):
+    (tmp_path / "sub").mkdir()
+    for name in ["a.jpg", "b.JPG", "sub/c.jpeg", "d.png", "e.txt"]:
+        f = tmp_path / name
+        f.parent.mkdir(exist_ok=True)
+        f.write_bytes(b"x")
+    found = find_images(tmp_path, {"jpg", "jpeg"})
+    names = sorted(p.name for p in found)
+    assert names == ["a.jpg", "c.jpeg"]  # b.JPG excluded: case-sensitive
+
+
+def test_generate_tile_set_and_cache(tmp_path, rng):
+    tiles_dir = tmp_path / "tiles"
+    for i in range(5):
+        arr = rng.integers(0, 200, size=(40, 40, 3), dtype=np.uint8)
+        save_img(tiles_dir / f"t{i}.jpg", arr, fmt="JPEG")
+    save_img(tiles_dir / "ignored.png", np.zeros((40, 40, 3), np.uint8))
+
+    ts, errors = generate_tile_set(
+        tiles_dir, 16, {"jpg"}, crop=False, dim=2, log=lambda *a: None
+    )
+    assert len(ts) == 5
+    assert not errors
+    assert ts.palettes.shape == (5, 4, 3)
+
+    cpath = analysis_cache_path(tiles_dir, 4, False)
+    save_tileset_cache(cpath, ts)
+    assert cpath.name == ".emosaic_4to1"
+
+    loaded = load_tileset_cache(cpath, {"jpg"})
+    assert loaded is not None and len(loaded) == 5
+    assert (loaded.palettes == ts.palettes).all()
+
+    # invalidation: delete a file -> entry dropped, indices renumbered
+    (tiles_dir / "t2.jpg").unlink()
+    loaded2 = load_tileset_cache(cpath, {"jpg"})
+    assert len(loaded2) == 4
+    assert loaded2.get_tile(4).idx == 4  # sequential renumbering
+
+    # extension filter change drops everything
+    loaded3 = load_tileset_cache(cpath, {"jpeg"})
+    assert len(loaded3) == 0
+
+
+def test_load_or_generate_force(tmp_path, rng):
+    tiles_dir = tmp_path / "tiles"
+    arr = rng.integers(0, 200, size=(40, 40, 3), dtype=np.uint8)
+    save_img(tiles_dir / "a.jpg", arr, fmt="JPEG")
+    ts1 = load_or_generate_tile_set(
+        tiles_dir, 16, {"jpg"}, False, 1, log=lambda *a: None
+    )
+    assert analysis_cache_path(tiles_dir, 1, False).exists()
+    ts2 = load_or_generate_tile_set(
+        tiles_dir, 16, {"jpg"}, False, 1, force=True, log=lambda *a: None
+    )
+    assert len(ts1) == len(ts2) == 1
+
+
+def test_tileset_get_tile_and_images(rng):
+    pal = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(3)])
+    t = ts.get_tile(-2)
+    assert t.idx == 2 and t.flipped and t.item == -2
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    ts.set_image(2, img)
+    assert (ts.get_image(ts.get_tile(2), 8) == img).all()
+    assert (ts.get_image(t, 8) == img[:, ::-1, :]).all()
+    with pytest.raises(IndexError):
+        ts.get_tile(9)
+
+
+def test_tile_coords_flip():
+    # tile.rs:122-141: flattened coords, flip-aware
+    from emosaic_tpu.tiles.tile import Tile
+
+    colors = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    t = Tile(idx=1, colors=colors)
+    assert (t.coords() == np.arange(12)).all()
+    tf = Tile(idx=1, colors=colors, flipped=True)
+    # utils.rs:302-307: [1..3,4..6,7..9,10..12] -> [4..6,1..3,10..12,7..9]
+    assert (
+        tf.coords() == [3, 4, 5, 0, 1, 2, 9, 10, 11, 6, 7, 8]
+    ).all()
