@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Headline benchmark: the BASELINE gigapixel config on one chip.
+
+Config (BASELINE.md): 4096x4096 source, 100k-tile library, tile size 32,
+mode 1 — matched AND composited, target < 2s on one v5e chip. The
+reference publishes no numbers (BASELINE.md: "none published"); the
+vs_baseline denominator is the driver-set 2s target.
+
+Measured device pipeline (steady-state, after warmup):
+  A. match phase: palette analysis of the 100k-tile stack -> flip-augmented
+     200k-row library -> exact-L1 LUT build over the 256^3 RGB lattice ->
+     match all 16.78M source blocks (LUT gather) -> signed item grid.
+  B. composite phase: the 131072^2 output (51.5 GB — cannot exist at once)
+     is produced as 32 HBM-resident bands of 4096 rows (gather + layout
+     transpose), exactly what a real run streams to the host PNG encoder.
+
+Timing methodology: through the axon tunnel `block_until_ready()` only
+confirms remote enqueue (measured: impossible 65 TB/s on an elementwise
+op), so completion is forced by fetching result bytes (~30 ms round-trip).
+Each phase is timed at two different repetition counts and differenced,
+cancelling the fixed sync latency. Composite chains are kept short enough
+that in-flight band buffers fit HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from emosaic_tpu.ops.analysis import _analyse_batch_jit
+from emosaic_tpu.ops.distance import build_library, rows_to_items
+from emosaic_tpu.ops.lut import _build_l1_lut_jit
+
+NUM_TILES = 100_000
+TILE_SIZE = 32
+SRC = 4096
+BAND_BLOCK_ROWS = 128  # 128 * 32 = 4096 output rows, 1.61 GB per band
+N_BANDS = SRC // BAND_BLOCK_ROWS
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles",))
+def _match_items(src, lut, num_tiles):
+    flat = src.reshape(-1, 3)
+    idx = (
+        flat[:, 0].astype(jnp.int32) * 65536
+        + flat[:, 1].astype(jnp.int32) * 256
+        + flat[:, 2].astype(jnp.int32)
+    )
+    key = lut.reshape(-1)[idx]
+    rows = key & ((1 << 21) - 1)
+    return rows_to_items(rows, num_tiles).reshape(src.shape[0], src.shape[1])
+
+
+@jax.jit
+def _compose_band(items_band, stack):
+    """One output band, fully materialized in HBM as the jit output (a
+    checksum reduction instead would get algebraically factored into
+    per-tile sums and elide the composite)."""
+    rows = jnp.abs(items_band) - 1
+    imgs = stack[rows]
+    imgs = jnp.where(
+        (items_band < 0)[:, :, None, None, None], imgs[:, :, :, ::-1, :], imgs
+    )
+    return jnp.transpose(imgs, (0, 2, 1, 3, 4)).reshape(
+        items_band.shape[0] * TILE_SIZE, items_band.shape[1] * TILE_SIZE, 3
+    )
+
+
+def match_phase(tiles, src):
+    pal = _analyse_batch_jit(tiles, 1)
+    lib = build_library(pal)
+    lut = _build_l1_lut_jit(lib.astype(jnp.int32))
+    return _match_items(src, lut, NUM_TILES)
+
+
+def _sync(x) -> None:
+    """Force real device completion by fetching result bytes (see module
+    docstring: block_until_ready is enqueue-only through the tunnel)."""
+    jax.device_get(jnp.ravel(x)[0])
+
+
+def _rate_via_difference(fn, k1: int, k2: int) -> float:
+    """Per-iteration seconds, with fixed sync latency cancelled."""
+    t1 = min(fn(k1) for _ in range(2))
+    t2 = min(fn(k2) for _ in range(2))
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def main() -> int:
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    tiles = jax.random.randint(
+        k1, (NUM_TILES, TILE_SIZE, TILE_SIZE, 3), 0, 256, dtype=jnp.uint8
+    )
+    src = jax.random.randint(k2, (SRC, SRC, 3), 0, 256, dtype=jnp.uint8)
+    _sync(tiles)
+
+    # warmup/compile
+    items = match_phase(tiles, src)
+    _sync(items)
+    _sync(_compose_band(items[:BAND_BLOCK_ROWS], tiles))
+
+    # A: match phase (items output is 64 MB — chains safely)
+    def run_match(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = match_phase(tiles, src)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    t_match = _rate_via_difference(run_match, 2, 6)
+
+    # B: composite bands. k is kept small so the at-most-k in-flight
+    # 1.61 GB band buffers fit HBM without per-band syncs (which would
+    # idle the device on 30 ms tunnel round-trips); cycling the band index
+    # keeps every call doing real, distinct gathers.
+    def run_bands(k):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(k):
+            y0 = (i % N_BANDS) * BAND_BLOCK_ROWS
+            out = _compose_band(items[y0 : y0 + BAND_BLOCK_ROWS], tiles)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    t_band = _rate_via_difference(run_bands, 2, 6)
+
+    total = t_match + N_BANDS * t_band
+    out_mp = (SRC * TILE_SIZE) ** 2 / 1e6  # 17179.87 MP
+    target_s = 2.0
+    print(
+        json.dumps(
+            {
+                "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
+                "value": round(out_mp / total, 1),
+                "unit": f"MP/s (4096^2 src, {NUM_TILES} tiles, ts={TILE_SIZE},"
+                f" mode 1; match {t_match * 1e3:.0f}ms + composite "
+                f"{N_BANDS}x{t_band * 1e3:.1f}ms = {total:.3f}s; target "
+                f"{target_s}s)",
+                "vs_baseline": round(target_s / total, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

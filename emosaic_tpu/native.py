@@ -1,0 +1,119 @@
+"""ctypes bindings for the C++ runtime helpers (native/emosaic_native.cpp).
+
+The device owns every batched kernel; the C++ side owns the inherently
+sequential no-repeat assignment loops and per-image scans. All entry
+points have pure-Python fallbacks (render/greedy.py, io/prep.py) used when
+the shared library is absent; `load()` builds it on demand with `make`
+when a toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parent.parent / "native"
+_LIB_NAME = "libemosaic_native.so"
+_lib = None
+_load_attempted = False
+
+
+def load() -> ctypes.CDLL | None:
+    """Load (building if necessary) the native library; None on failure."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    path = _NATIVE_DIR / _LIB_NAME
+    if not path.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64 = ctypes.c_int64
+
+    lib.emosaic_greedy_sequence.argtypes = [
+        i32p, i32p, i32p, i64, i64, u8p, u8p, i64, i64, i32p, i32p
+    ]
+    lib.emosaic_greedy_sequence.restype = ctypes.c_int
+    lib.emosaic_greedy_global.argtypes = [
+        i32p, i32p, i64, i64, u8p, u8p, i64, i64, i64, i32p, i32p
+    ]
+    lib.emosaic_greedy_global.restype = ctypes.c_int
+    lib.emosaic_trim_bounds.argtypes = [u8p, i64, i64, i32p]
+    lib.emosaic_trim_bounds.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _c(a, dtype):
+    return np.ascontiguousarray(a, dtype=dtype)
+
+
+def greedy_sequence(order, cand_d, cand_r, blocks, lib) -> tuple[np.ndarray, np.ndarray]:
+    """Native in-render no-repeat assignment (see render/greedy.py)."""
+    nl = load()
+    b, k = cand_d.shape
+    order = _c(order, np.int32)
+    cand_d = _c(cand_d, np.int32)
+    cand_r = _c(cand_r, np.int32)
+    blocks = _c(blocks, np.uint8)
+    lib = _c(lib, np.uint8)
+    out_row = np.empty(b, dtype=np.int32)
+    out_dist = np.empty(b, dtype=np.int32)
+    rc = nl.emosaic_greedy_sequence(
+        order, cand_d, cand_r, b, k, blocks, lib,
+        lib.shape[0], lib.shape[1], out_row, out_dist,
+    )
+    if rc != 0:
+        raise RuntimeError(f"emosaic_greedy_sequence rc={rc}")
+    return out_row, out_dist
+
+
+def greedy_global(cand_d, cand_r, blocks, lib, num_tiles) -> tuple[np.ndarray, np.ndarray]:
+    """Native global-greedy no-repeat assignment (see render/greedy.py)."""
+    nl = load()
+    b, k = cand_d.shape
+    cand_d = _c(cand_d, np.int32)
+    cand_r = _c(cand_r, np.int32)
+    blocks = _c(blocks, np.uint8)
+    lib = _c(lib, np.uint8)
+    out_row = np.empty(b, dtype=np.int32)
+    out_dist = np.empty(b, dtype=np.int32)
+    rc = nl.emosaic_greedy_global(
+        cand_d, cand_r, b, k, blocks, lib,
+        lib.shape[0], lib.shape[1], num_tiles, out_row, out_dist,
+    )
+    if rc != 0:
+        raise RuntimeError(f"emosaic_greedy_global rc={rc}")
+    return out_row, out_dist
+
+
+def trim_bounds(img: np.ndarray) -> tuple[int, int, int, int]:
+    """Native white-trim scan; raises ValueError like io/prep.trim_bounds."""
+    nl = load()
+    img = _c(img, np.uint8)
+    out = np.empty(4, dtype=np.int32)
+    nl.emosaic_trim_bounds(img, img.shape[0], img.shape[1], out)
+    if out[0] < 0:
+        raise ValueError("image trims to nothing (all white?)")
+    return int(out[0]), int(out[1]), int(out[2]), int(out[3])

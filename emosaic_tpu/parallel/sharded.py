@@ -1,0 +1,217 @@
+"""Sharded matching + composition over a ("data", "model") mesh.
+
+TPU-native scaling design (replaces nothing in the reference — it is
+single-process; SURVEY.md section 2.6 maps rayon data parallelism to this):
+
+- source blocks are sharded over "data" (independent argmin problems);
+- the tile library is sharded over "model": each shard searches its slice
+  and the per-shard (min, global-row) winners are combined with an
+  all-gather over ICI followed by a lexicographic (distance, row) fold —
+  an associative combine, so the result is bit-identical to the
+  single-chip kernel including the lowest-row tie-break;
+- padding rows (to make shapes divisible) are *copies of row/block 0*, so
+  they can never win a tie against the original (higher global row index)
+  and never corrupt results;
+- the composite gather is sharded over "data" block-rows with the tile
+  stack replicated.
+
+`sharded_mosaic_step` is the full device pipeline — analysis -> library ->
+match -> composite — under one jit, the multi-chip "training step"
+equivalent used by __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from emosaic_tpu.ops.analysis import _analyse_batch_jit  # jit-free core via .fun
+from emosaic_tpu.ops.distance import I32_MAX
+
+
+def _pad_rows_with_first(x: jax.Array, multiple: int) -> jax.Array:
+    """Pad axis 0 to a multiple by repeating row 0 (tie-safe padding)."""
+    n = x.shape[0]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return x
+    reps = jnp.broadcast_to(x[:1], (target - n,) + x.shape[1:])
+    return jnp.concatenate([x, reps], axis=0)
+
+
+def _local_l1_argmin(blocks: jax.Array, lib: jax.Array):
+    """Traceable dense L1 argmin (runs inside shard_map on each shard).
+
+    Returns (dist [B] i32, local_row [B] i32), lowest-row tie-break.
+    Chunked over blocks with lax.map to bound the [C, L, D] broadcast.
+    """
+    b, d = blocks.shape
+    l = lib.shape[0]
+    li = lib.astype(jnp.int32)
+    chunk = max(1, min(b, (2**24) // max(1, l * d)))
+    bp = -(-b // chunk) * chunk
+    blocks_p = jnp.pad(blocks, ((0, bp - b), (0, 0)))
+
+    def per_chunk(bc):
+        dist = jnp.abs(bc.astype(jnp.int32)[:, None, :] - li[None, :, :]).sum(
+            axis=-1, dtype=jnp.int32
+        )
+        arg = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        return jnp.take_along_axis(dist, arg[:, None], axis=1)[:, 0], arg
+
+    dists, rows = jax.lax.map(
+        per_chunk, blocks_p.reshape(bp // chunk, chunk, d)
+    )
+    return dists.reshape(bp)[:b], rows.reshape(bp)[:b]
+
+
+def _combine_over_model(dist, row):
+    """All-gather per-shard winners over "model" and fold lexicographically
+    (distance, then global row) — associative, exact tie-break."""
+    dists_g = jax.lax.all_gather(dist, "model")  # [M, B]
+    rows_g = jax.lax.all_gather(row, "model")
+    best_d, best_r = dists_g[0], rows_g[0]
+    for m in range(1, dists_g.shape[0]):
+        d_m, r_m = dists_g[m], rows_g[m]
+        take = (d_m < best_d) | ((d_m == best_d) & (r_m < best_r))
+        best_d = jnp.where(take, d_m, best_d)
+        best_r = jnp.where(take, r_m, best_r)
+    return best_d, best_r
+
+
+def sharded_l1_argmin(
+    blocks, lib, mesh: Mesh
+) -> tuple[jax.Array, jax.Array]:
+    """Exact L1 nearest library row, sharded over a ("data", "model") mesh.
+
+    Same contract (and bit-identical results) as ops.distance.l1_argmin.
+    blocks: [B, D] uint8; lib: [L, D] uint8.
+    """
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    b, l = blocks.shape[0], lib.shape[0]
+    blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n_data)
+    lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n_model)
+    ls = lib_p.shape[0] // n_model
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("model", None)),
+        ),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    def run(blocks_s, lib_s):
+        def body(bl, li):
+            m = jax.lax.axis_index("model")
+            dist, local_row = _local_l1_argmin(bl, li)
+            grow = m * ls + local_row
+            return _combine_over_model(dist, grow)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("data", None), P("model", None)),
+            out_specs=P("data"),
+            # outputs are value-replicated over "model" after the
+            # all-gather fold, but that can't be statically inferred
+            check_vma=False,
+        )(blocks_s, lib_s)
+
+    dist, row = run(blocks_p, lib_p)
+    # padded lib rows are copies of row 0 with higher indices: they can
+    # never be selected; padded blocks are sliced off here
+    return dist[:b], row[:b]
+
+
+def sharded_mosaic_step(
+    tiles, source, mesh: Mesh, dim: int, tile_size: int
+) -> jax.Array:
+    """Full device pipeline under one jit over the mesh: batched palette
+    analysis (library sharded over "model") -> flip-augmented library with
+    single-chip-consistent global row numbering -> sharded match (data x
+    model) -> composite gather (sharded over "data" block-rows).
+
+    Args:
+      tiles: [T, ts, ts, 3] uint8 (T divisible by mesh "model" size).
+      source: [H, W, 3] uint8 (H divisible by dim * data size).
+    Returns the assembled mosaic [H/dim*ts, W/dim*ts, 3] uint8.
+    """
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    t = tiles.shape[0]
+    h, w = source.shape[0], source.shape[1]
+    nby, nbx = h // dim, w // dim
+    if t % n_model:
+        raise ValueError(f"T={t} not divisible by model={n_model}")
+    if nby % n_data:
+        raise ValueError(f"block rows {nby} not divisible by data={n_data}")
+    ts_shard = t // n_model
+
+    @functools.partial(
+        jax.jit,
+        static_argnums=(),
+        in_shardings=(
+            NamedSharding(mesh, P("model", None, None, None)),
+            NamedSharding(mesh, P(None, None, None)),
+        ),
+        out_shardings=NamedSharding(mesh, P("data", None, None)),
+    )
+    def run(tiles_s, source_s):
+        def body(tl, src):
+            m = jax.lax.axis_index("model")
+            dd = jax.lax.axis_index("data")
+            # --- analysis (model-sharded tile slice) ---
+            pal = _analyse_batch_jit(tl, dim)  # [Ts, N, 3]
+            flat = pal.reshape(ts_shard, -1)
+            flipped = (
+                pal.reshape(ts_shard, dim, dim, 3)[:, :, ::-1, :]
+                .reshape(ts_shard, -1)
+            )
+            lib_local = jnp.concatenate([flat, flipped], axis=0)  # [2Ts, D]
+            # --- blocks (data-sharded band of block-rows) ---
+            hs = src.shape[0] // n_data  # replicated input: take our band
+            band = jax.lax.dynamic_slice_in_dim(src, dd * hs, hs, axis=0)
+            x = band.reshape(hs // dim, dim, nbx, dim, 3)
+            blocks = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(
+                (hs // dim) * nbx, dim * dim * 3
+            )
+            # --- local match + global row mapping ---
+            dist, local_row = _local_l1_argmin(blocks, lib_local)
+            # single-chip lib layout: rows [0,T) unflipped then [T,2T)
+            # flipped (ops.distance.build_library); shard m holds
+            # unflipped [m*Ts,(m+1)*Ts) and flipped [T+m*Ts, ...)
+            grow = jnp.where(
+                local_row < ts_shard,
+                m * ts_shard + local_row,
+                t + m * ts_shard + (local_row - ts_shard),
+            )
+            _, row = _combine_over_model(dist, grow)
+            # --- composite (gather from the full tile stack) ---
+            stack = jax.lax.all_gather(tl, "model", tiled=True)  # [T,ts,ts,3]
+            tile_idx = jnp.where(row < t, row, row - t)
+            imgs = stack[tile_idx]  # [Bs, ts, ts, 3]
+            imgs = jnp.where(
+                (row >= t)[:, None, None, None], imgs[:, :, ::-1, :], imgs
+            )
+            bby = hs // dim
+            out = imgs.reshape(bby, nbx, tile_size, tile_size, 3)
+            return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
+                bby * tile_size, nbx * tile_size, 3
+            )
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("model", None, None, None), P(None, None, None)),
+            out_specs=P("data", None, None),
+            check_vma=False,
+        )(tiles_s, source_s)
+
+    return run(jnp.asarray(tiles, jnp.uint8), jnp.asarray(source, jnp.uint8))

@@ -142,8 +142,15 @@ def render_nto1(
         order = np.concatenate(
             [by * htiles + rng.permutation(htiles) for by in range(vtiles)]
         )
-        refill = make_numpy_refill(blocks, lib)
-        rows, dists = greedy_sequence_assign(order, cd, cr, lib.shape[0], refill)
+        from emosaic_tpu import native
+
+        if native.available():
+            rows, dists = native.greedy_sequence(order, cd, cr, blocks, lib)
+        else:
+            refill = make_numpy_refill(blocks, lib)
+            rows, dists = greedy_sequence_assign(
+                order, cd, cr, lib.shape[0], refill
+            )
     else:
         dists, rows = match_blocks(blocks, lib, use_lut=use_lut)
 

@@ -62,8 +62,13 @@ def render_nto1_no_repeat(
     k = l if b * l <= _EXACT_BUDGET else min(_TRUNCATED_K, l)
     cd, cr = l1_topk(blocks, lib, k)
     cd, cr = np.asarray(cd), np.asarray(cr)
-    refill = make_numpy_refill(blocks, lib)
-    rows, dists = greedy_global_assign(cd, cr, l, num_tiles, refill)
+    from emosaic_tpu import native
+
+    if native.available():
+        rows, dists = native.greedy_global(cd, cr, blocks, lib, num_tiles)
+    else:
+        refill = make_numpy_refill(blocks, lib)
+        rows, dists = greedy_global_assign(cd, cr, l, num_tiles, refill)
 
     items = np.asarray(rows_to_items(rows, num_tiles))
     items = np.where(rows < 0, 0, items)

@@ -1,0 +1,249 @@
+// emosaic_tpu native runtime helpers.
+//
+// The TPU owns every batched kernel (analysis, distance, top-k, composite);
+// what remains host-side is the inherently *sequential* state machine of
+// no-repeat assignment (a mutating used-set — the reference serializes this
+// through a RwLock'd kd-tree, rendering.rs:163-167 / :346-392) and small
+// per-image scans. These are implemented here in C++ and loaded via ctypes
+// (emosaic_tpu/native.py), with pure-Python fallbacks kept for parity
+// testing.
+//
+// Contracts mirror emosaic_tpu/render/greedy.py exactly (same tie-breaks:
+// heap ties by block index, candidate ties by (distance, row)); refills are
+// exact masked linear scans over the u8 library instead of a Python
+// callback.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+namespace {
+
+constexpr int32_t kI32Max = INT32_MAX;
+
+// Exact masked top-k (ascending by (dist, row)) over the library for one
+// block — the refill path (reference: re-fetch 10 NN from the live tree,
+// rendering.rs:383-385).
+void masked_topk(const uint8_t* block, const uint8_t* lib, int64_t L,
+                 int64_t D, const std::vector<uint8_t>& used, int k,
+                 std::vector<std::pair<int32_t, int32_t>>& out) {
+  out.clear();
+  for (int64_t r = 0; r < L; ++r) {
+    if (used[r]) continue;
+    const uint8_t* row = lib + r * D;
+    int32_t dist = 0;
+    for (int64_t d = 0; d < D; ++d) {
+      dist += std::abs(int(block[d]) - int(row[d]));
+    }
+    out.emplace_back(dist, (int32_t)r);
+  }
+  int kk = std::min<int64_t>(k, (int64_t)out.size());
+  std::partial_sort(out.begin(), out.begin() + kk, out.end());
+  out.resize(kk);
+}
+
+// Per-block candidate stream: dense [K] prefix + refill extras.
+struct Stream {
+  int64_t cursor = 0;       // position in the dense prefix
+  size_t ecursor = 0;       // position in extras
+  std::vector<std::pair<int32_t, int32_t>> extras;
+  bool refilled = false;
+};
+
+struct Ctx {
+  const int32_t* cand_d;
+  const int32_t* cand_r;
+  int64_t K;
+  const uint8_t* blocks;
+  const uint8_t* lib;
+  int64_t L, D;
+  std::vector<uint8_t> used;
+  std::vector<Stream> streams;
+
+  // Current best candidate for block b, or {false,...} when the library is
+  // exhausted. Refills at most once per call.
+  bool peek(int64_t b, int32_t* dist, int32_t* row) {
+    Stream& s = streams[b];
+    if (s.cursor < K) {
+      int32_t d = cand_d[b * K + s.cursor];
+      if (d != kI32Max) {
+        *dist = d;
+        *row = cand_r[b * K + s.cursor];
+        return true;
+      }
+      s.cursor = K;  // padded-out prefix: exhausted
+    }
+    if (s.ecursor < s.extras.size()) {
+      *dist = s.extras[s.ecursor].first;
+      *row = s.extras[s.ecursor].second;
+      return true;
+    }
+    // refill from the live (masked) library
+    std::vector<std::pair<int32_t, int32_t>> fresh;
+    masked_topk(blocks + b * D, lib, L, D, used, 10, fresh);
+    for (auto& f : fresh) s.extras.push_back(f);
+    if (s.ecursor < s.extras.size()) {
+      *dist = s.extras[s.ecursor].first;
+      *row = s.extras[s.ecursor].second;
+      return true;
+    }
+    return false;
+  }
+
+  void advance(int64_t b) {
+    Stream& s = streams[b];
+    if (s.cursor < K) {
+      s.cursor++;
+    } else {
+      s.ecursor++;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// In-render no-repeat (reference --no-repeat --greedy): fixed `order`,
+// row-granular exclusion (only the chosen orientation is removed).
+// Returns 0 on success.
+int emosaic_greedy_sequence(const int32_t* order, const int32_t* cand_d,
+                            const int32_t* cand_r, int64_t B, int64_t K,
+                            const uint8_t* blocks, const uint8_t* lib,
+                            int64_t L, int64_t D, int32_t* out_row,
+                            int32_t* out_dist) {
+  Ctx ctx{cand_d, cand_r, K, blocks, lib, L, D};
+  ctx.used.assign(L, 0);
+  ctx.streams.assign(B, Stream{});
+  for (int64_t i = 0; i < B; ++i) {
+    out_row[i] = -1;
+    out_dist[i] = 0;
+  }
+  for (int64_t i = 0; i < B; ++i) {
+    int64_t b = order[i];
+    int32_t d, r;
+    while (ctx.peek(b, &d, &r)) {
+      ctx.advance(b);
+      if (!ctx.used[r]) {
+        ctx.used[r] = 1;
+        out_row[b] = r;
+        out_dist[b] = d;
+        break;
+      }
+    }
+  }
+  return 0;
+}
+
+// Global greedy no-repeat (reference --no-repeat): best-match-first
+// priority queue, mirror-pair exclusion. Ties by block index (matches the
+// Python engine). Returns 0 on success.
+int emosaic_greedy_global(const int32_t* cand_d, const int32_t* cand_r,
+                          int64_t B, int64_t K, const uint8_t* blocks,
+                          const uint8_t* lib, int64_t L, int64_t D,
+                          int64_t num_tiles, int32_t* out_row,
+                          int32_t* out_dist) {
+  Ctx ctx{cand_d, cand_r, K, blocks, lib, L, D};
+  ctx.used.assign(L, 0);
+  ctx.streams.assign(B, Stream{});
+  for (int64_t i = 0; i < B; ++i) {
+    out_row[i] = -1;
+    out_dist[i] = 0;
+  }
+  using Entry = std::pair<int32_t, int64_t>;  // (current best dist, block)
+  std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry>> heap;
+  for (int64_t b = 0; b < B; ++b) {
+    if (cand_d[b * K] != kI32Max) heap.emplace(cand_d[b * K], b);
+  }
+  while (!heap.empty()) {
+    auto [_, b] = heap.top();
+    heap.pop();
+    int32_t d, r;
+    if (!ctx.peek(b, &d, &r)) continue;  // library empty: skip block
+    ctx.advance(b);
+    if (!ctx.used[r]) {
+      ctx.used[r] = 1;
+      int64_t mirror = r < num_tiles ? r + num_tiles : r - num_tiles;
+      ctx.used[mirror] = 1;
+      out_row[b] = r;
+      out_dist[b] = d;
+    } else {
+      int32_t nd, nr;
+      if (ctx.peek(b, &nd, &nr)) heap.emplace(nd, b);
+    }
+  }
+  return 0;
+}
+
+// White-border trim rectangle (reference utils.rs:108-175 semantics; see
+// emosaic_tpu/io/prep.py trim_bounds for the most-common-boundary rule).
+// out = {left, top, width, height}; out[0] = -1 when the image trims to
+// nothing.
+void emosaic_trim_bounds(const uint8_t* img, int64_t h, int64_t w,
+                         int32_t* out) {
+  auto is_white = [&](int64_t y, int64_t x) {
+    const uint8_t* p = img + (y * w + x) * 3;
+    return p[0] > 240 && p[1] > 240 && p[2] > 240;
+  };
+  std::vector<int64_t> from_left(h), from_right(h), from_top(w), from_bottom(w);
+  for (int64_t y = 0; y < h; ++y) {
+    int64_t first = w, last = -1;
+    for (int64_t x = 0; x < w; ++x) {
+      if (!is_white(y, x)) {
+        if (first == w) first = x;
+        last = x;
+      }
+    }
+    from_left[y] = first;
+    from_right[y] = last < 0 ? 0 : last;
+  }
+  for (int64_t x = 0; x < w; ++x) {
+    int64_t first = h, last = -1;
+    for (int64_t y = 0; y < h; ++y) {
+      if (!is_white(y, x)) {
+        if (first == h) first = y;
+        last = y;
+      }
+    }
+    from_top[x] = first;
+    from_bottom[x] = last < 0 ? 0 : last;
+  }
+  // most common value; ties -> smallest; empty -> 0
+  auto most_common = [](std::vector<int64_t> v, int64_t exclude) -> int64_t {
+    v.erase(std::remove(v.begin(), v.end(), exclude), v.end());
+    if (v.empty()) return 0;
+    std::sort(v.begin(), v.end());
+    int64_t best = v[0], best_count = 0;
+    int64_t cur = v[0], count = 0;
+    for (int64_t x : v) {
+      if (x == cur) {
+        count++;
+      } else {
+        if (count > best_count) {
+          best = cur;
+          best_count = count;
+        }
+        cur = x;
+        count = 1;
+      }
+    }
+    if (count > best_count) best = cur;
+    return best;
+  };
+  int64_t first_col = most_common(from_left, w);
+  int64_t last_col = most_common(from_right, 0);
+  int64_t first_row = most_common(from_top, h);
+  int64_t last_row = most_common(from_bottom, 0);
+  if (!(first_col < last_col && first_row < last_row)) {
+    out[0] = -1;
+    return;
+  }
+  out[0] = (int32_t)first_col;
+  out[1] = (int32_t)first_row;
+  out[2] = (int32_t)(last_col - first_col);
+  out[3] = (int32_t)(last_row - first_row);
+}
+
+}  // extern "C"

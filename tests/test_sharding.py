@@ -1,0 +1,57 @@
+"""Mesh-sharding tests on the virtual 8-device CPU mesh: the sharded
+kernels must be bit-identical to the single-chip ones (including the
+lowest-row tie-break)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+
+from emosaic_tpu.ops.analysis import analyse_batch, source_blocks
+from emosaic_tpu.ops.composite import compose_mosaic
+from emosaic_tpu.ops.distance import build_library, l1_argmin_xla, rows_to_items
+from emosaic_tpu.parallel import make_mesh, sharded_l1_argmin, sharded_mosaic_step
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_match_bit_identical(rng, devices, data, model):
+    mesh = make_mesh(8, model=model)
+    pal = rng.integers(0, 256, size=(97, 4, 3), dtype=np.uint8)
+    lib = np.array(build_library(pal))  # 194 rows, not divisible: pads
+    blocks = rng.integers(0, 256, size=(131, 12), dtype=np.uint8)
+    # duplicate palettes to force cross-shard ties
+    lib[50] = lib[3]
+    blocks[7] = lib[3]
+    d_ref, r_ref = l1_argmin_xla(blocks, lib)
+    d_sh, r_sh = sharded_l1_argmin(blocks, lib, mesh)
+    assert (np.asarray(d_sh) == np.asarray(d_ref)).all()
+    assert (np.asarray(r_sh) == np.asarray(r_ref)).all()
+
+
+def test_sharded_mosaic_step_matches_single_chip(rng, devices):
+    mesh = make_mesh(8, model=2)
+    dim, ts = 2, 4
+    t = 32  # divisible by model=2
+    tiles = rng.integers(0, 256, size=(t, ts, ts, 3), dtype=np.uint8)
+    src = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)  # 8x6 blocks
+    out = np.asarray(sharded_mosaic_step(tiles, src, mesh, dim, ts))
+    assert out.shape == (8 * ts, 6 * ts, 3)
+
+    # single-chip reference pipeline
+    pal = np.asarray(analyse_batch(tiles, dim))
+    lib = np.asarray(build_library(pal))
+    blocks = np.asarray(source_blocks(src, dim))
+    _, rows = l1_argmin_xla(blocks, lib)
+    items = np.asarray(rows_to_items(rows, t)).reshape(8, 6)
+    ref = np.asarray(compose_mosaic(items, tiles))
+    assert (out == ref).all()

@@ -1,0 +1,67 @@
+"""Stats subsystem tests (reference: stats.rs:212-356)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from emosaic_tpu.stats import MosaicConfig, RenderStats
+from emosaic_tpu.tiles.tile import Tile
+from emosaic_tpu.tiles.tileset import TileSet
+
+
+def make_tileset(n=3):
+    return TileSet(
+        palettes=np.zeros((n, 1, 3), dtype=np.uint8),
+        paths=[Path(f"t{i}.jpg") for i in range(n)],
+    )
+
+
+def test_push_and_count():
+    s = RenderStats()
+    t = Tile(idx=1, colors=np.zeros((1, 3), np.uint8))
+    s.push_tile(10, 20, t, 100)
+    s.push_tile(30, 40, t, 200)
+    assert s.tile_count() == 2
+    s.push_tile(10, 20, t, 5)  # same position overwrites
+    assert s.tile_count() == 2
+
+
+def test_summarise_empty_and_filled(capsys):
+    s = RenderStats()
+    ts = make_tileset()
+    lines = []
+    s.summarise(ts, log=lines.append)
+    assert lines == ["No tiles recorded in statistics"]
+    s.push_tile(0, 0, ts.get_tile(1), 10)
+    s.push_tile(16, 0, ts.get_tile(2), 20)
+    s.push_tile(32, 0, ts.get_tile(1), 15)
+    lines = []
+    s.summarise(ts, log=lines.append)
+    text = "\n".join(lines)
+    assert "Total tiles placed: 3" in text
+    assert "Unique images used: 2" in text
+    assert "15.000" in text  # average
+    assert "t0.jpg (2 times)" in text
+
+
+def test_render_heatmap():
+    s = RenderStats()
+    ts = make_tileset()
+    s.push_tile(0, 0, ts.get_tile(1), 50)
+    s.push_tile(16, 16, ts.get_tile(2), 150)
+    img = s.render(16)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0, 0] < img[1, 1, 0]  # darker = better match (stats.rs:305-311)
+
+
+def test_render_empty_raises():
+    with pytest.raises(ValueError, match="no tiles recorded"):
+        RenderStats().render(16)
+
+
+def test_render_zero_tile_size_raises():
+    s = RenderStats()
+    s.push_tile(0, 0, Tile(idx=1), 100)
+    with pytest.raises(ValueError, match="greater than 0"):
+        s.render(0)
