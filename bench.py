@@ -26,8 +26,15 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
+
+_T0 = time.time()
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench {time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -84,10 +91,13 @@ def _sync(x) -> None:
     jax.device_get(jnp.ravel(x)[0])
 
 
+_REPS = int(os.environ.get("EMOSAIC_BENCH_REPS", "2"))
+
+
 def _rate_via_difference(fn, k1: int, k2: int) -> float:
     """Per-iteration seconds, with fixed sync latency cancelled."""
-    t1 = min(fn(k1) for _ in range(2))
-    t2 = min(fn(k2) for _ in range(2))
+    t1 = min(fn(k1) for _ in range(_REPS))
+    t2 = min(fn(k2) for _ in range(_REPS))
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
@@ -99,11 +109,14 @@ def main() -> int:
     )
     src = jax.random.randint(k2, (SRC, SRC, 3), 0, 256, dtype=jnp.uint8)
     _sync(tiles)
+    _progress("inputs ready")
 
     # warmup/compile
     items = match_phase(tiles, src)
     _sync(items)
+    _progress("match warm")
     _sync(_compose_band(items[:BAND_BLOCK_ROWS], tiles))
+    _progress("compose warm")
 
     # A: match phase (items output is 64 MB — chains safely)
     def run_match(k):
@@ -114,7 +127,8 @@ def main() -> int:
         _sync(out)
         return time.perf_counter() - t0
 
-    t_match = _rate_via_difference(run_match, 2, 6)
+    t_match = _rate_via_difference(run_match, 1, 3)
+    _progress(f"match timed: {t_match * 1e3:.1f} ms")
 
     # B: composite bands. k is kept small so the at-most-k in-flight
     # 1.61 GB band buffers fit HBM without per-band syncs (which would
@@ -130,6 +144,7 @@ def main() -> int:
         return time.perf_counter() - t0
 
     t_band = _rate_via_difference(run_bands, 2, 6)
+    _progress(f"band timed: {t_band * 1e3:.2f} ms")
 
     total = t_match + N_BANDS * t_band
     out_mp = (SRC * TILE_SIZE) ** 2 / 1e6  # 17179.87 MP

@@ -232,6 +232,13 @@ def build_parser() -> argparse.ArgumentParser:
         default="auto",
         help="Matching kernel selection",
     )
+    m.add_argument(
+        "--stream-threshold",
+        type=int,
+        default=1 << 30,
+        help="Output byte size above which the mosaic is composed in bands "
+        "and PNG-encoded incrementally (gigapixel path)",
+    )
     return p
 
 
@@ -314,9 +321,20 @@ def run_mosaic(args) -> None:
         stack = np.stack(prepared) if prepared else None
         if stack is None:
             raise SystemExit("❌ No usable tiles found")
-        output = render_random(
-            src, tile_set, args.tile_size, seed=args.seed, stack=stack
-        )
+        out_h = src.shape[0] * args.tile_size
+        out_w = src.shape[1] * args.tile_size
+        streaming = out_h * out_w * 3 > args.stream_threshold
+        if streaming:
+            rng = np.random.default_rng(args.seed)
+            items = rng.integers(
+                1, len(tile_set) + 1, size=src.shape[:2], dtype=np.int32
+            )
+            output = None
+        else:
+            items = None
+            output = render_random(
+                src, tile_set, args.tile_size, seed=args.seed, stack=stack
+            )
         stats = None
         config = None
         tile_set_out = tile_set
@@ -346,9 +364,14 @@ def run_mosaic(args) -> None:
         use_lut = {"auto": "auto", "lut": "always", "pallas": "never", "xla": "never"}[
             args.matcher
         ]
+        # gigapixel outputs are composed in bands and PNG-encoded
+        # incrementally instead of materializing W*H*3 bytes at once
+        out_h = (src.shape[0] // dim) * args.tile_size
+        out_w = (src.shape[1] // dim) * args.tile_size
+        streaming = out_h * out_w * 3 > args.stream_threshold
         if args.no_repeat and not args.greedy:
             result = render_nto1_no_repeat(
-                src, tile_set, args.tile_size, stack=stack
+                src, tile_set, args.tile_size, stack=stack, compose=not streaming
             )
         else:
             result = render_nto1(
@@ -360,9 +383,11 @@ def run_mosaic(args) -> None:
                 seed=args.seed,
                 use_lut=use_lut,
                 stack=stack,
+                compose=not streaming,
             )
         result.stats.summarise(tile_set)
         output = result.image
+        items = result.items
         stats = result.stats
         tile_set_out = result.tile_set
         config = MosaicConfig(
@@ -379,19 +404,43 @@ def run_mosaic(args) -> None:
         )
 
     out_path = args.output_path
+    original_rgb = None
     if args.tint_opacity > 0.0:
-        # tint path: blend, save, early return — skips stats/HTML
-        # (main.rs:447-478 quirk preserved). The overlay is built from the
-        # *original* source at full resolution (main.rs:450), not the
-        # downsampled one.
+        # The tint overlay is built from the *original* source at full
+        # resolution (main.rs:450), not the downsampled one.
         original_rgb = np.asarray(original.convert("RGB"), dtype=np.uint8)
+
+    if streaming:
+        # gigapixel path: bands composed on device, streamed into one PNG
+        from emosaic_tpu.io.codecs import StreamingPNGWriter
+        from emosaic_tpu.ops.composite import iter_bands, tint_blend_band
+
+        nby, nbx = items.shape
+        out_w = nbx * args.tile_size
+        out_h = nby * args.tile_size
+        band_rows = max(1, (256 << 20) // (nbx * args.tile_size**2 * 3))
+        log(f"📝 Streaming {out_w}x{out_h} output to {out_path}")
+        y0 = 0
+        with StreamingPNGWriter(out_path, out_w, out_h) as w:
+            for band in iter_bands(items, stack, band_rows=band_rows):
+                if args.tint_opacity > 0.0:
+                    band = tint_blend_band(
+                        band, original_rgb, y0, out_h, args.tint_opacity
+                    )
+                w.write_band(band)
+                y0 += band.shape[0]
+        if args.tint_opacity > 0.0:
+            return  # tint path skips stats/HTML (main.rs:477 quirk)
+    elif args.tint_opacity > 0.0:
+        # tint path: blend, save, early return — skips stats/HTML
+        # (main.rs:447-478 quirk preserved)
         blended = np.asarray(tint_blend(output, original_rgb, args.tint_opacity))
         Image.fromarray(blended).save(out_path, format="PNG")
         return
-
-    log("✓ Mosaic generation completed successfully")
-    log(f"📝 Writing output file to {out_path}")
-    Image.fromarray(output).save(out_path, format="PNG")
+    else:
+        log("✓ Mosaic generation completed successfully")
+        log(f"📝 Writing output file to {out_path}")
+        Image.fromarray(output).save(out_path, format="PNG")
 
     if stats is not None and stats.tile_count():
         stats_path = out_path.with_suffix(".stats.png")

@@ -79,6 +79,39 @@ def _tint_blend_jit(mosaic: jax.Array, src: jax.Array, alpha_255: int) -> jax.Ar
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("alpha_255", "out_h", "y0"))
+def _tint_blend_band_jit(band, src, *, alpha_255: int, out_h: int, y0: int):
+    bh, ow = band.shape[0], band.shape[1]
+    sh, sw = src.shape[0], src.shape[1]
+    yi = jnp.clip(
+        ((jnp.arange(y0, y0 + bh) + 0.5) * (sh / out_h)).astype(jnp.int32),
+        0,
+        sh - 1,
+    )
+    xi = jnp.clip(((jnp.arange(ow) + 0.5) * (sw / ow)).astype(jnp.int32), 0, sw - 1)
+    up = src[yi][:, xi].astype(jnp.float32)
+    a = alpha_255 / 255.0
+    out = up * a + band.astype(jnp.float32) * (1.0 - a)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+def tint_blend_band(band, src, y0: int, out_h: int, tint_opacity: float):
+    """Per-band tint blend for the streamed gigapixel path: identical math
+    to `tint_blend` applied to output rows [y0, y0+h)."""
+    alpha = int(255.0 * float(tint_opacity))
+    if alpha <= 0:
+        return np.asarray(band, dtype=np.uint8)
+    return np.asarray(
+        _tint_blend_band_jit(
+            jnp.asarray(band, jnp.uint8),
+            jnp.asarray(src, jnp.uint8),
+            alpha_255=alpha,
+            out_h=out_h,
+            y0=y0,
+        )
+    )
+
+
 def tint_blend(mosaic, src, tint_opacity: float) -> jax.Array:
     """Alpha-composite the source image over the mosaic.
 

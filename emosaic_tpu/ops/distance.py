@@ -165,90 +165,125 @@ def l1_argmin_xla(blocks, lib) -> tuple[jax.Array, jax.Array]:
 _B_TILE = 256
 _L_TILE = 512
 _UNROLL_D = 64
-# Above this feature dim the [B_TILE, D] block no longer fits comfortably in
-# VMEM; fall back to the XLA scan (modes 64/128; SURVEY.md section 7 "hard
-# parts" — a D-chunked grid axis is future work).
-_MAX_PALLAS_D = 4096
+#: feature-axis chunk per grid step; D is padded with zeros on BOTH sides
+#: of the metric (|0-0| = 0 contributes nothing), so every chunk is full.
+_D_CHUNK = 1024
 
 
-def _l1_kernel(x_ref, lt_ref, min_ref, arg_ref, *, d: int, real_l: int):
-    """One (block-tile i, lib-tile j) cell: fold the lib tile's L1 argmin
-    into the running (min, argrow) for block-tile i.
+def _l1_kernel(
+    x_ref,
+    lt_ref,
+    min_ref,
+    arg_ref,
+    acc_ref,
+    *,
+    dc: int,
+    real_d: int,
+    real_l: int,
+    nd: int,
+):
+    """One (block-tile i, lib-tile j, d-chunk d) cell.
 
-    x_ref:  [B_TILE, Dp] uint8 query tile (same for all j).
-    lt_ref: [Dp, L_TILE] uint8 transposed library tile.
+    x_ref:  [B_TILE, DC] uint8 query slab.
+    lt_ref: [DC, L_TILE] uint8 transposed library slab.
+    acc_ref: [B_TILE, L_TILE] int32 scratch — partial L1 sums, accumulated
+      over the innermost d axis (zeroed at d == 0).
     min/arg_ref: [B_TILE, 128] int32 revisited output blocks (index map
-      (i, j) -> (i, 0)); lane 0 carries the running minimum distance and
-      global library row. The j grid axis is innermost/sequential, so the
-      strictly-less fold preserves the lowest-row tie-break.
+      -> (i, 0)); lane 0 carries the running minimum distance and global
+      library row, folded at d == nd-1. The j/d grid axes are sequential,
+      so the strictly-less fold preserves the lowest-row tie-break.
     """
     j = pl.program_id(1)
+    d = pl.program_id(2)
 
-    @pl.when(j == 0)
+    @pl.when(d == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, dtype=jnp.int32)
+
+    @pl.when(jnp.logical_and(j == 0, d == 0))
     def _init():
         min_ref[...] = jnp.full(min_ref.shape, I32_MAX, dtype=jnp.int32)
         arg_ref[...] = jnp.zeros(arg_ref.shape, dtype=jnp.int32)
 
-    def step(dd, acc):
-        xc = jax.lax.dynamic_slice(x_ref[...], (0, dd), (_B_TILE, 1)).astype(
-            jnp.int32
-        )
-        lc = jax.lax.dynamic_slice(lt_ref[...], (dd, 0), (1, _L_TILE)).astype(
-            jnp.int32
-        )
-        return acc + jnp.abs(xc - lc)
-
-    if d <= _UNROLL_D:
-        acc = jnp.zeros((_B_TILE, _L_TILE), dtype=jnp.int32)
-        for dd in range(d):
+    if nd == 1 and real_d <= _UNROLL_D:
+        # small feature dims (modes 1..4): fully unrolled, padding skipped
+        acc = acc_ref[...]
+        for dd in range(real_d):
             xc = x_ref[:, dd : dd + 1].astype(jnp.int32)
             lc = lt_ref[dd : dd + 1, :].astype(jnp.int32)
             acc = acc + jnp.abs(xc - lc)
+        acc_ref[...] = acc
     else:
-        acc = jax.lax.fori_loop(
-            0, d, step, jnp.zeros((_B_TILE, _L_TILE), dtype=jnp.int32)
+        x = x_ref[...]
+        lt = lt_ref[...]
+        # last chunk stops at the real feature count (padding is zero on
+        # both sides anyway, but skipping it saves the VPU passes)
+        steps = jnp.where(d == nd - 1, real_d - (nd - 1) * dc, dc)
+
+        def step(dd, acc):
+            xc = jax.lax.dynamic_slice(x, (0, dd), (x.shape[0], 1)).astype(
+                jnp.int32
+            )
+            lc = jax.lax.dynamic_slice(lt, (dd, 0), (1, lt.shape[1])).astype(
+                jnp.int32
+            )
+            return acc + jnp.abs(xc - lc)
+
+        acc_ref[...] = jax.lax.fori_loop(0, steps, step, acc_ref[...])
+
+    @pl.when(d == nd - 1)
+    def _fold():
+        acc = acc_ref[...]
+        col = j * _L_TILE + jax.lax.broadcasted_iota(
+            jnp.int32, acc.shape, 1
         )
-
-    col = j * _L_TILE + jax.lax.broadcasted_iota(jnp.int32, (_B_TILE, _L_TILE), 1)
-    acc = jnp.where(col < real_l, acc, I32_MAX)
-    local_min = jnp.min(acc, axis=1)
-    # int argmin is unsupported in Mosaic lowering; emulate with a masked
-    # min over column indices (first minimum wins, preserving the
-    # lowest-row tie-break).
-    local_arg = jnp.min(
-        jnp.where(acc == local_min[:, None], col, I32_MAX), axis=1
-    )
-    cur_min = min_ref[:, 0]
-    take = local_min < cur_min
-    min_ref[:, 0] = jnp.where(take, local_min, cur_min)
-    arg_ref[:, 0] = jnp.where(take, local_arg, arg_ref[:, 0])
+        acc = jnp.where(col < real_l, acc, I32_MAX)
+        local_min = jnp.min(acc, axis=1)
+        # int argmin is unsupported in Mosaic lowering; emulate with a
+        # masked min over column indices (first minimum wins, preserving
+        # the lowest-row tie-break).
+        local_arg = jnp.min(
+            jnp.where(acc == local_min[:, None], col, I32_MAX), axis=1
+        )
+        cur_min = min_ref[:, 0]
+        take = local_min < cur_min
+        min_ref[:, 0] = jnp.where(take, local_min, cur_min)
+        arg_ref[:, 0] = jnp.where(take, local_arg, arg_ref[:, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("d", "real_l"))
-def _l1_argmin_pallas_jit(blocks_p, lib_t_p, *, d: int, real_l: int):
+@functools.partial(jax.jit, static_argnames=("real_d", "real_l"))
+def _l1_argmin_pallas_jit(blocks_p, lib_t_p, *, real_d: int, real_l: int):
     bp, dp = blocks_p.shape
     lp = lib_t_p.shape[1]
-    nb, nl = bp // _B_TILE, lp // _L_TILE
-    kernel = functools.partial(_l1_kernel, d=d, real_l=real_l)
+    dc = min(dp, _D_CHUNK)
+    nb, nl, nd = bp // _B_TILE, lp // _L_TILE, dp // dc
+    kernel = functools.partial(
+        _l1_kernel, dc=dc, real_d=real_d, real_l=real_l, nd=nd
+    )
     min_out, arg_out = pl.pallas_call(
         kernel,
-        grid=(nb, nl),
+        grid=(nb, nl, nd),
         in_specs=[
-            pl.BlockSpec((_B_TILE, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dp, _L_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_B_TILE, dc), lambda i, j, d: (i, d), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (dc, _L_TILE), lambda i, j, d: (d, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (_B_TILE, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (_B_TILE, 128), lambda i, j, d: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (_B_TILE, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (_B_TILE, 128), lambda i, j, d: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, 128), jnp.int32),
             jax.ShapeDtypeStruct((bp, 128), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((_B_TILE, _L_TILE), jnp.int32)],
     )(blocks_p, lib_t_p)
     return min_out[:, 0], arg_out[:, 0]
 
@@ -256,22 +291,24 @@ def _l1_argmin_pallas_jit(blocks_p, lib_t_p, *, d: int, real_l: int):
 def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.Array]:
     """Exact L1 nearest library row per block (Pallas fast path).
 
-    Same contract as `l1_argmin_xla`. Falls back to the XLA scan when the
-    feature dim exceeds the VMEM-friendly bound or when not on TPU.
+    Same contract as `l1_argmin_xla` (the oracle + non-TPU fallback).
+    Supports every mode's feature dim (up to 3N = 49152 for mode 128) via
+    the d-chunked grid axis.
     """
     blocks = jnp.asarray(blocks, dtype=jnp.uint8)
     lib = jnp.asarray(lib, dtype=jnp.uint8)
     b, d = blocks.shape
     l = lib.shape[0]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if force_xla or d > _MAX_PALLAS_D or not on_tpu:
+    if force_xla or not on_tpu:
         return l1_argmin_xla(blocks, lib)
-    dp = -(-d // 128) * 128
+    dc = min(-(-d // 128) * 128, _D_CHUNK)
+    dp = -(-d // dc) * dc
     bp = -(-b // _B_TILE) * _B_TILE
     lp = -(-l // _L_TILE) * _L_TILE
     blocks_p = jnp.pad(blocks, ((0, bp - b), (0, dp - d)))
     lib_t_p = jnp.pad(lib.T, ((0, dp - d), (0, lp - l)))
-    dist, row = _l1_argmin_pallas_jit(blocks_p, lib_t_p, d=d, real_l=l)
+    dist, row = _l1_argmin_pallas_jit(blocks_p, lib_t_p, real_d=d, real_l=l)
     return dist[:b], row[:b]
 
 

@@ -1,0 +1,66 @@
+"""Streaming PNG encoder tests: byte-level round trip via PIL."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from emosaic_tpu.io.codecs import StreamingPNGWriter
+
+
+def test_round_trip(tmp_path, rng):
+    img = rng.integers(0, 256, size=(50, 37, 3), dtype=np.uint8)
+    path = tmp_path / "out.png"
+    with StreamingPNGWriter(path, 37, 50) as w:
+        w.write_band(img[:20])
+        w.write_band(img[20:21])
+        w.write_band(img[21:])
+    back = np.asarray(Image.open(path).convert("RGB"))
+    assert (back == img).all()
+
+
+def test_stored_level_zero(tmp_path, rng):
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    path = tmp_path / "out0.png"
+    with StreamingPNGWriter(path, 8, 8, compress_level=0) as w:
+        w.write_band(img)
+    assert (np.asarray(Image.open(path).convert("RGB")) == img).all()
+
+
+def test_row_count_enforced(tmp_path):
+    path = tmp_path / "bad.png"
+    w = StreamingPNGWriter(path, 4, 10)
+    w.write_band(np.zeros((3, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="expected 10"):
+        w.close()
+    w2 = StreamingPNGWriter(tmp_path / "bad2.png", 4, 2)
+    with pytest.raises(ValueError, match="too many rows"):
+        w2.write_band(np.zeros((3, 4, 3), np.uint8))
+
+
+def test_wrong_width_rejected(tmp_path):
+    w = StreamingPNGWriter(tmp_path / "x.png", 4, 4)
+    with pytest.raises(ValueError, match="band shape"):
+        w.write_band(np.zeros((2, 5, 3), np.uint8))
+
+
+def test_streamed_cli_matches_unstreamed(tmp_path, rng, monkeypatch):
+    """The streaming path must produce pixel-identical output to the
+    in-memory path (forced via --stream-threshold 0)."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    monkeypatch.chdir(tmp_path)
+    from emosaic_tpu.cli import main
+
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tiles / f"t{i}.jpg", quality=95)
+    src = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    Image.fromarray(src).save(tmp_path / "s.png")
+
+    common = ["-s", "8", str(tmp_path / "s.png"), "mosaic", str(tiles), "-m", "1"]
+    main(["-o", str(tmp_path / "a.png")] + common)
+    main(["-o", str(tmp_path / "b.png")] + common + ["--stream-threshold", "0"])
+    a = np.asarray(Image.open(tmp_path / "a.png").convert("RGB"))
+    b = np.asarray(Image.open(tmp_path / "b.png").convert("RGB"))
+    assert (a == b).all()
