@@ -39,8 +39,8 @@ def _progress(msg: str) -> None:
 import jax
 import jax.numpy as jnp
 
-from emosaic_tpu.ops.analysis import _analyse_batch_jit
-from emosaic_tpu.ops.distance import build_library, rows_to_items
+from emosaic_tpu.ops.analysis import _analyse_batch_2d
+from emosaic_tpu.ops.composite import _compose_rows_2d
 from emosaic_tpu.ops.lut import _build_l1_lut_jit
 
 NUM_TILES = 100_000
@@ -49,46 +49,50 @@ SRC = 4096
 BAND_BLOCK_ROWS = 128  # 128 * 32 = 4096 output rows, 1.61 GB per band
 N_BANDS = SRC // BAND_BLOCK_ROWS
 
-
-@functools.partial(jax.jit, static_argnames=("num_tiles",))
-def _match_items(src, lut, num_tiles):
-    flat = src.reshape(-1, 3)
-    idx = (
-        flat[:, 0].astype(jnp.int32) * 65536
-        + flat[:, 1].astype(jnp.int32) * 256
-        + flat[:, 2].astype(jnp.int32)
-    )
-    key = lut.reshape(-1)[idx]
-    rows = key & ((1 << 21) - 1)
-    return rows_to_items(rows, num_tiles).reshape(src.shape[0], src.shape[1])
+# All device boundaries are 2D with large minor dims (see
+# ops/composite.py TPU layout note): tiles [T, ts*ts*3], src [H, W*3],
+# bands [rows, W*3].
 
 
 @jax.jit
-def _compose_band(items_band, stack):
-    """One output band, fully materialized in HBM as the jit output (a
-    checksum reduction instead would get algebraically factored into
-    per-tile sums and elide the composite)."""
-    rows = jnp.abs(items_band) - 1
-    imgs = stack[rows]
-    imgs = jnp.where(
-        (items_band < 0)[:, :, None, None, None], imgs[:, :, :, ::-1, :], imgs
-    )
-    return jnp.transpose(imgs, (0, 2, 1, 3, 4)).reshape(
-        items_band.shape[0] * TILE_SIZE, items_band.shape[1] * TILE_SIZE, 3
-    )
-
-
-def match_phase(tiles, src):
-    pal = _analyse_batch_jit(tiles, 1)
-    lib = build_library(pal)
+def match_phase(tiles2d, src2d):
+    """Fused: analysis -> flip-augmented library -> exact-L1 LUT -> match.
+    One jit so per-dispatch tunnel overhead doesn't pollute the timing."""
+    pal = _analyse_batch_2d(tiles2d, h=TILE_SIZE, w=TILE_SIZE, dim=1)  # [T, 3]
+    # flip of a 1x1 palette is the identity; the library is [pal; pal]
+    lib = jnp.concatenate([pal, pal], axis=0)
     lut = _build_l1_lut_jit(lib.astype(jnp.int32))
-    return _match_items(src, lut, NUM_TILES)
+    h = src2d.shape[0]
+    w = src2d.shape[1] // 3
+    flat = src2d.reshape(-1, 3).astype(jnp.int32)
+    idx = flat[:, 0] * 65536 + flat[:, 1] * 256 + flat[:, 2]
+    key = lut.reshape(-1)[idx]
+    rows = key & ((1 << 21) - 1)
+    items = jnp.where(rows < NUM_TILES, rows + 1, -(rows - NUM_TILES + 1))
+    return items.astype(jnp.int32).reshape(h, w)
+
+
+@jax.jit
+def _augment(tiles2d):
+    """[T, S] -> [2T, S] with mirrored copies (composite flip rows)."""
+    t = tiles2d.shape[0]
+    flipped = (
+        tiles2d.reshape(t, TILE_SIZE, TILE_SIZE, 3)[:, :, ::-1, :].reshape(t, -1)
+    )
+    return jnp.concatenate([tiles2d, flipped], axis=0)
+
+
+def _compose_band(items_band, stack2d_aug):
+    """One output band [rows*ts, W*3], fully materialized in HBM as the jit
+    output (a checksum reduction instead would get algebraically factored
+    into per-tile sums and elide the composite)."""
+    return _compose_rows_2d(items_band, stack2d_aug, ts=TILE_SIZE)
 
 
 def _sync(x) -> None:
     """Force real device completion by fetching result bytes (see module
     docstring: block_until_ready is enqueue-only through the tunnel)."""
-    jax.device_get(jnp.ravel(x)[0])
+    jax.device_get(x[0, 0])
 
 
 _REPS = int(os.environ.get("EMOSAIC_BENCH_REPS", "2"))
@@ -105,17 +109,20 @@ def main() -> int:
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     tiles = jax.random.randint(
-        k1, (NUM_TILES, TILE_SIZE, TILE_SIZE, 3), 0, 256, dtype=jnp.uint8
+        k1, (NUM_TILES, TILE_SIZE * TILE_SIZE * 3), 0, 256, dtype=jnp.uint8
     )
-    src = jax.random.randint(k2, (SRC, SRC, 3), 0, 256, dtype=jnp.uint8)
+    src = jax.random.randint(k2, (SRC, SRC * 3), 0, 256, dtype=jnp.uint8)
     _sync(tiles)
     _progress("inputs ready")
+
+    stack_aug = _augment(tiles)
+    _sync(stack_aug)
 
     # warmup/compile
     items = match_phase(tiles, src)
     _sync(items)
     _progress("match warm")
-    _sync(_compose_band(items[:BAND_BLOCK_ROWS], tiles))
+    _sync(_compose_band(items[:BAND_BLOCK_ROWS], stack_aug))
     _progress("compose warm")
 
     # A: match phase (items output is 64 MB — chains safely)
@@ -139,7 +146,7 @@ def main() -> int:
         out = None
         for i in range(k):
             y0 = (i % N_BANDS) * BAND_BLOCK_ROWS
-            out = _compose_band(items[y0 : y0 + BAND_BLOCK_ROWS], tiles)
+            out = _compose_band(items[y0 : y0 + BAND_BLOCK_ROWS], stack_aug)
         _sync(out)
         return time.perf_counter() - t0
 

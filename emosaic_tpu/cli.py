@@ -233,6 +233,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Matching kernel selection",
     )
     m.add_argument(
+        "--metric",
+        choices=["l1", "l2"],
+        default="l1",
+        help="Color distance: l1 (exact reference parity) or l2 (MXU fast "
+        "mode, performance addition)",
+    )
+    m.add_argument(
         "--stream-threshold",
         type=int,
         default=1 << 30,
@@ -382,6 +389,7 @@ def run_mosaic(args) -> None:
                 randomize=args.randomize,
                 seed=args.seed,
                 use_lut=use_lut,
+                metric=args.metric,
                 stack=stack,
                 compose=not streaming,
             )

@@ -103,7 +103,8 @@ _ORIENT_TO_TRANSPOSE = {
 
 def apply_orientation(im: Image.Image, orientation: int) -> Image.Image:
     op = _ORIENT_TO_TRANSPOSE.get(orientation)
-    return im.transpose(op) if op else im
+    # note: Transpose.FLIP_LEFT_RIGHT == 0 is falsy — compare against None
+    return im.transpose(op) if op is not None else im
 
 
 def prepare_tile(

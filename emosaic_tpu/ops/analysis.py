@@ -21,20 +21,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("dim",))
-def _analyse_batch_jit(tiles: jax.Array, dim: int) -> jax.Array:
-    t, h, w = tiles.shape[0], tiles.shape[1], tiles.shape[2]
+@functools.partial(jax.jit, static_argnames=("h", "w", "dim"))
+def _analyse_batch_2d(tiles2d: jax.Array, *, h: int, w: int, dim: int) -> jax.Array:
+    """tiles2d [T, h*w*3] u8 -> palettes [T, N*3] u8 (2D jit boundaries —
+    see ops/composite.py TPU layout note)."""
+    t = tiles2d.shape[0]
     bh = h // dim
     bw = w // dim
-    if bh == 0 or bw == 0:
-        raise ValueError(f"tile {h}x{w} smaller than {dim}x{dim} grid")
     # Drop trailing pixels (analysis.rs:7-8 floor), then box-reduce.
-    x = tiles[:, : dim * bh, : dim * bw, :].astype(jnp.int32)
+    x = tiles2d.reshape(t, h, w, 3)[:, : dim * bh, : dim * bw, :].astype(
+        jnp.int32
+    )
     x = x.reshape(t, dim, bh, dim, bw, 3)
     sums = x.sum(axis=(2, 4))  # [T, dim, dim, 3]
     counts = bh * bw
     means = sums // counts  # truncating division (color.rs:37-39)
-    return means.astype(jnp.uint8).reshape(t, dim * dim, 3)
+    return means.astype(jnp.uint8).reshape(t, dim * dim * 3)
+
+
+def _analyse_batch_jit(tiles: jax.Array, dim: int) -> jax.Array:
+    """Traceable core on [T, h, w, 3]; usable inside shard_map/jit (nested
+    jit inlines)."""
+    t, h, w = tiles.shape[0], tiles.shape[1], tiles.shape[2]
+    if h // dim == 0 or w // dim == 0:
+        raise ValueError(f"tile {h}x{w} smaller than {dim}x{dim} grid")
+    out = _analyse_batch_2d(tiles.reshape(t, h * w * 3), h=h, w=w, dim=dim)
+    return out.reshape(t, dim * dim, 3)
 
 
 def analyse_batch(tiles, dim: int) -> jax.Array:
@@ -47,10 +59,16 @@ def analyse_batch(tiles, dim: int) -> jax.Array:
     Returns:
       `[T, N, 3]` uint8 palettes, cells in row-major order.
     """
-    tiles = jnp.asarray(tiles, dtype=jnp.uint8)
+    tiles = np.asarray(tiles, dtype=np.uint8)
     if tiles.ndim != 4 or tiles.shape[-1] != 3:
         raise ValueError(f"expected [T,h,w,3], got {tiles.shape}")
-    return _analyse_batch_jit(tiles, dim)
+    t, h, w = tiles.shape[0], tiles.shape[1], tiles.shape[2]
+    if h // dim == 0 or w // dim == 0:
+        raise ValueError(f"tile {h}x{w} smaller than {dim}x{dim} grid")
+    out = _analyse_batch_2d(
+        jnp.asarray(tiles.reshape(t, -1)), h=h, w=w, dim=dim
+    )
+    return out.reshape(t, dim * dim, 3)
 
 
 def analyse_one(tile, dim: int) -> np.ndarray:
@@ -59,11 +77,11 @@ def analyse_one(tile, dim: int) -> np.ndarray:
     return np.asarray(analyse_batch(tile[None], dim))[0]
 
 
-@functools.partial(jax.jit, static_argnames=("dim",))
-def _source_blocks_jit(img: jax.Array, dim: int) -> jax.Array:
-    h, w = img.shape[0], img.shape[1]
+@functools.partial(jax.jit, static_argnames=("h", "w", "dim"))
+def _source_blocks_2d(img2d: jax.Array, *, h: int, w: int, dim: int) -> jax.Array:
+    """img2d [H, W*3] u8 -> blocks [nby*nbx, 3N] u8."""
     nby, nbx = h // dim, w // dim
-    x = img.reshape(nby, dim, nbx, dim, 3)
+    x = img2d.reshape(nby, dim, nbx, dim, 3)
     # Block-major (y, x), then within-block row-major pixels, then RGB:
     # matches Tile::coords flattening of get_img_colors output
     # (analysis.rs:23-36 row-major block pixels; tile.rs:104-120).
@@ -83,9 +101,12 @@ def source_blocks(img, dim: int) -> jax.Array:
       is the raw dim x dim source pixels row-major, RGB-interleaved — exactly
       the reference's query coordinates (analysis.rs:23-36 + tile.rs:104-120).
     """
-    img = jnp.asarray(img, dtype=jnp.uint8)
+    img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[-1] != 3:
         raise ValueError(f"expected [H,W,3], got {img.shape}")
     if img.shape[0] % dim or img.shape[1] % dim:
         raise ValueError(f"dims {img.shape[:2]} not divisible by {dim}")
-    return _source_blocks_jit(img, dim)
+    h, w = img.shape[0], img.shape[1]
+    return _source_blocks_2d(
+        jnp.asarray(img.reshape(h, w * 3)), h=h, w=w, dim=dim
+    )

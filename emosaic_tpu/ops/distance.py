@@ -92,9 +92,12 @@ def _chunk_sizes(d: int, vmem_budget: int = 64 * 2**20) -> tuple[int, int]:
     return bc, lc
 
 
-@functools.partial(jax.jit, static_argnames=("bc", "lc", "real_l"))
-def _l1_argmin_xla_jit(blocks, lib, *, bc: int, lc: int, real_l: int):
-    bp, d = blocks.shape
+@functools.partial(jax.jit, static_argnames=("d", "bc", "lc", "real_l"))
+def _l1_argmin_xla_jit(blocks_flat, lib_flat, *, d: int, bc: int, lc: int, real_l: int):
+    # flat 1D boundaries (see ops/composite.py TPU layout note)
+    blocks = blocks_flat.reshape(-1, d)
+    lib = lib_flat.reshape(-1, d)
+    bp = blocks.shape[0]
     lp = lib.shape[0]
     nl = lp // lc
     lib_chunks = lib.reshape(nl, lc, d)
@@ -144,17 +147,24 @@ def l1_argmin_xla(blocks, lib) -> tuple[jax.Array, jax.Array]:
       (dist [B] int32, row [B] int32) — minimal L1 distance and the library
       row achieving it (lowest row on ties).
     """
-    blocks = jnp.asarray(blocks, dtype=jnp.uint8)
-    lib = jnp.asarray(lib, dtype=jnp.uint8)
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
     b, d = blocks.shape
     l = lib.shape[0]
     bc, lc = _chunk_sizes(d)
     bc = min(bc, max(8, 1 << (b - 1).bit_length()))
     bp = -(-b // bc) * bc
     lp = -(-l // lc) * lc
-    blocks_p = jnp.pad(blocks, ((0, bp - b), (0, 0)))
-    lib_p = jnp.pad(lib, ((0, lp - l), (0, 0)))
-    dist, row = _l1_argmin_xla_jit(blocks_p, lib_p, bc=bc, lc=lc, real_l=l)
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    lib_p = np.pad(lib, ((0, lp - l), (0, 0)))
+    dist, row = _l1_argmin_xla_jit(
+        jnp.asarray(blocks_p.reshape(-1)),
+        jnp.asarray(lib_p.reshape(-1)),
+        d=d,
+        bc=bc,
+        lc=lc,
+        real_l=l,
+    )
     return dist[:b], row[:b]
 
 
@@ -295,8 +305,8 @@ def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.A
     Supports every mode's feature dim (up to 3N = 49152 for mode 128) via
     the d-chunked grid axis.
     """
-    blocks = jnp.asarray(blocks, dtype=jnp.uint8)
-    lib = jnp.asarray(lib, dtype=jnp.uint8)
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
     b, d = blocks.shape
     l = lib.shape[0]
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -306,9 +316,78 @@ def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.A
     dp = -(-d // dc) * dc
     bp = -(-b // _B_TILE) * _B_TILE
     lp = -(-l // _L_TILE) * _L_TILE
-    blocks_p = jnp.pad(blocks, ((0, bp - b), (0, dp - d)))
-    lib_t_p = jnp.pad(lib.T, ((0, dp - d), (0, lp - l)))
-    dist, row = _l1_argmin_pallas_jit(blocks_p, lib_t_p, real_d=d, real_l=l)
+    # pad on host: the padded boundary shapes have >=128 minor dims
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, dp - d)))
+    lib_t_p = np.pad(lib.T, ((0, dp - d), (0, lp - l)))
+    dist, row = _l1_argmin_pallas_jit(
+        jnp.asarray(blocks_p), jnp.asarray(lib_t_p), real_d=d, real_l=l
+    )
+    return dist[:b], row[:b]
+
+
+# ---------------------------------------------------------------------------
+# MXU L2 fast mode (opt-in --metric l2; the reference is L1-only)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("d", "bc", "real_l"))
+def _l2_argmin_jit(blocks_flat, lib_flat, *, d: int, bc: int, real_l: int):
+    """Squared-L2 argmin via the MXU: dist^2 = |x|^2 - 2 x.t + |t|^2; the
+    |x|^2 term is constant per query and dropped for the argmin. Inputs are
+    u8 -> bf16 (exact: integers < 256), accumulation in f32 — argmin is
+    exact while 2*255^2*D < 2^24 (any N <= 42) and within float rounding
+    above; the winner's distance is recomputed exactly in int32."""
+    x = blocks_flat.reshape(-1, d)
+    t = lib_flat.reshape(-1, d)
+    lp = t.shape[0]
+    t_bf = t.astype(jnp.bfloat16)
+    t_norm = (t.astype(jnp.float32) ** 2).sum(axis=1)  # [L]
+    col = jnp.arange(lp, dtype=jnp.int32)
+    invalid = col >= real_l
+
+    def per_chunk(xc):
+        g = jax.lax.dot_general(
+            xc.astype(jnp.bfloat16),
+            t_bf.T,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bc, L]
+        score = t_norm[None, :] - 2.0 * g
+        score = jnp.where(invalid[None, :], jnp.inf, score)
+        row = jnp.argmin(score, axis=1).astype(jnp.int32)
+        # exact int32 squared distance for the winner
+        tw = t[row].astype(jnp.int32)
+        diff = xc.astype(jnp.int32) - tw
+        return (diff * diff).sum(axis=1, dtype=jnp.int32), row
+
+    nb = x.shape[0] // bc
+    dists, rows = jax.lax.map(per_chunk, x.reshape(nb, bc, d))
+    return dists.reshape(-1), rows.reshape(-1)
+
+
+def l2_argmin(blocks, lib) -> tuple[jax.Array, jax.Array]:
+    """Nearest library row under squared L2, MXU matmul path.
+
+    A performance-mode addition over the reference (which matches in L1
+    only, rendering.rs:7): for large N the MXU turns the distance
+    computation into a [B, D] x [D, 2T] bf16 matmul. Returns
+    (dist_sq [B] int32, row [B] int32); ties may resolve differently from
+    the L1 kernels (float argmin picks the first minimum).
+    """
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, d = blocks.shape
+    l = lib.shape[0]
+    bc = max(8, min(2048, (2**26) // max(1, l * 4)))
+    bp = -(-b // bc) * bc
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    dist, row = _l2_argmin_jit(
+        jnp.asarray(blocks_p.reshape(-1)),
+        jnp.asarray(lib.reshape(-1)),
+        d=d,
+        bc=bc,
+        real_l=l,
+    )
     return dist[:b], row[:b]
 
 
@@ -317,9 +396,11 @@ def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.A
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bc", "lc", "real_l"))
-def _l1_topk_jit(blocks, lib, *, k: int, bc: int, lc: int, real_l: int):
-    bp, d = blocks.shape
+@functools.partial(jax.jit, static_argnames=("d", "k", "bc", "lc", "real_l"))
+def _l1_topk_jit(blocks_flat, lib_flat, *, d: int, k: int, bc: int, lc: int, real_l: int):
+    blocks = blocks_flat.reshape(-1, d)
+    lib = lib_flat.reshape(-1, d)
+    bp = blocks.shape[0]
     lp = lib.shape[0]
     nl = lp // lc
     lib_chunks = lib.reshape(nl, lc, d)
@@ -368,15 +449,23 @@ def l1_topk(blocks, lib, k: int) -> tuple[jax.Array, jax.Array]:
       (dists [B, k] int32, rows [B, k] int32). If k > L, trailing entries
       carry I32_MAX distances.
     """
-    blocks = jnp.asarray(blocks, dtype=jnp.uint8)
-    lib = jnp.asarray(lib, dtype=jnp.uint8)
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
     b, d = blocks.shape
     l = lib.shape[0]
     bc, lc = _chunk_sizes(d, vmem_budget=32 * 2**20)
     bc = min(bc, max(8, 1 << (b - 1).bit_length()))
     bp = -(-b // bc) * bc
     lp = -(-l // lc) * lc
-    blocks_p = jnp.pad(blocks, ((0, bp - b), (0, 0)))
-    lib_p = jnp.pad(lib, ((0, lp - l), (0, 0)))
-    dists, rows = _l1_topk_jit(blocks_p, lib_p, k=k, bc=bc, lc=lc, real_l=l)
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    lib_p = np.pad(lib, ((0, lp - l), (0, 0)))
+    dists, rows = _l1_topk_jit(
+        jnp.asarray(blocks_p.reshape(-1)),
+        jnp.asarray(lib_p.reshape(-1)),
+        d=d,
+        k=k,
+        bc=bc,
+        lc=lc,
+        real_l=l,
+    )
     return dists[:b], rows[:b]

@@ -47,6 +47,7 @@ def _shifted(lattice: jax.Array, axis: int, step: int, forward: bool) -> jax.Arr
 
 @jax.jit
 def _build_l1_lut_jit(lib: jax.Array) -> jax.Array:
+    lib = lib.reshape(-1, 3)
     l = lib.shape[0]
     rows = jnp.arange(l, dtype=jnp.int32)  # key with dist=0
     lattice = jnp.full((256, 256, 256), _INF, dtype=jnp.int32)
@@ -76,25 +77,23 @@ def build_l1_lut(lib) -> jax.Array:
         L = 2T with flip rows — note for N=1 a flip is an identity, the
         reference still indexes both orientations, tileset.rs:180-188).
     """
-    lib = jnp.asarray(lib, dtype=jnp.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
     if lib.ndim != 2 or lib.shape[1] != 3:
         raise ValueError(f"LUT requires [L,3] mode-1 library, got {lib.shape}")
     if lib.shape[0] == 0:
         raise ValueError("empty library")
     if lib.shape[0] > MAX_ROWS:
         raise ValueError(f"library has {lib.shape[0]} rows > LUT cap {MAX_ROWS}")
-    return _build_l1_lut_jit(lib.astype(jnp.int32))
+    # int32 flat boundary (a [L, 3] u8 buffer would pay the minor-dim-3
+    # tiled-layout inflation — see ops/composite.py TPU layout note)
+    return _build_l1_lut_jit(jnp.asarray(lib.reshape(-1).astype(np.int32)))
 
 
 @jax.jit
-def _lut_match_jit(blocks: jax.Array, lut: jax.Array):
-    flat = lut.reshape(-1)
-    idx = (
-        blocks[:, 0].astype(jnp.int32) * 65536
-        + blocks[:, 1].astype(jnp.int32) * 256
-        + blocks[:, 2].astype(jnp.int32)
-    )
-    key = flat[idx]
+def _lut_match_jit(blocks_flat: jax.Array, lut: jax.Array):
+    b3 = blocks_flat.reshape(-1, 3).astype(jnp.int32)
+    idx = b3[:, 0] * 65536 + b3[:, 1] * 256 + b3[:, 2]
+    key = lut.reshape(-1)[idx]
     return key >> ROW_BITS, key & ROW_MASK
 
 
@@ -104,7 +103,7 @@ def lut_match(blocks, lut) -> tuple[jax.Array, jax.Array]:
     Returns (dist [B] int32, row [B] int32) — identical to
     `l1_argmin(blocks, lib)` but O(1) per query.
     """
-    blocks = jnp.asarray(blocks, dtype=jnp.uint8)
+    blocks = np.asarray(blocks, dtype=np.uint8)
     if blocks.ndim != 2 or blocks.shape[1] != 3:
         raise ValueError(f"LUT match requires [B,3] blocks, got {blocks.shape}")
-    return _lut_match_jit(blocks, lut)
+    return _lut_match_jit(jnp.asarray(blocks.reshape(-1)), lut)

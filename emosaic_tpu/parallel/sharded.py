@@ -23,14 +23,14 @@ equivalent used by __graft_entry__.dryrun_multichip.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from emosaic_tpu.ops.analysis import _analyse_batch_jit  # jit-free core via .fun
+from emosaic_tpu.ops.analysis import _analyse_batch_jit
 from emosaic_tpu.ops.distance import I32_MAX
 
 
@@ -132,20 +132,26 @@ def sharded_l1_argmin(
 
 def sharded_mosaic_step(
     tiles, source, mesh: Mesh, dim: int, tile_size: int
-) -> jax.Array:
+) -> np.ndarray:
     """Full device pipeline under one jit over the mesh: batched palette
     analysis (library sharded over "model") -> flip-augmented library with
     single-chip-consistent global row numbering -> sharded match (data x
     model) -> composite gather (sharded over "data" block-rows).
 
+    Boundary arrays are 2D with large minor dims (see ops/composite.py TPU
+    layout note): tiles travel as [T, ts*ts*3], source as [H, W*3], the
+    output as [H_out, W_out*3].
+
     Args:
       tiles: [T, ts, ts, 3] uint8 (T divisible by mesh "model" size).
       source: [H, W, 3] uint8 (H divisible by dim * data size).
-    Returns the assembled mosaic [H/dim*ts, W/dim*ts, 3] uint8.
+    Returns the assembled mosaic [H/dim*ts, W/dim*ts, 3] uint8 (host numpy).
     """
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
-    t = tiles.shape[0]
+    tiles = np.asarray(tiles, dtype=np.uint8)
+    source = np.asarray(source, dtype=np.uint8)
+    t, ts = tiles.shape[0], tiles.shape[1]
     h, w = source.shape[0], source.shape[1]
     nby, nbx = h // dim, w // dim
     if t % n_model:
@@ -156,17 +162,17 @@ def sharded_mosaic_step(
 
     @functools.partial(
         jax.jit,
-        static_argnums=(),
         in_shardings=(
-            NamedSharding(mesh, P("model", None, None, None)),
-            NamedSharding(mesh, P(None, None, None)),
+            NamedSharding(mesh, P("model", None)),
+            NamedSharding(mesh, P(None, None)),
         ),
-        out_shardings=NamedSharding(mesh, P("data", None, None)),
+        out_shardings=NamedSharding(mesh, P("data", None)),
     )
-    def run(tiles_s, source_s):
-        def body(tl, src):
+    def run(tiles2d_s, source2d_s):
+        def body(tl2d, src2d):
             m = jax.lax.axis_index("model")
             dd = jax.lax.axis_index("data")
+            tl = tl2d.reshape(ts_shard, ts, ts, 3)
             # --- analysis (model-sharded tile slice) ---
             pal = _analyse_batch_jit(tl, dim)  # [Ts, N, 3]
             flat = pal.reshape(ts_shard, -1)
@@ -176,8 +182,8 @@ def sharded_mosaic_step(
             )
             lib_local = jnp.concatenate([flat, flipped], axis=0)  # [2Ts, D]
             # --- blocks (data-sharded band of block-rows) ---
-            hs = src.shape[0] // n_data  # replicated input: take our band
-            band = jax.lax.dynamic_slice_in_dim(src, dd * hs, hs, axis=0)
+            hs = src2d.shape[0] // n_data  # replicated input: our band
+            band = jax.lax.dynamic_slice_in_dim(src2d, dd * hs, hs, axis=0)
             x = band.reshape(hs // dim, dim, nbx, dim, 3)
             blocks = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(
                 (hs // dim) * nbx, dim * dim * 3
@@ -193,25 +199,29 @@ def sharded_mosaic_step(
                 t + m * ts_shard + (local_row - ts_shard),
             )
             _, row = _combine_over_model(dist, grow)
-            # --- composite (gather from the full tile stack) ---
-            stack = jax.lax.all_gather(tl, "model", tiled=True)  # [T,ts,ts,3]
-            tile_idx = jnp.where(row < t, row, row - t)
-            imgs = stack[tile_idx]  # [Bs, ts, ts, 3]
-            imgs = jnp.where(
-                (row >= t)[:, None, None, None], imgs[:, :, ::-1, :], imgs
+            # --- composite (gather from the flip-augmented full stack) ---
+            stack2d = jax.lax.all_gather(tl2d, "model", tiled=True)  # [T, S]
+            flip2d = (
+                stack2d.reshape(t, ts, ts, 3)[:, :, ::-1, :].reshape(t, -1)
             )
+            aug = jnp.concatenate([stack2d, flip2d], axis=0)  # [2T, S]
+            sel = aug[row]  # [Bs, S]
             bby = hs // dim
-            out = imgs.reshape(bby, nbx, tile_size, tile_size, 3)
-            return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
-                bby * tile_size, nbx * tile_size, 3
+            out = sel.reshape(bby, nbx, ts, ts * 3)
+            return jnp.transpose(out, (0, 2, 1, 3)).reshape(
+                bby * ts, nbx * ts * 3
             )
 
         return jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P("model", None, None, None), P(None, None, None)),
-            out_specs=P("data", None, None),
+            in_specs=(P("model", None), P(None, None)),
+            out_specs=P("data", None),
             check_vma=False,
-        )(tiles_s, source_s)
+        )(tiles2d_s, source2d_s)
 
-    return run(jnp.asarray(tiles, jnp.uint8), jnp.asarray(source, jnp.uint8))
+    out2d = run(
+        jnp.asarray(tiles.reshape(t, -1)),
+        jnp.asarray(source.reshape(h, w * 3)),
+    )
+    return np.asarray(jax.device_get(out2d)).reshape(nby * ts, nbx * ts, 3)

@@ -35,6 +35,7 @@ from emosaic_tpu.ops.distance import (
     build_library,
     l1_argmin,
     l1_topk,
+    l2_argmin,
     rows_to_items,
 )
 from emosaic_tpu.ops.lut import MAX_ROWS, build_l1_lut, lut_match
@@ -67,12 +68,20 @@ def insufficient_tiles_check(n_blocks: int, n_tiles: int) -> None:
 
 
 def match_blocks(
-    blocks: np.ndarray, lib: np.ndarray, *, use_lut: str = "auto"
+    blocks: np.ndarray,
+    lib: np.ndarray,
+    *,
+    use_lut: str = "auto",
+    metric: str = "l1",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Dispatch to the LUT (mode 1) or the dense argmin kernel.
+    """Dispatch to the LUT (mode 1), the dense L1 kernel, or the MXU L2
+    fast mode (a performance addition — the reference is L1-only).
 
     Returns (dist [B] int32, row [B] int32) as numpy.
     """
+    if metric == "l2":
+        dist, row = l2_argmin(blocks, lib)
+        return np.asarray(dist), np.asarray(row)
     b, d = blocks.shape
     lut_ok = d == 3 and lib.shape[0] <= MAX_ROWS
     if use_lut == "always" or (
@@ -96,6 +105,7 @@ def render_nto1(
     *,
     seed: int = 0,
     use_lut: str = "auto",
+    metric: str = "l1",
     stack: np.ndarray | None = None,
     compose: bool = True,
     log=lambda *a: print(*a, file=sys.stderr),
@@ -152,7 +162,7 @@ def render_nto1(
                 order, cd, cr, lib.shape[0], refill
             )
     else:
-        dists, rows = match_blocks(blocks, lib, use_lut=use_lut)
+        dists, rows = match_blocks(blocks, lib, use_lut=use_lut, metric=metric)
 
     items = np.asarray(rows_to_items(rows, num_tiles))
     items = np.where(rows < 0, 0, items)  # unassigned -> black

@@ -239,3 +239,26 @@ def test_tint_blend():
     assert (out == 100).all()
     # zero opacity is a no-op
     assert (np.asarray(tint_blend(mosaic, src, 0.0)) == mosaic).all()
+
+
+# ---------------------------------------------------------------------------
+# L2 fast mode (performance addition; reference is L1-only)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_cells", [1, 4])
+def test_l2_argmin_oracle(rng, n_cells):
+    from emosaic_tpu.ops.distance import l2_argmin
+
+    pal = rng.integers(0, 256, size=(60, n_cells, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))
+    blocks = rng.integers(0, 256, size=(33, n_cells * 3), dtype=np.uint8)
+    dist, row = l2_argmin(blocks, lib)
+    full = (
+        (blocks.astype(np.int64)[:, None, :] - lib.astype(np.int64)[None, :, :])
+        ** 2
+    ).sum(-1)
+    # distances exact for the chosen row; argmin optimal
+    got = np.take_along_axis(full, np.asarray(row)[:, None].astype(np.int64), 1)[:, 0]
+    assert (np.asarray(dist) == got).all()
+    assert (got == full.min(1)).all()
