@@ -91,8 +91,18 @@ def match_blocks(
             raise ValueError("LUT path requires mode 1 and a small-enough library")
         lut = build_l1_lut(lib)
         dist, row = lut_match(blocks, lut)
-    else:
-        dist, row = l1_argmin(blocks, lib)
+        return np.asarray(dist), np.asarray(row)
+    # Dedup identical query blocks before the dense kernel (the reference
+    # re-searches the kd-tree per block; sources repeat colors heavily).
+    # Sample first: np.unique over 16M rows isn't free.
+    if b > 8192:
+        sample = blocks[:: max(1, b // 4096)]
+        est = len(np.unique(sample, axis=0)) / len(sample)
+        if est < 0.5:
+            uniq, inverse = np.unique(blocks, axis=0, return_inverse=True)
+            du, ru = l1_argmin(uniq, lib)
+            return np.asarray(du)[inverse], np.asarray(ru)[inverse]
+    dist, row = l1_argmin(blocks, lib)
     return np.asarray(dist), np.asarray(row)
 
 

@@ -1,0 +1,43 @@
+"""Driver entry points stay green: entry() compiles + runs, and the
+multi-chip dry run executes on the virtual CPU mesh."""
+
+import importlib.util
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def graft():
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_compiles_and_runs(graft):
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64 * 16, 64 * 16, 3)
+    assert out.dtype == np.uint8
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+def test_dryrun_multichip(graft, n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    graft.dryrun_multichip(n)
+
+
+def test_entry_selections_match_library(graft):
+    # the flagship forward must reproduce an exact-match source: feed a
+    # source made of tile-average colors and verify low distance visually
+    # via the composed output shape only (cheap smoke; full parity is in
+    # test_render.py)
+    fn, args = graft.entry()
+    out = np.asarray(jax.jit(fn)(*args))
+    assert out.any()  # non-degenerate output
