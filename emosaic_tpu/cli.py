@@ -161,6 +161,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--crop", action="store_true", help="Crop tiles instead of resizing"
     )
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="Capture a jax.profiler trace of the run into DIR "
+        "(view with TensorBoard / xprof)",
+    )
     sub = p.add_subparsers(dest="subcmd")
 
     sub.add_parser(
@@ -300,7 +307,10 @@ def run_prepare(args) -> None:
     Image.fromarray(tile).save(args.output_path)
 
 
-def run_mosaic(args) -> None:
+def run_mosaic(args, timer=None) -> None:
+    from emosaic_tpu.monitor import PhaseTimer
+
+    timer = timer or PhaseTimer(log)
     validate_tiles_directory(args.tiles_dir)
     mode = Mode(args.mode)
     log(f"Opening source image: {args.img}")
@@ -357,17 +367,19 @@ def run_mosaic(args) -> None:
         if args.tile_size % dim:
             log(f"Invalid tile size: Tile size must be divisible by {dim}")
             raise SystemExit(1)
-        tile_set = load_or_generate_tile_set(
-            args.tiles_dir,
-            args.tile_size,
-            set(args.extensions),
-            args.crop,
-            dim,
-            force=args.force,
-            progress=Progress(0, "Analysing tiles"),
-        )
+        with timer.phase("tile analysis (cache/generate)"):
+            tile_set = load_or_generate_tile_set(
+                args.tiles_dir,
+                args.tile_size,
+                set(args.extensions),
+                args.crop,
+                dim,
+                force=args.force,
+                progress=Progress(0, "Analysing tiles"),
+            )
         log(f"Tile set with {len(tile_set)} tiles")
-        stack = get_image_stack(tile_set, args.tiles_dir, args.tile_size)
+        with timer.phase("tile stack (cache/prepare)"):
+            stack = get_image_stack(tile_set, args.tiles_dir, args.tile_size)
         use_lut = {"auto": "auto", "lut": "always", "pallas": "never", "xla": "never"}[
             args.matcher
         ]
@@ -376,23 +388,25 @@ def run_mosaic(args) -> None:
         out_h = (src.shape[0] // dim) * args.tile_size
         out_w = (src.shape[1] // dim) * args.tile_size
         streaming = out_h * out_w * 3 > args.stream_threshold
-        if args.no_repeat and not args.greedy:
-            result = render_nto1_no_repeat(
-                src, tile_set, args.tile_size, stack=stack, compose=not streaming
-            )
-        else:
-            result = render_nto1(
-                src,
-                tile_set,
-                args.tile_size,
-                no_repeat=args.no_repeat,
-                randomize=args.randomize,
-                seed=args.seed,
-                use_lut=use_lut,
-                metric=args.metric,
-                stack=stack,
-                compose=not streaming,
-            )
+        with timer.phase("match + compose"):
+            if args.no_repeat and not args.greedy:
+                result = render_nto1_no_repeat(
+                    src, tile_set, args.tile_size, stack=stack,
+                    compose=not streaming,
+                )
+            else:
+                result = render_nto1(
+                    src,
+                    tile_set,
+                    args.tile_size,
+                    no_repeat=args.no_repeat,
+                    randomize=args.randomize,
+                    seed=args.seed,
+                    use_lut=use_lut,
+                    metric=args.metric,
+                    stack=stack,
+                    compose=not streaming,
+                )
         result.stats.summarise(tile_set)
         output = result.image
         items = result.items
@@ -475,8 +489,11 @@ def run_mosaic(args) -> None:
 
 
 def main(argv=None) -> int:
+    from emosaic_tpu.monitor import PhaseTimer
+
     start = time.time()
     monitor = MemoryMonitor().start()
+    timer = PhaseTimer(log)
     try:
         args = build_parser().parse_args(argv)
         validate_tile_size(args.tile_size)
@@ -484,13 +501,28 @@ def main(argv=None) -> int:
         validate_output_path(args.output_path)
         cache_dir().mkdir(parents=True, exist_ok=True)
 
-        if args.subcmd == "prepare":
-            run_prepare(args)
-        elif args.subcmd == "mosaic":
-            run_mosaic(args)
-        # no subcommand: validate-only, like the reference's `None => ()`
+        profiling = None
+        if getattr(args, "profile", None):
+            import jax
+
+            Path(args.profile).mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(args.profile)
+            profiling = args.profile
+        try:
+            if args.subcmd == "prepare":
+                run_prepare(args)
+            elif args.subcmd == "mosaic":
+                run_mosaic(args, timer=timer)
+            # no subcommand: validate-only, like the reference's `None => ()`
+        finally:
+            if profiling:
+                import jax
+
+                jax.profiler.stop_trace()
+                log(f"🔬 Profiler trace written to {profiling}")
         return 0
     finally:
+        timer.report()
         print_runtime_stats(start, monitor)
         monitor.stop()
 

@@ -60,6 +60,38 @@ def print_runtime_stats(start_time: float, monitor: MemoryMonitor, log=None):
         log(f"   Peak memory usage: {monitor.peak_mb()} MB")
 
 
+class PhaseTimer:
+    """Per-phase wall timers printed at exit — the TPU-side analogue of the
+    reference's per-stage progress throughput (SURVEY.md section 5
+    'tracing/profiling')."""
+
+    def __init__(self, log=None):
+        self.log = log or (lambda *a: print(*a, file=sys.stderr))
+        self.phases: list[tuple[str, float]] = []
+
+    class _Span:
+        def __init__(self, timer, name):
+            self.timer, self.name = timer, name
+
+        def __enter__(self):
+            self.t0 = time.time()
+            return self
+
+        def __exit__(self, *exc):
+            self.timer.phases.append((self.name, time.time() - self.t0))
+            return False
+
+    def phase(self, name: str) -> "_Span":
+        return PhaseTimer._Span(self, name)
+
+    def report(self):
+        if not self.phases:
+            return
+        self.log("⏱  Phase timings:")
+        for name, dt in self.phases:
+            self.log(f"   {name}: {dt:.2f}s")
+
+
 class Progress:
     """Minimal throughput progress line (stderr), standing in for the
     reference's indicatif `{msg} {wide_bar} {pos}/{len} ({per_sec})`."""

@@ -174,10 +174,12 @@ def l1_argmin_xla(blocks, lib) -> tuple[jax.Array, jax.Array]:
 
 _B_TILE = 256
 _L_TILE = 512
-_UNROLL_D = 64
-#: feature-axis chunk per grid step; D is padded with zeros on BOTH sides
-#: of the metric (|0-0| = 0 contributes nothing), so every chunk is full.
-_D_CHUNK = 1024
+#: feature-axis chunk per grid step (one lane tile); D is padded with
+#: zeros on BOTH sides of the metric (|0-0| = 0 contributes nothing), so
+#: every chunk is processed with fully static slicing — lane-dim dynamic
+#: slices would need 128-aligned offsets anyway, and dynamic_slice on
+#: values doesn't lower in Mosaic at all.
+_D_CHUNK = 128
 
 
 def _l1_kernel(
@@ -215,31 +217,15 @@ def _l1_kernel(
         min_ref[...] = jnp.full(min_ref.shape, I32_MAX, dtype=jnp.int32)
         arg_ref[...] = jnp.zeros(arg_ref.shape, dtype=jnp.int32)
 
-    if nd == 1 and real_d <= _UNROLL_D:
-        # small feature dims (modes 1..4): fully unrolled, padding skipped
-        acc = acc_ref[...]
-        for dd in range(real_d):
-            xc = x_ref[:, dd : dd + 1].astype(jnp.int32)
-            lc = lt_ref[dd : dd + 1, :].astype(jnp.int32)
-            acc = acc + jnp.abs(xc - lc)
-        acc_ref[...] = acc
-    else:
-        x = x_ref[...]
-        lt = lt_ref[...]
-        # last chunk stops at the real feature count (padding is zero on
-        # both sides anyway, but skipping it saves the VPU passes)
-        steps = jnp.where(d == nd - 1, real_d - (nd - 1) * dc, dc)
-
-        def step(dd, acc):
-            xc = jax.lax.dynamic_slice(x, (0, dd), (x.shape[0], 1)).astype(
-                jnp.int32
-            )
-            lc = jax.lax.dynamic_slice(lt, (dd, 0), (1, lt.shape[1])).astype(
-                jnp.int32
-            )
-            return acc + jnp.abs(xc - lc)
-
-        acc_ref[...] = jax.lax.fori_loop(0, steps, step, acc_ref[...])
+    # statically unrolled per-feature accumulation; the last chunk skips
+    # the all-padding tail (zero padding contributes |0-0| = 0 regardless)
+    unroll = real_d if nd == 1 else dc
+    acc = acc_ref[...]
+    for dd in range(unroll):
+        xc = x_ref[:, dd : dd + 1].astype(jnp.int32)
+        lc = lt_ref[dd : dd + 1, :].astype(jnp.int32)
+        acc = acc + jnp.abs(xc - lc)
+    acc_ref[...] = acc
 
     @pl.when(d == nd - 1)
     def _fold():
