@@ -178,15 +178,10 @@ def render_nto1(
     items = np.where(rows < 0, 0, items)  # unassigned -> black
     items_grid = items.reshape(vtiles, htiles)
 
-    stats = RenderStats()
-    for by in range(vtiles):
-        for bx in range(htiles):
-            it = int(items_grid[by, bx])
-            if it == 0:
-                continue
-            tile = tile_set.get_tile(it)
-            # source-pixel coords (rendering.rs:211-214)
-            stats.push_tile(bx * dim, by * dim, tile, int(dists[by * htiles + bx]))
+    # source-pixel coords (rendering.rs:211-214)
+    stats = RenderStats.from_grid(
+        items_grid, np.asarray(dists).reshape(vtiles, htiles), dim, dim, tile_set
+    )
 
     image = None
     if compose:

@@ -74,20 +74,14 @@ def render_nto1_no_repeat(
     items = np.where(rows < 0, 0, items)
     items_grid = items.reshape(vtiles, htiles)
 
-    stats = RenderStats()
-    for by in range(vtiles):
-        for bx in range(htiles):
-            it = int(items_grid[by, bx])
-            if it == 0:
-                continue
-            tile = tile_set.get_tile(it)
-            # output-pixel coords (rendering.rs:357-364)
-            stats.push_tile(
-                bx * tile_size,
-                by * tile_size,
-                tile,
-                int(dists[by * htiles + bx]),
-            )
+    # output-pixel coords (rendering.rs:357-364)
+    stats = RenderStats.from_grid(
+        items_grid,
+        np.asarray(dists).reshape(vtiles, htiles),
+        tile_size,
+        tile_size,
+        tile_set,
+    )
 
     image = None
     if compose:

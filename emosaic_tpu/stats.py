@@ -4,6 +4,12 @@ Collects per-placement (position -> tile, distance) records, prints the
 summary (stats.rs:87-139), and renders the grayscale match-quality heatmap
 (stats.rs:154-195).
 
+Array-backed: a gigapixel render places 16.7M tiles; per-entry Python
+objects cost ~100s and gigabytes (measured: 25s / 2.7 GB at 4.2M). Bulk
+construction is `from_grid` (vectorized); `push_tile` remains for the
+incremental/test path; the `tiles` dict view is materialized lazily for
+the HTML widget (which is only sensible at small sizes anyway).
+
 Coordinate-space quirk preserved: `render_nto1` records *source-pixel*
 coords (rendering.rs:211-214) while the global-greedy no-repeat renderer
 records *output-pixel* coords (rendering.rs:357-364); the heatmap and the
@@ -16,7 +22,7 @@ HashMap-iteration-dependent there; here ties break by path / position.
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -45,64 +51,162 @@ class StatsEntry:
     distance: int
 
 
-@dataclass
 class RenderStats:
-    """Maps placement (x, y) -> (tile, distance) (stats.rs:28-31)."""
+    """Maps placement (x, y) -> (tile, distance) (stats.rs:28-31),
+    stored as parallel arrays."""
 
-    tiles: dict[tuple[int, int], StatsEntry] = field(default_factory=dict)
+    def __init__(self):
+        self._xs: list[int] = []
+        self._ys: list[int] = []
+        self._items: list[int] = []  # signed item ids
+        self._dists: list[int] = []
+        self._dates: list[str | None] = []
+        self._arrays = None  # (xs, ys, items, dists) numpy cache
+        self._dates_arr = None
+        self._dict = None
+
+    # -- construction --------------------------------------------------------
+
+    @staticmethod
+    def from_grid(
+        items_grid: np.ndarray,
+        dists_grid: np.ndarray,
+        x_scale: int,
+        y_scale: int,
+        tile_set,
+    ) -> "RenderStats":
+        """Vectorized bulk construction from a [nby, nbx] signed item grid.
+
+        Placement keys are (bx * x_scale, by * y_scale) — source coords for
+        render_nto1 (scale = dim), output coords for the no-repeat renderer
+        (scale = tile_size). item 0 (unassigned) entries are skipped, like
+        the reference's skipped blocks.
+        """
+        s = RenderStats()
+        nby, nbx = items_grid.shape
+        items = np.asarray(items_grid, dtype=np.int64).reshape(-1)
+        dists = np.asarray(dists_grid, dtype=np.int64).reshape(-1)
+        keep = items != 0
+        by, bx = np.divmod(np.arange(nby * nbx)[keep], nbx)
+        s._set_arrays(
+            bx.astype(np.int64) * x_scale,
+            by.astype(np.int64) * y_scale,
+            items[keep],
+            dists[keep],
+            tile_set,
+        )
+        return s
+
+    def _set_arrays(self, xs, ys, items, dists, tile_set):
+        self._arrays = (xs, ys, items, dists)
+        dates = np.asarray(
+            [d if d is not None else "" for d in tile_set.dates], dtype=object
+        )
+        idx = np.abs(items) - 1
+        self._dates_arr = (
+            dates[idx] if len(dates) else np.full(len(items), "", dtype=object)
+        )
 
     def push_tile(self, x: int, y: int, tile, distance: int) -> None:
-        self.tiles[(x, y)] = StatsEntry(
-            idx=tile.idx,
-            flipped=tile.flipped,
-            date_taken=tile.date_taken,
-            distance=int(distance),
-        )
+        self._invalidate()
+        self._xs.append(int(x))
+        self._ys.append(int(y))
+        self._items.append(tile.item)
+        self._dists.append(int(distance))
+        self._dates.append(tile.date_taken)
+
+    def _invalidate(self):
+        if self._arrays is not None:
+            xs, ys, items, dists = self._arrays
+            self._xs = list(map(int, xs))
+            self._ys = list(map(int, ys))
+            self._items = list(map(int, items))
+            self._dists = list(map(int, dists))
+            self._dates = list(self._dates_arr)
+            self._arrays = None
+            self._dates_arr = None
+        self._dict = None
+
+    def _get_arrays(self):
+        if self._arrays is None:
+            xs = np.asarray(self._xs, dtype=np.int64)
+            ys = np.asarray(self._ys, dtype=np.int64)
+            items = np.asarray(self._items, dtype=np.int64)
+            dists = np.asarray(self._dists, dtype=np.int64)
+            dates = np.asarray(
+                [d if d else "" for d in self._dates], dtype=object
+            )
+            # later pushes to the same (x, y) overwrite (dict semantics)
+            key = xs * (2**32) + ys
+            _, last = np.unique(key[::-1], return_index=True)
+            sel = np.sort(len(key) - 1 - last)
+            return xs[sel], ys[sel], items[sel], dists[sel], dates[sel]
+        xs, ys, items, dists = self._arrays
+        return xs, ys, items, dists, self._dates_arr
+
+    # -- views ----------------------------------------------------------------
+
+    @property
+    def tiles(self) -> dict[tuple[int, int], StatsEntry]:
+        """Dict view for the widget/tests (lazy; O(N) objects — avoid on
+        gigapixel grids)."""
+        if self._dict is None:
+            xs, ys, items, dists, dates = self._get_arrays()
+            self._dict = {
+                (int(x), int(y)): StatsEntry(
+                    idx=int(abs(it)),
+                    flipped=bool(it < 0),
+                    date_taken=(d if d else None),
+                    distance=int(dd),
+                )
+                for x, y, it, dd, d in zip(xs, ys, items, dists, dates)
+            }
+        return self._dict
 
     def tile_count(self) -> int:
-        return len(self.tiles)
+        xs, *_ = self._get_arrays()
+        return len(xs)
+
+    # -- reporting (stats.rs:87-139) -------------------------------------------
 
     def summarise(self, tile_set, log=lambda *a: print(*a, file=sys.stderr)) -> None:
-        """Print totals, unique-image count, average distance, top-10 most
-        used, worst-10 matches (stats.rs:87-139)."""
-        if not self.tiles:
+        xs, ys, items, dists, _ = self._get_arrays()
+        if len(xs) == 0:
             log("No tiles recorded in statistics")
             return
-        total = sum(e.distance for e in self.tiles.values())
-        usage: dict[str, int] = {}
-        for e in self.tiles.values():
-            p = str(tile_set.get_path(e.idx))
-            usage[p] = usage.get(p, 0) + 1
+        idx0 = np.abs(items) - 1  # 0-based tile index
+        counts = np.bincount(idx0, minlength=len(tile_set))
+        used = np.nonzero(counts)[0]
         log("Mosaic Statistics:")
-        log(f"  Total tiles placed: {len(self.tiles)}")
-        log(f"  Unique images used: {len(usage)}")
-        log(f"  Average color distance: {total / len(self.tiles):.3f}")
+        log(f"  Total tiles placed: {len(xs)}")
+        log(f"  Unique images used: {len(used)}")
+        log(f"  Average color distance: {dists.sum() / len(xs):.3f}")
         log("\nTop 10 most used tiles:")
-        by_count = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))
-        for i, (path, count) in enumerate(by_count[:10]):
-            log(f"  {i + 1}. {path} ({count} times)")
+        order = sorted(used, key=lambda i: (-counts[i], str(tile_set.get_path(int(i) + 1))))
+        for n, i in enumerate(order[:10]):
+            log(f"  {n + 1}. {tile_set.get_path(int(i) + 1)} ({counts[i]} times)")
         log("\nWorst 10 color matches:")
-        worst = sorted(
-            self.tiles.items(), key=lambda kv: (-kv[1].distance, kv[0])
-        )
-        for i, ((_x, _y), e) in enumerate(worst[:10]):
-            log(f"  {i + 1}. {tile_set.get_path(e.idx)} (distance: {e.distance})")
+        worst = np.lexsort((ys, xs, -dists))[:10]
+        for n, j in enumerate(worst):
+            log(
+                f"  {n + 1}. {tile_set.get_path(int(idx0[j]) + 1)} "
+                f"(distance: {int(dists[j])})"
+            )
 
     def render(self, tile_size: int) -> np.ndarray:
         """Grayscale heatmap, 1 px per placement, distance normalized to the
         max (stats.rs:154-195). Returns [h, w, 3] uint8."""
-        if not self.tiles:
+        xs, ys, _, dists, _ = self._get_arrays()
+        if len(xs) == 0:
             raise ValueError("Cannot render visualization: no tiles recorded")
         if tile_size <= 0:
             raise ValueError("Tile size must be greater than 0")
-        max_x = max(x for x, _ in self.tiles)
-        max_y = max(y for _, y in self.tiles)
-        max_d = max(e.distance for e in self.tiles.values())
-        w = max_x // tile_size + 1
-        h = max_y // tile_size + 1
+        max_d = int(dists.max())
+        w = int(xs.max()) // tile_size + 1
+        h = int(ys.max()) // tile_size + 1
         img = np.zeros((h, w, 3), dtype=np.uint8)
-        for (x, y), e in self.tiles.items():
-            nd = e.distance / max_d if max_d > 0 else 0.0
-            b = int(nd * 255.0)
-            img[y // tile_size, x // tile_size] = b
+        nd = (dists / max_d * 255.0).astype(np.uint8) if max_d > 0 else np.zeros(
+            len(dists), dtype=np.uint8
+        )
+        img[ys // tile_size, xs // tile_size] = nd[:, None]
         return img
