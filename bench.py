@@ -27,7 +27,6 @@ in-flight band buffers fit HBM.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys

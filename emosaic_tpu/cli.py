@@ -16,13 +16,14 @@ Behavioral parity notes (quirks preserved, SURVEY.md 'quirks ledger'):
 - validation messages keep the emoji phrasing (main.rs:272-345).
 
 Additions over the reference: --seed (explicit RNG; the reference is
-irreproducible thread_rng) and --matcher {auto,lut,pallas,xla}.
+irreproducible thread_rng), --matcher {auto,lut,pallas,xla},
+--metric {l1,l2} (MXU fast mode), --stream-threshold (gigapixel banded
+PNG streaming), and --profile DIR (jax.profiler trace).
 """
 
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 import time
 from pathlib import Path

@@ -31,7 +31,6 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from emosaic_tpu.ops.analysis import _analyse_batch_jit
-from emosaic_tpu.ops.distance import I32_MAX
 
 
 def _pad_rows_with_first(x: jax.Array, multiple: int) -> jax.Array:
