@@ -312,6 +312,52 @@ def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.A
 
 
 # ---------------------------------------------------------------------------
+# Full distance matrix (exact no-repeat candidate lists)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("d", "bc"))
+def _l1_matrix_jit(blocks_flat, lib_flat, *, d: int, bc: int):
+    blocks = blocks_flat.reshape(-1, d)
+    lib = lib_flat.reshape(-1, d).astype(jnp.int32)
+
+    def per_chunk(bchunk):
+        return jnp.abs(
+            bchunk.astype(jnp.int32)[:, None, :] - lib[None, :, :]
+        ).sum(axis=-1, dtype=jnp.int32)
+
+    nb = blocks.shape[0] // bc
+    return jax.lax.map(per_chunk, blocks.reshape(nb, bc, d)).reshape(
+        blocks.shape[0], lib.shape[0]
+    )
+
+
+def l1_dist_matrix(blocks, lib) -> np.ndarray:
+    """Full [B, L] int32 L1 distance matrix (host numpy).
+
+    Used by the exact global-greedy no-repeat path: with the reference's
+    32767-tile cap its 100k-NN candidate fetch is simply the full sorted
+    list per block (rendering.rs:320; SURVEY §2 R17), and sorting a dense
+    matrix on the host beats a running device top-k at k = L by orders of
+    magnitude.
+    """
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, d = blocks.shape
+    bc, _ = _chunk_sizes(d)
+    bc = min(bc, max(8, 1 << (b - 1).bit_length()))
+    bp = -(-b // bc) * bc
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    out = _l1_matrix_jit(
+        jnp.asarray(blocks_p.reshape(-1)),
+        jnp.asarray(lib.reshape(-1)),
+        d=d,
+        bc=bc,
+    )
+    return np.asarray(jax.device_get(out))[:b]
+
+
+# ---------------------------------------------------------------------------
 # MXU L2 fast mode (opt-in --metric l2; the reference is L1-only)
 # ---------------------------------------------------------------------------
 

@@ -24,7 +24,12 @@ import numpy as np
 
 from emosaic_tpu.ops.analysis import source_blocks
 from emosaic_tpu.ops.composite import compose_mosaic
-from emosaic_tpu.ops.distance import build_library, l1_topk, rows_to_items
+from emosaic_tpu.ops.distance import (
+    build_library,
+    l1_dist_matrix,
+    l1_topk,
+    rows_to_items,
+)
 from emosaic_tpu.render.greedy import greedy_global_assign, make_numpy_refill
 from emosaic_tpu.render.matched import RenderOutcome, insufficient_tiles_check
 from emosaic_tpu.stats import RenderStats
@@ -59,9 +64,18 @@ def render_nto1_no_repeat(
     num_tiles = len(tile_set)
     b, l = blocks.shape[0], lib.shape[0]
 
-    k = l if b * l <= _EXACT_BUDGET else min(_TRUNCATED_K, l)
-    cd, cr = l1_topk(blocks, lib, k)
-    cd, cr = np.asarray(cd), np.asarray(cr)
+    if b * l <= _EXACT_BUDGET:
+        # exact mode: the full sorted candidate list per block (what the
+        # reference's 100k-NN fetch amounts to under its tile cap) — dense
+        # matrix on device, stable argsort on host (a running device top-k
+        # at k = L is orders of magnitude slower)
+        dist = l1_dist_matrix(blocks, lib)
+        cr = np.argsort(dist, axis=1, kind="stable").astype(np.int32)
+        cd = np.take_along_axis(dist, cr, axis=1).astype(np.int32)
+    else:
+        k = min(_TRUNCATED_K, l)
+        cd, cr = l1_topk(blocks, lib, k)
+        cd, cr = np.asarray(cd), np.asarray(cr)
     from emosaic_tpu import native
 
     if native.available():
