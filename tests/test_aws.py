@@ -1,0 +1,170 @@
+"""Flag-backend Lambda handler tests against an in-memory DynamoDB fake
+(the reference backend has no automated tests at all — SURVEY §4)."""
+
+import importlib.util
+import json
+import sys
+import time
+import types
+from pathlib import Path
+
+import pytest
+
+LAMBDA_DIR = Path(__file__).parent.parent / "emosaic_tpu" / "aws" / "lambda"
+
+
+class FakeTable:
+    def __init__(self, name, key):
+        self.name = name
+        self.key = key
+        self.items = {}
+        self.meta = types.SimpleNamespace(client=FakeClient(self))
+
+    def put_item(self, Item):
+        self.items[Item[self.key]] = Item
+
+    def get_item(self, Key):
+        item = self.items.get(Key[self.key])
+        return {"Item": item} if item else {}
+
+    def delete_item(self, Key):
+        self.items.pop(Key[self.key], None)
+
+    def scan(self, **kwargs):
+        vals = list(self.items.values())
+        limit = kwargs.get("Limit", len(vals))
+        start = 0
+        if "ExclusiveStartKey" in kwargs:
+            keys = [v[self.key] for v in vals]
+            start = keys.index(kwargs["ExclusiveStartKey"][self.key]) + 1
+        page = vals[start : start + limit]
+        resp = {"Items": page}
+        if start + limit < len(vals):
+            resp["LastEvaluatedKey"] = {self.key: page[-1][self.key]}
+        return resp
+
+
+class FakeClient:
+    def __init__(self, table):
+        self.table = table
+
+    def batch_get_item(self, RequestItems):
+        (name, spec), = RequestItems.items()
+        found = [
+            self.table.items[k["tileHash"]]
+            for k in spec["Keys"]
+            if k["tileHash"] in self.table.items
+        ]
+        return {"Responses": {name: found}}
+
+
+@pytest.fixture
+def backend(monkeypatch):
+    flags = FakeTable("prod-tile-flags", "tileHash")
+    rates = FakeTable("prod-rate-limits", "key")
+
+    class FakeDDB:
+        def Table(self, name):
+            return flags if "tile-flags" in name else rates
+
+    fake_boto3 = types.SimpleNamespace(resource=lambda *a, **k: FakeDDB())
+    monkeypatch.setitem(sys.modules, "boto3", fake_boto3)
+
+    mods = {}
+    for name in ("toggle_flag", "get_flags", "admin_get_all_flags"):
+        spec = importlib.util.spec_from_file_location(name, LAMBDA_DIR / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod._TABLE = None  # reset lazy singletons per test
+        if hasattr(mod, "_RATE_TABLE"):
+            mod._RATE_TABLE = None
+        mods[name] = mod
+    return mods, flags, rates
+
+
+def _event(method, hash_=None, body=None, qs=None, ip="1.2.3.4"):
+    return {
+        "httpMethod": method,
+        "pathParameters": {"tileHash": hash_} if hash_ else {},
+        "body": json.dumps(body) if body is not None else None,
+        "queryStringParameters": qs,
+        "requestContext": {"identity": {"sourceIp": ip}},
+    }
+
+
+def test_toggle_and_get(backend):
+    mods, flags, _ = backend
+    r = mods["toggle_flag"].handler(
+        _event("POST", "abc123", {"tilePath": "t.jpg"}), None
+    )
+    assert r["statusCode"] == 200 and json.loads(r["body"])["flagged"]
+    assert "abc123" in flags.items
+
+    r = mods["get_flags"].handler(
+        _event("POST", body={"tileHashes": ["abc123", "nope99"]}), None
+    )
+    body = json.loads(r["body"])
+    assert body["flags"] == {"abc123": True, "nope99": False}
+    assert body["count"] == 1
+
+    r = mods["toggle_flag"].handler(_event("DELETE", "abc123"), None)
+    assert not json.loads(r["body"])["flagged"]
+    assert "abc123" not in flags.items
+
+
+def test_toggle_validates_hash(backend):
+    mods, *_ = backend
+    assert mods["toggle_flag"].handler(_event("POST", ""), None)["statusCode"] == 400
+    assert (
+        mods["toggle_flag"].handler(_event("POST", "bad/../hash"), None)[
+            "statusCode"
+        ]
+        == 400
+    )
+
+
+def test_rate_limit_10_per_minute(backend):
+    mods, _, rates = backend
+    codes = [
+        mods["toggle_flag"].handler(_event("POST", f"hash{i:02d}"), None)[
+            "statusCode"
+        ]
+        for i in range(12)
+    ]
+    assert codes[:10] == [200] * 10
+    assert codes[10] == codes[11] == 429  # toggle_flag.py:35-40 envelope
+    # different IP unaffected
+    r = mods["toggle_flag"].handler(_event("POST", "zz11", ip="9.9.9.9"), None)
+    assert r["statusCode"] == 200
+
+
+def test_get_flags_limits(backend):
+    mods, *_ = backend
+    r = mods["get_flags"].handler(_event("POST", body={"tileHashes": []}), None)
+    assert r["statusCode"] == 400
+    r = mods["get_flags"].handler(
+        _event("POST", body={"tileHashes": ["x"] * 101}), None
+    )
+    assert r["statusCode"] == 400  # get_flags.py:27-28 cap
+
+
+def test_admin_pagination_and_summary(backend):
+    mods, flags, _ = backend
+    now = int(time.time())
+    for i in range(5):
+        flags.put_item(
+            Item={
+                "tileHash": f"h{i}",
+                "flaggedBy": "1.1.1.1" if i < 3 else "2.2.2.2",
+                "flaggedAt": now - i,
+            }
+        )
+    r = mods["admin_get_all_flags"].handler(_event("GET", qs={"pageSize": "3"}), None)
+    body = json.loads(r["body"])
+    assert body["count"] == 3 and "nextStartKey" in body
+    r2 = mods["admin_get_all_flags"].handler(
+        _event("GET", qs={"pageSize": "3", "startKey": body["nextStartKey"]}), None
+    )
+    body2 = json.loads(r2["body"])
+    assert body2["count"] == 2
+    assert body["summary"]["uniqueFlaggers"] >= 1
