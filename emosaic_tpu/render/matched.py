@@ -125,6 +125,9 @@ def render_nto1(
             "no_repeat + randomize is unsupported (the reference deadlocks "
             "on this combination, rendering.rs:163-174)"
         )
+    if len(tile_set) == 0:
+        # the reference panics deep in the kd-tree here; fail clearly
+        raise ValueError("❌ No tiles available for matching")
     n = tile_set.n_cells
     dim = math.isqrt(n)
     h, w = source_img.shape[0], source_img.shape[1]

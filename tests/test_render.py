@@ -155,3 +155,23 @@ def test_randomize_zero_keeps_best(rng):
     d_r = sorted(e.distance for e in out_r.stats.tiles.values())
     d_b = sorted(e.distance for e in out_b.stats.tiles.values())
     assert d_r == d_b
+
+
+def test_mode128_exact_self_match(rng):
+    # D = 49152 (mode 128) through the high-N fallback path
+    dim, ts = 128, 128
+    universe = rng.integers(0, 256, size=(3, ts, ts, 3), dtype=np.uint8)
+    from emosaic_tpu.ops.analysis import analyse_batch
+
+    pal = np.asarray(analyse_batch(universe, dim))
+    tset = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(3)])
+    out = render_nto1(universe[1], tset, ts, stack=universe, **quiet)
+    assert out.items[0, 0] == 2
+    assert out.stats.tiles[(0, 0)].distance == 0
+
+
+def test_empty_library_raises(rng):
+    src = np.zeros((4, 4, 3), dtype=np.uint8)
+    ts = TileSet(palettes=np.zeros((0, 1, 3), dtype=np.uint8), paths=[])
+    with pytest.raises(ValueError, match="No tiles"):
+        render_nto1(src, ts, 4, **quiet)
