@@ -254,6 +254,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Output byte size above which the mosaic is composed in bands "
         "and PNG-encoded incrementally (gigapixel path)",
     )
+    m.add_argument(
+        "--png-compress-level",
+        type=int,
+        choices=range(0, 10),
+        metavar="0..9",
+        default=1,
+        help="zlib level for streamed PNG output (0 = stored, fastest)",
+    )
     return p
 
 
@@ -444,7 +452,9 @@ def run_mosaic(args, timer=None) -> None:
         band_rows = max(1, (256 << 20) // (nbx * args.tile_size**2 * 3))
         log(f"📝 Streaming {out_w}x{out_h} output to {out_path}")
         y0 = 0
-        with StreamingPNGWriter(out_path, out_w, out_h) as w:
+        with StreamingPNGWriter(
+            out_path, out_w, out_h, compress_level=args.png_compress_level
+        ) as w:
             for band in iter_bands(items, stack, band_rows=band_rows):
                 if args.tint_opacity > 0.0:
                     band = tint_blend_band(

@@ -29,3 +29,22 @@ def test_memory_monitor():
     time.sleep(0.25)
     m.stop()
     assert float(m.peak_mb()) > 1.0
+
+
+def test_make_mesh():
+    import jax
+    from emosaic_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    m = make_mesh(8, model=2)
+    assert m.shape == {"data": 4, "model": 2}
+    m1 = make_mesh(4)
+    assert m1.shape == {"data": 4, "model": 1}
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(6, model=4)
+
+
+def test_main_module_entry(tmp_path, monkeypatch):
+    # `python -m emosaic_tpu` surface exists
+    import emosaic_tpu.__main__  # noqa: F401
