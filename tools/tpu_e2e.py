@@ -1,0 +1,106 @@
+"""End-to-end CLI matrix on the real TPU: every mode and option combination
+through `emosaic_tpu.cli`, with output assertions. Prints PASS/FAIL per
+case and a summary line.
+
+Run on the TPU VM (claims the device once for the whole matrix):
+    python tools/tpu_e2e.py [workdir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[e2e {time.time() - T0:6.1f}s] {msg}", flush=True)
+
+
+def build_scene(root: Path):
+    rng = np.random.default_rng(42)
+    tiles = root / "tiles"
+    tiles.mkdir(parents=True, exist_ok=True)
+    for i in range(150):
+        base = rng.integers(0, 256, size=3)
+        img = np.clip(base + rng.normal(0, 25, (48, 48, 3)), 0, 255).astype(
+            np.uint8
+        )
+        Image.fromarray(img).save(tiles / f"t{i:03d}.jpg", quality=90)
+    h, w = 96, 96
+    y, x = np.mgrid[0:h, 0:w]
+    src = np.stack(
+        [x * 255 // w, y * 255 // h, (x + y) * 255 // (w + h)], -1
+    ).astype(np.uint8)
+    Image.fromarray(src).save(root / "src.png")
+    (root / "out").mkdir(exist_ok=True)
+
+
+def main() -> int:
+    root = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/emosaic_e2e")
+    build_scene(root)
+    log("scene ready")
+    from emosaic_tpu.cli import main as cli_main
+
+    src = str(root / "src.png")
+    tiles = str(root / "tiles")
+
+    def out(name):
+        return str(root / "out" / name)
+
+    cases = [
+        ("prepare", ["-s", "32", "-o", out("prep.png"), str(root / "tiles/t000.jpg"), "prepare"],
+         lambda: Image.open(out("prep.png")).size == (32, 32)),
+        ("mode1+html", ["-s", "8", "-o", out("m1.jpg"), src, "mosaic", tiles, "-m", "1", "--html"],
+         lambda: Image.open(out("m1.jpg")).format == "PNG"
+         and (root / "out/m1_widget.html").exists()
+         and (root / "out/m1.stats.png").exists()),
+        ("mode2-lut-off", ["-s", "8", "-o", out("m2.png"), src, "mosaic", tiles, "-m", "2", "--matcher", "pallas"],
+         lambda: Image.open(out("m2.png")).size == (48 * 8, 48 * 8)),
+        ("mode3", ["-s", "9", "-o", out("m3.png"), src, "mosaic", tiles, "-m", "3"],
+         lambda: Image.open(out("m3.png")).size == (32 * 9, 32 * 9)),
+        ("mode8", ["-s", "8", "-o", out("m8.png"), src, "mosaic", tiles, "-m", "8", "--downsample", "2"],
+         lambda: Image.open(out("m8.png")).size == (6 * 8, 6 * 8)),
+        ("l2-metric", ["-s", "8", "-o", out("l2.png"), src, "mosaic", tiles, "-m", "2", "--metric", "l2"],
+         lambda: Image.open(out("l2.png")).size == (48 * 8, 48 * 8)),
+        ("randomize", ["-s", "8", "-o", out("rz.png"), src, "mosaic", tiles, "-m", "1", "--randomize", "25", "--seed", "4"],
+         lambda: Image.open(out("rz.png")).size == (96 * 8, 96 * 8)),
+        ("norepeat-greedy", ["-s", "8", "-o", out("nrg.png"), src, "mosaic", tiles, "-m", "1", "--no-repeat", "--greedy", "--downsample", "6"],
+         lambda: Image.open(out("nrg.png")).size == (16 * 8, 16 * 8)),
+        ("norepeat-global", ["-s", "8", "-o", out("nr.png"), src, "mosaic", tiles, "-m", "1", "--no-repeat", "--downsample", "8"],
+         lambda: Image.open(out("nr.png")).size == (12 * 8, 12 * 8)),
+        ("random+tint", ["-s", "4", "-o", out("rt.png"), src, "mosaic", tiles, "-m", "random", "-t", "0.5", "--seed", "1"],
+         lambda: Image.open(out("rt.png")).size == (96 * 4, 96 * 4)
+         and not Path(out("rt.stats.png")).exists()),
+        ("streamed", ["-s", "8", "-o", out("st.png"), src, "mosaic", tiles, "-m", "1", "--stream-threshold", "0"],
+         lambda: Image.open(out("st.png")).size == (96 * 8, 96 * 8)),
+        ("web-mode", ["-s", "8", "-o", out("wb.png"), src, "mosaic", tiles, "-m", "1", "--web", "--title", "E2E"],
+         lambda: 'data-tile-image="tiles/' in (root / "out/wb_widget.html").read_text()
+         and "file://" not in (root / "out/wb_widget.html").read_text()),
+        ("force-reanalysis", ["-s", "8", "-o", out("fa.png"), src, "mosaic", tiles, "-m", "1", "-f"],
+         lambda: Image.open(out("fa.png")).size == (96 * 8, 96 * 8)),
+    ]
+    passed = failed = 0
+    for name, argv, check in cases:
+        try:
+            rc = cli_main(argv)
+            ok = rc == 0 and check()
+        except Exception as e:  # noqa: BLE001
+            ok = False
+            log(f"  exception in {name}: {type(e).__name__}: {e}")
+        log(f"{'PASS' if ok else 'FAIL'}: {name}")
+        passed += ok
+        failed += not ok
+    log(f"SUMMARY: {passed} passed, {failed} failed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
