@@ -48,7 +48,10 @@ def _progress(msg: str) -> None:
 NUM_TILES = 100_000
 TILE_SIZE = 32
 SRC = 4096
-BAND_BLOCK_ROWS = 128  # 128 * 32 = 4096 output rows, 1.61 GB per band
+# 32 block-rows * 4096 block-cols = 131072 rows per call — the DMA-fused
+# composite's scalar-prefetch budget (ops/composite._DMA_MAX_ROWS);
+# 1024 output rows, 402 MB per band
+BAND_BLOCK_ROWS = 32
 N_BANDS = SRC // BAND_BLOCK_ROWS
 
 
@@ -73,13 +76,19 @@ def match_phase(tiles3, src_packed):
 
 @jax.jit
 def _augment(tiles3):
-    """[T, ts, ts*3] -> [2T, ts, ts*3] with mirrored copies (one-time)."""
+    """[T, ts, ts*3] -> [2T+1, ts, lane] augmented stack matching
+    ops.composite.augment_stack2d (mirrored copies + black row, rows
+    lane-padded to 128), built on device (one-time)."""
     t = tiles3.shape[0]
     flipped = (
         tiles3.reshape(t, TILE_SIZE, TILE_SIZE, 3)[:, :, ::-1, :]
         .reshape(t, TILE_SIZE, TILE_SIZE * 3)
     )
-    return jnp.concatenate([tiles3, flipped], axis=0)
+    aug = jnp.concatenate(
+        [tiles3, flipped, jnp.zeros((1, TILE_SIZE, TILE_SIZE * 3), jnp.uint8)]
+    )
+    lane = -(-TILE_SIZE * 3 // 128) * 128
+    return jnp.pad(aug, ((0, 0), (0, 0), (0, lane - TILE_SIZE * 3)))
 
 
 def _compose_band(items_band, aug3):
@@ -139,7 +148,7 @@ def main() -> int:
     _progress(f"match timed: {t_match * 1e3:.1f} ms")
 
     # B: composite bands. k is kept small so the at-most-k in-flight
-    # 1.61 GB band buffers fit HBM without per-band syncs (which would
+    # 402 MB band buffers fit HBM without per-band syncs (which would
     # idle the device on 30 ms tunnel round-trips); cycling the band index
     # keeps every call doing real, distinct gathers.
     def run_bands(k):
@@ -151,7 +160,7 @@ def main() -> int:
         _sync(out)
         return time.perf_counter() - t0
 
-    t_band = _rate_via_difference(run_bands, 2, 6)
+    t_band = _rate_via_difference(run_bands, 4, 16)
     _progress(f"band timed: {t_band * 1e3:.2f} ms")
 
     total = t_match + N_BANDS * t_band

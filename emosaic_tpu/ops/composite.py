@@ -1,18 +1,29 @@
 """Mosaic composition: device-side gather of tile images + fused tint blend.
 
 Replaces the reference's per-block `imageops::replace/overlay` placement
-loops (rendering.rs:76-99, :346-381) with a single gather/transpose over the
-prepared-tile stack, and the host-side RGBA tint overlay (main.rs:447-465)
-with a fused alpha blend.
+loops (rendering.rs:76-99, :346-381) with a gather over the prepared-tile
+stack, and the host-side RGBA tint overlay (main.rs:447-465) with a fused
+alpha blend.
 
 Flip handling mirrors tileset.rs:146-161 `get_image`: negative item ids
-select the horizontally mirrored tile image.
+select the horizontally mirrored tile image. The augmented stack holds
+[originals; mirrored copies; one black row], so flips and the
+unassigned-block case (item 0 -> black, like the reference's skipped
+blocks in rendering.rs:349-351) are plain row selection.
 
-TPU layout note: arrays crossing the jit boundary are kept 2D with large
-minor dimensions. A `u8[..., 3]` boundary buffer gets the (8,128)-lane
-tiled layout on the size-3 minor dim — a ~42x physical inflation (observed
-on v5e: a 1.6 GB band would allocate 64 GB). Pixel data therefore travels
-as `[rows, width*3]` and is reshaped on the host.
+Three composite paths, fastest first (per 1.61 GB band, measured v5e):
+  1. `_compose_rows_dma` (~12 ms): a Pallas kernel with scalar-prefetched
+     row indices issuing per-tile DMA gathers HBM->VMEM and writing the
+     band in final row-major layout — no intermediate buffer at all.
+  2. `_compose_rows_pallas` (~27 ms): XLA row gather into a pre-tiled
+     [*, ts, lane] intermediate + a VMEM-blocked transpose kernel.
+  3. `_compose_rows_xla` (~64 ms, portable): gather + XLA transpose.
+
+TPU layout notes: arrays crossing the jit boundary are kept 2D/3D with
+large minor dimensions — a `u8[..., 3]` boundary buffer gets the
+(8,128)-lane tiled layout on the size-3 minor dim (~42x inflation;
+observed: a 1.6 GB band would allocate 64 GB). Stack rows are lane-padded
+to multiples of 128 because DMA slices must be 128-aligned.
 """
 
 from __future__ import annotations
@@ -26,58 +37,61 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: tiles per pallas transpose chunk (block columns are padded to this)
+#: tiles per transpose/DMA chunk (block columns are padded to this)
 _CH = 128
+#: scalar-prefetch row indices must fit SMEM (1 MB): 512 KB of int32
+_DMA_MAX_ROWS = 131072
+#: VMEM budget for the DMA path's scratch + out blocks
+_DMA_VMEM_BUDGET = 10 * 2**20
+
+
+def _lane(ts: int) -> int:
+    """Padded row width for a [ts, ts*3] tile row (128-aligned for DMA)."""
+    return -(-ts * 3 // 128) * 128
 
 
 def _rows_of(items: jax.Array, t: int):
     """Signed items -> augmented-stack rows (tileset.rs:131-143 convention;
-    rows T..2T are the pre-mirrored copies). item 0 stays masked black."""
+    rows T..2T are the pre-mirrored copies, row 2T is black for item 0)."""
     flat = items.reshape(-1)
     rows = jnp.clip(jnp.where(flat >= 0, flat - 1, t - flat - 1), 0, 2 * t - 1)
-    return rows, flat
+    return jnp.where(flat == 0, 2 * t, rows)
 
 
 @functools.partial(jax.jit, static_argnames=("ts",))
 def _compose_rows_xla(items: jax.Array, aug3: jax.Array, *, ts: int):
     """Portable path: gather + XLA transpose.
-    items [nby, nbx] i32, aug3 [2T, ts, ts*3] u8 -> [nby*ts, nbx*ts*3]."""
+    items [nby, nbx] i32, aug3 [2T+1, ts, lane] u8 -> [nby*ts, nbx*ts*3]."""
     nby, nbx = items.shape
     t = aug3.shape[0] // 2
-    rows, flat = _rows_of(items, t)
-    sel = aug3[rows]  # [B, ts, ts*3]
-    sel = jnp.where((flat == 0)[:, None, None], jnp.uint8(0), sel)
+    sel = aug3[_rows_of(items, t)][:, :, : ts * 3]  # [B, ts, ts*3]
     band = sel.reshape(nby, nbx, ts, ts * 3)
     return jnp.transpose(band, (0, 2, 1, 3)).reshape(nby * ts, nbx * ts * 3)
 
 
-def _tr_kernel(in_ref, out_ref):
-    # [CH, ts, ts*3] tile chunk -> [ts, CH*ts*3] band segment; explicit
+def _tr_kernel(in_ref, out_ref, *, s3: int):
+    # [CH, ts, lane] tile chunk -> [ts, CH*ts*3] band segment; explicit
     # per-tile copies (a jnp 3D transpose crashes the Mosaic compiler, and
     # element-gather formulations run ~4-8x slower — measured on v5e)
     for c in range(_CH):
-        out_ref[:, c * in_ref.shape[2] : (c + 1) * in_ref.shape[2]] = in_ref[c]
+        out_ref[:, c * s3 : (c + 1) * s3] = in_ref[c][:, :s3]
 
 
 @functools.partial(jax.jit, static_argnames=("ts",))
 def _compose_rows_pallas(items: jax.Array, aug3: jax.Array, *, ts: int):
-    """TPU fast path: row gather from the pre-tiled stack + VMEM-blocked
-    transpose kernel. ~2.4x the XLA path on v5e (26.5 vs 64 ms for a
-    1.6 GB band): the pre-tiled [2T, ts, ts*3] operand avoids a per-band
-    boundary relayout, and the kernel's blocks are large and contiguous on
-    both sides. Requires ts % 8 == 0 and nbx % _CH == 0 (caller pads)."""
+    """TPU middle path: row gather from the pre-tiled stack + VMEM-blocked
+    transpose kernel. Requires ts % 8 == 0 and nbx % _CH == 0."""
     nby, nbx = items.shape
     t = aug3.shape[0] // 2
-    rows, flat = _rows_of(items, t)
-    sel = aug3[rows]  # [B, ts, ts*3] — stays in the tiled layout
-    sel = jnp.where((flat == 0)[:, None, None], jnp.uint8(0), sel)
+    lane = aug3.shape[2]
+    sel = aug3[_rows_of(items, t)]  # [B, ts, lane], tiled layout
     nj = nbx // _CH
     return pl.pallas_call(
-        _tr_kernel,
+        functools.partial(_tr_kernel, s3=ts * 3),
         grid=(nby, nj),
         in_specs=[
             pl.BlockSpec(
-                (_CH, ts, ts * 3),
+                (_CH, ts, lane),
                 lambda i, j: (i * nj + j, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -89,38 +103,108 @@ def _compose_rows_pallas(items: jax.Array, aug3: jax.Array, *, ts: int):
     )(sel)
 
 
+def _dma_kernel(rows_ref, aug_hbm, out_ref, scratch, sems, *, s3: int):
+    """Fused gather+layout: per grid step, DMA _CH selected tile images
+    HBM->VMEM (row indices scalar-prefetched), then write them into the
+    band at their final positions. No HBM intermediate."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    base = (i * nj + j) * _CH
+
+    def issue(c, _):
+        row = rows_ref[base + c]
+        pltpu.make_async_copy(
+            aug_hbm.at[row], scratch.at[c], sems.at[c]
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, _CH, issue, 0)
+
+    def wait(c, _):
+        pltpu.make_async_copy(
+            aug_hbm.at[0], scratch.at[c], sems.at[c]
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, _CH, wait, 0)
+    for c in range(_CH):
+        out_ref[:, c * s3 : (c + 1) * s3] = scratch[c][:, :s3]
+
+
+@functools.partial(jax.jit, static_argnames=("ts",))
+def _compose_rows_dma(items: jax.Array, aug3: jax.Array, *, ts: int):
+    """TPU fast path (see module docstring). Caller guarantees
+    nby*nbx <= _DMA_MAX_ROWS, nbx % _CH == 0, ts % 8 == 0, VMEM budget."""
+    nby, nbx = items.shape
+    t = aug3.shape[0] // 2
+    lane = aug3.shape[2]
+    rows = _rows_of(items, t).astype(jnp.int32)
+    nj = nbx // _CH
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nby, nj),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((ts, _CH * ts * 3), lambda i, j, *_: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((_CH, ts, lane), jnp.uint8),
+            pltpu.SemaphoreType.DMA((_CH,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_dma_kernel, s3=ts * 3),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nby * ts, nbx * ts * 3), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(rows, aug3)
+
+
+def _dma_vmem_ok(ts: int) -> bool:
+    lane = _lane(ts)
+    return _CH * ts * lane + ts * _CH * ts * 3 <= _DMA_VMEM_BUDGET
+
+
 def _compose_rows_2d(items: jax.Array, aug3: jax.Array, *, ts: int):
-    """Dispatch: pallas on TPU when shapes allow, XLA otherwise.
-    items [nby, nbx] i32 (may be padded by caller), aug3 [2T, ts, ts*3]."""
-    nbx = items.shape[1]
+    """Dispatch: DMA-fused / pallas-transpose on TPU when shapes allow,
+    XLA otherwise. items [nby, nbx] i32 (caller pads columns), aug3
+    [2T+1, ts, lane] u8 (see `augment_stack2d`)."""
+    nby, nbx = items.shape
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu and ts % 8 == 0 and nbx % _CH == 0:
+        if nby * nbx <= _DMA_MAX_ROWS and _dma_vmem_ok(ts):
+            return _compose_rows_dma(items, aug3, ts=ts)
         return _compose_rows_pallas(items, aug3, ts=ts)
     return _compose_rows_xla(items, aug3, ts=ts)
 
 
 def augment_stack2d(stack) -> tuple[jax.Array, int]:
-    """[T, ts, ts, 3] uint8 -> device [2T, ts, ts*3] with mirrored copies
-    in rows T..2T (the composite analogue of build_library's flip rows).
-    The 3D shape is deliberate: it pre-pays the TPU tiled-layout cost once
-    instead of per band."""
+    """[T, ts, ts, 3] uint8 -> device [2T+1, ts, lane] stack: originals,
+    mirrored copies (the composite analogue of build_library's flip rows),
+    and a black row for unassigned blocks; rows lane-padded to 128."""
     stack = np.asarray(stack, dtype=np.uint8)
     t, ts = stack.shape[0], stack.shape[1]
-    flipped = stack[:, :, ::-1, :]
-    aug = np.concatenate(
-        [stack.reshape(t, ts, ts * 3), flipped.reshape(t, ts, ts * 3)]
-    )
+    lane = _lane(ts)
+    aug = np.zeros((2 * t + 1, ts, lane), dtype=np.uint8)
+    aug[:t, :, : ts * 3] = stack.reshape(t, ts, ts * 3)
+    aug[t : 2 * t, :, : ts * 3] = stack[:, :, ::-1, :].reshape(t, ts, ts * 3)
     return jnp.asarray(aug), ts
 
 
 def _compose_host(items_np: np.ndarray, aug3: jax.Array, ts: int) -> np.ndarray:
-    """Pad block columns for the pallas chunking, compose, slice back."""
+    """Pad block columns for the kernel chunking, split rows to respect the
+    scalar-prefetch budget, compose, slice back."""
     nby, nbx = items_np.shape
     nbxp = -(-nbx // _CH) * _CH
     if nbxp != nbx:
         items_np = np.pad(items_np, ((0, 0), (0, nbxp - nbx)))  # 0 = black
-    band = _compose_rows_2d(jnp.asarray(items_np), aug3, ts=ts)
-    out = np.asarray(jax.device_get(band)).reshape(nby * ts, nbxp * ts, 3)
+    rows_per_call = max(1, _DMA_MAX_ROWS // nbxp)
+    parts = []
+    for y0 in range(0, nby, rows_per_call):
+        part = jnp.asarray(items_np[y0 : y0 + rows_per_call])
+        band = _compose_rows_2d(part, aug3, ts=ts)
+        h = part.shape[0] * ts
+        parts.append(np.asarray(jax.device_get(band)).reshape(h, nbxp * ts, 3))
+    out = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
     return out[:, : nbx * ts] if nbxp != nbx else out
 
 
