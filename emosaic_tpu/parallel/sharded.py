@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from emosaic_tpu.ops.analysis import _analyse_batch_jit
+from emosaic_tpu.ops.distance import I32_MAX
 
 
 def _pad_rows_with_first(x: jax.Array, multiple: int) -> jax.Array:
@@ -126,6 +127,75 @@ def sharded_l1_argmin(
     dist, row = run(blocks_p, lib_p)
     # padded lib rows are copies of row 0 with higher indices: they can
     # never be selected; padded blocks are sliced off here
+    return dist[:b], row[:b]
+
+
+def sharded_l1_argmin_ring(
+    blocks, lib, mesh: Mesh
+) -> tuple[jax.Array, jax.Array]:
+    """Exact L1 argmin with *ring rotation* of library shards (the
+    sequence/context-parallel analogue called out in SURVEY §2.6: blocks
+    stay resident per shard; library shards rotate around the ring via
+    ppermute, each hop folding a partial (min, global-row) result).
+
+    Communication per device is the library shard size x (n-1) hops over
+    ICI — preferable to `sharded_l1_argmin`'s result all-gather when the
+    block count dwarfs the library. Results are bit-identical to the
+    single-chip kernel (lexicographic fold preserves the lowest-row
+    tie-break regardless of hop order). Uses the flattened mesh (both axes)
+    as one ring.
+    """
+    devs = mesh.devices.reshape(-1)
+    n = len(devs)
+    ring = Mesh(devs, axis_names=("ring",))
+    blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n)
+    lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n)
+    b, l = np.asarray(blocks).shape[0], np.asarray(lib).shape[0]
+    ls = lib_p.shape[0] // n
+    perm = [(i, (i + 1) % n) for i in range(n)]  # shard i -> i+1
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            NamedSharding(ring, P("ring", None)),
+            NamedSharding(ring, P("ring", None)),
+        ),
+        out_shardings=NamedSharding(ring, P("ring")),
+    )
+    def run(blocks_s, lib_s):
+        def body(bl, li):
+            me = jax.lax.axis_index("ring")
+
+            def hop(k, carry):
+                best_d, best_r, slab = carry
+                # slab originated on shard (me - k) mod n
+                origin = (me - k) % n
+                d, local_row = _local_l1_argmin(bl, slab)
+                grow = origin * ls + local_row
+                take = (d < best_d) | ((d == best_d) & (grow < best_r))
+                best_d = jnp.where(take, d, best_d)
+                best_r = jnp.where(take, grow, best_r)
+                slab = jax.lax.ppermute(slab, "ring", perm)
+                return best_d, best_r, slab
+
+            nb = bl.shape[0]
+            init = (
+                jnp.full((nb,), I32_MAX, dtype=jnp.int32),
+                jnp.zeros((nb,), dtype=jnp.int32),
+                li,
+            )
+            best_d, best_r, _ = jax.lax.fori_loop(0, n, hop, init)
+            return best_d, best_r
+
+        return jax.shard_map(
+            body,
+            mesh=ring,
+            in_specs=(P("ring", None), P("ring", None)),
+            out_specs=P("ring"),
+            check_vma=False,
+        )(blocks_s, lib_s)
+
+    dist, row = run(blocks_p, lib_p)
     return dist[:b], row[:b]
 
 

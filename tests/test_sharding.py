@@ -55,3 +55,20 @@ def test_sharded_mosaic_step_matches_single_chip(rng, devices):
     items = np.asarray(rows_to_items(rows, t)).reshape(8, 6)
     ref = np.asarray(compose_mosaic(items, tiles))
     assert (out == ref).all()
+
+
+@pytest.mark.parametrize("n", [8, 4])
+def test_ring_rotation_matcher_bit_identical(rng, devices, n):
+    # SURVEY §2.6 CP analogue: library shards rotate around the ring
+    from emosaic_tpu.parallel import sharded_l1_argmin_ring
+
+    mesh = make_mesh(n, model=1)
+    pal = rng.integers(0, 256, size=(53, 1, 3), dtype=np.uint8)
+    lib = np.array(build_library(pal))
+    blocks = rng.integers(0, 256, size=(77, 3), dtype=np.uint8)
+    lib[30] = lib[2]  # cross-shard tie
+    blocks[5] = lib[2]
+    d_ref, r_ref = l1_argmin_xla(blocks, lib)
+    d_rg, r_rg = sharded_l1_argmin_ring(blocks, lib, mesh)
+    assert (np.asarray(d_rg) == np.asarray(d_ref)).all()
+    assert (np.asarray(r_rg) == np.asarray(r_ref)).all()
