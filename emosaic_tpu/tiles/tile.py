@@ -7,7 +7,7 @@ main.rs:414-435).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -18,7 +18,6 @@ class Tile:
     colors: np.ndarray | None = None  # [N, 3] uint8
     flipped: bool = False
     date_taken: str | None = None
-    _: dataclass = field(default=None, repr=False, compare=False)
 
     def __eq__(self, other):
         return (
