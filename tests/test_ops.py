@@ -262,3 +262,20 @@ def test_l2_argmin_oracle(rng, n_cells):
     got = np.take_along_axis(full, np.asarray(row)[:, None].astype(np.int64), 1)[:, 0]
     assert (np.asarray(dist) == got).all()
     assert (got == full.min(1)).all()
+
+
+def test_compose_host_row_chunking(rng, monkeypatch):
+    # force the scalar-prefetch row budget low to exercise chunk+concat
+    from emosaic_tpu.ops import composite as comp
+
+    monkeypatch.setattr(comp, "_DMA_MAX_ROWS", 8)
+    ts = 4
+    stack = rng.integers(0, 256, size=(5, ts, ts, 3), dtype=np.uint8)
+    items = rng.integers(1, 6, size=(6, 3)).astype(np.int32)
+    items[2, 1] = -4
+    items[3, 0] = 0
+    chunked = comp.compose_mosaic(items, stack)
+    monkeypatch.setattr(comp, "_DMA_MAX_ROWS", 131072)
+    full = comp.compose_mosaic(items, stack)
+    assert (chunked == full).all()
+    assert (chunked[3 * ts : 4 * ts, :ts] == 0).all()  # item 0 -> black
