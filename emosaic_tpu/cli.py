@@ -452,7 +452,7 @@ def run_mosaic(args, timer=None) -> None:
         band_rows = max(1, (256 << 20) // (nbx * args.tile_size**2 * 3))
         log(f"📝 Streaming {out_w}x{out_h} output to {out_path}")
         y0 = 0
-        with StreamingPNGWriter(
+        with timer.phase("stream compose+encode"), StreamingPNGWriter(
             out_path, out_w, out_h, compress_level=args.png_compress_level
         ) as w:
             for band in iter_bands(items, stack, band_rows=band_rows):
