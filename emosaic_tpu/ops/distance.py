@@ -471,16 +471,48 @@ def _l1_topk_jit(blocks_flat, lib_flat, *, d: int, k: int, bc: int, lc: int, rea
     return dists.reshape(bp, k), rows.reshape(bp, k)
 
 
-def l1_topk(blocks, lib, k: int) -> tuple[jax.Array, jax.Array]:
-    """k nearest library rows per block, ascending by distance.
+#: below this many distance-matrix entries, computing the dense [B, L]
+#: matrix + a host partial sort beats the device running-top-k scan
+_TOPK_MATRIX_BUDGET = 2 * 10**8
+
+
+def l1_topk(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k nearest library rows per block, ascending by (distance, row).
 
     Replaces kiddo `nearest_n` (rendering.rs:172-174 k=20 for --randomize;
     rendering.rs:307-321 candidate lists for global-greedy no-repeat).
+    Dispatches between a dense-matrix + host argpartition path (small
+    B*L — the running device top-k merge is far slower per element) and
+    the chunked device scan (large problems that can't hold the matrix).
 
     Returns:
-      (dists [B, k] int32, rows [B, k] int32). If k > L, trailing entries
-      carry I32_MAX distances.
+      (dists [B, k] int32, rows [B, k] int32) numpy. If k > L, trailing
+      entries carry I32_MAX distances.
     """
+    b = np.asarray(blocks).shape[0]
+    l = np.asarray(lib).shape[0]
+    if b * l <= _TOPK_MATRIX_BUDGET:
+        dist = l1_dist_matrix(blocks, lib)
+        kk = min(k, l)
+        if kk < l:
+            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(l), (b, l)).copy()
+        pd = np.take_along_axis(dist, part, axis=1)
+        order = np.lexsort((part, pd), axis=1)
+        rows = np.take_along_axis(part, order, axis=1).astype(np.int32)
+        dists = np.take_along_axis(pd, order, axis=1).astype(np.int32)
+        if kk < k:
+            pad_d = np.full((b, k - kk), I32_MAX, dtype=np.int32)
+            pad_r = np.zeros((b, k - kk), dtype=np.int32)
+            dists = np.concatenate([dists, pad_d], axis=1)
+            rows = np.concatenate([rows, pad_r], axis=1)
+        return dists, rows
+    return _l1_topk_scan(blocks, lib, k)
+
+
+def _l1_topk_scan(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Chunked device running top-k (memory-safe for any B/L)."""
     blocks = np.asarray(blocks, dtype=np.uint8)
     lib = np.asarray(lib, dtype=np.uint8)
     b, d = blocks.shape
@@ -500,4 +532,4 @@ def l1_topk(blocks, lib, k: int) -> tuple[jax.Array, jax.Array]:
         lc=lc,
         real_l=l,
     )
-    return dists[:b], rows[:b]
+    return np.asarray(dists)[:b], np.asarray(rows)[:b]

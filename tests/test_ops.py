@@ -279,3 +279,19 @@ def test_compose_host_row_chunking(rng, monkeypatch):
     full = comp.compose_mosaic(items, stack)
     assert (chunked == full).all()
     assert (chunked[3 * ts : 4 * ts, :ts] == 0).all()  # item 0 -> black
+
+
+def test_l1_topk_scan_path_matches_matrix(rng, monkeypatch):
+    # force the chunked device scan and check against the matrix path
+    from emosaic_tpu.ops import distance as dist_mod
+
+    pal = rng.integers(0, 256, size=(30, 4, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))
+    blocks = rng.integers(0, 256, size=(11, 12), dtype=np.uint8)
+    d_m, r_m = l1_topk(blocks, lib, 7)
+    monkeypatch.setattr(dist_mod, "_TOPK_MATRIX_BUDGET", 0)
+    d_s, r_s = l1_topk(blocks, lib, 7)
+    assert (np.asarray(d_s) == d_m).all()
+    got_m = np.take_along_axis(np_l1_all(blocks, lib), r_m.astype(np.int64), 1)
+    got_s = np.take_along_axis(np_l1_all(blocks, lib), np.asarray(r_s).astype(np.int64), 1)
+    assert (got_m == got_s).all()
