@@ -31,6 +31,7 @@ per-image error like other failures.
 from __future__ import annotations
 
 import hashlib
+import io
 import os
 from pathlib import Path
 
@@ -38,7 +39,7 @@ import numpy as np
 from PIL import Image
 
 from emosaic_tpu.errors import ImageError
-from emosaic_tpu.io.exif import get_exif_date, get_orientation
+from emosaic_tpu.io.exif import date_of, get_exif_date, orientation_of
 
 Image.MAX_IMAGE_PIXELS = None  # gigapixel sources are expected
 
@@ -107,14 +108,11 @@ def apply_orientation(im: Image.Image, orientation: int) -> Image.Image:
     return im.transpose(op) if op is not None else im
 
 
-def prepare_tile(
-    path: str | os.PathLike, tile_size: int, crop: bool
-) -> np.ndarray:
-    """Prepare one tile image; returns [tile_size, tile_size, 3] uint8.
-
-    Reference: prepare_tile (utils.rs:63-196).
-    """
-    path = Path(path)
+def _prepare(
+    path: Path, tile_size: int, crop: bool, want_date: bool
+) -> tuple[np.ndarray, str | None]:
+    """Single-open prep core: the file is read and decoded once; EXIF
+    orientation/date come from the same open image."""
     try:
         data = path.read_bytes()
     except OSError as e:
@@ -125,12 +123,16 @@ def prepare_tile(
     if cpath.exists():
         try:
             with Image.open(cpath) as im:
-                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+                cached = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            date = get_exif_date(path) if want_date else None
+            return cached, date
         except Exception:
             pass  # fall through to regeneration, like the or_else chain
 
     try:
-        with Image.open(path) as im:
+        with Image.open(io.BytesIO(data)) as im:
+            date = date_of(im) if want_date else None
+            orientation = orientation_of(im)
             rgb = im.convert("RGB")
     except Exception as e:
         raise ImageError(path, str(e)) from e
@@ -154,19 +156,29 @@ def prepare_tile(
 
     cropped = rgb.crop((left, top, left + tw, top + th))
     resized = cropped.resize((tile_size, tile_size), Image.LANCZOS)
-    oriented = apply_orientation(resized, get_orientation(path))
+    oriented = apply_orientation(resized, orientation)
 
     cpath.parent.mkdir(parents=True, exist_ok=True)
     try:
         oriented.save(cpath, format="JPEG")
     except OSError as e:
         raise ImageError(path, f"failed to write cache: {e}") from e
-    return np.asarray(oriented, dtype=np.uint8)
+    return np.asarray(oriented, dtype=np.uint8), date
+
+
+def prepare_tile(
+    path: str | os.PathLike, tile_size: int, crop: bool
+) -> np.ndarray:
+    """Prepare one tile image; returns [tile_size, tile_size, 3] uint8.
+
+    Reference: prepare_tile (utils.rs:63-196).
+    """
+    img, _ = _prepare(Path(path), tile_size, crop, want_date=False)
+    return img
 
 
 def prepare_tile_with_date(
     path: str | os.PathLike, tile_size: int, crop: bool
 ) -> tuple[np.ndarray, str | None]:
     """prepare_tile + EXIF date (utils.rs:46-60)."""
-    date = get_exif_date(path)
-    return prepare_tile(path, tile_size, crop), date
+    return _prepare(Path(path), tile_size, crop, want_date=True)
