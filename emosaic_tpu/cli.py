@@ -255,6 +255,13 @@ def build_parser() -> argparse.ArgumentParser:
         "and PNG-encoded incrementally (gigapixel path)",
     )
     m.add_argument(
+        "--max-stack-bytes",
+        type=int,
+        default=8 << 30,
+        help="Tile-stack memory cap; beyond it the composite streams tiles "
+        "from the disk cache (huge tile_size x library combos)",
+    )
+    m.add_argument(
         "--png-compress-level",
         type=int,
         choices=range(0, 10),
@@ -290,9 +297,22 @@ def preprocess_source(
 
 
 def get_image_stack(
-    tile_set: TileSet, tiles_dir: Path, tile_size: int
-) -> np.ndarray:
-    """Prepared-tile stack with its persistent cache."""
+    tile_set: TileSet,
+    tiles_dir: Path,
+    tile_size: int,
+    max_bytes: int = 8 << 30,
+) -> np.ndarray | None:
+    """Prepared-tile stack with its persistent cache.
+
+    Returns None when the dense stack would exceed `max_bytes` (e.g.
+    100k tiles at tile_size 1024 is ~300 GB) — the composite then streams
+    tiles from the disk cache instead (ops.composite.iter_bands_host)."""
+    if len(tile_set) * tile_size * tile_size * 3 > max_bytes:
+        log(
+            "⚠️  Tile stack too large for memory; compositing will stream "
+            "tiles from the disk cache"
+        )
+        return None
     spath = stack_cache_path(tiles_dir, tile_size)
     cached = load_stack_cache(spath, tile_set.paths)
     if cached is not None:
@@ -388,15 +408,21 @@ def run_mosaic(args, timer=None) -> None:
             )
         log(f"Tile set with {len(tile_set)} tiles")
         with timer.phase("tile stack (cache/prepare)"):
-            stack = get_image_stack(tile_set, args.tiles_dir, args.tile_size)
+            stack = get_image_stack(
+                tile_set, args.tiles_dir, args.tile_size,
+                max_bytes=args.max_stack_bytes,
+            )
         use_lut = {"auto": "auto", "lut": "always", "pallas": "never", "xla": "never"}[
             args.matcher
         ]
         # gigapixel outputs are composed in bands and PNG-encoded
-        # incrementally instead of materializing W*H*3 bytes at once
+        # incrementally instead of materializing W*H*3 bytes at once;
+        # stack=None (too big for memory) always streams via the host path
         out_h = (src.shape[0] // dim) * args.tile_size
         out_w = (src.shape[1] // dim) * args.tile_size
-        streaming = out_h * out_w * 3 > args.stream_threshold
+        streaming = (
+            out_h * out_w * 3 > args.stream_threshold or stack is None
+        )
         with timer.phase("match + compose"):
             if args.no_repeat and not args.greedy:
                 result = render_nto1_no_repeat(
@@ -444,18 +470,28 @@ def run_mosaic(args, timer=None) -> None:
     if streaming:
         # gigapixel path: bands composed on device, streamed into one PNG
         from emosaic_tpu.io.codecs import StreamingPNGWriter
-        from emosaic_tpu.ops.composite import iter_bands, tint_blend_band
+        from emosaic_tpu.ops.composite import (
+            iter_bands,
+            iter_bands_host,
+            tint_blend_band,
+        )
 
         nby, nbx = items.shape
         out_w = nbx * args.tile_size
         out_h = nby * args.tile_size
         band_rows = max(1, (256 << 20) // (nbx * args.tile_size**2 * 3))
+        if stack is None:
+            bands = iter_bands_host(
+                items, tile_set_out, args.tile_size, band_rows=band_rows
+            )
+        else:
+            bands = iter_bands(items, stack, band_rows=band_rows)
         log(f"📝 Streaming {out_w}x{out_h} output to {out_path}")
         y0 = 0
         with timer.phase("stream compose+encode"), StreamingPNGWriter(
             out_path, out_w, out_h, compress_level=args.png_compress_level
         ) as w:
-            for band in iter_bands(items, stack, band_rows=band_rows):
+            for band in bands:
                 if args.tint_opacity > 0.0:
                     band = tint_blend_band(
                         band, original_rgb, y0, out_h, args.tint_opacity

@@ -163,7 +163,13 @@ def _prepare(
         oriented.save(cpath, format="JPEG")
     except OSError as e:
         raise ImageError(path, f"failed to write cache: {e}") from e
-    return np.asarray(oriented, dtype=np.uint8), date
+    # Deviation (recorded): return the JPEG-roundtripped cache bytes rather
+    # than the pre-encode image. The reference returns pre-encode pixels on
+    # a cache miss but roundtripped pixels ever after (utils.rs:86-194) —
+    # making first-run outputs differ from every later run; here all runs
+    # see identical pixels.
+    with Image.open(cpath) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8), date
 
 
 def prepare_tile(

@@ -239,6 +239,48 @@ def iter_bands(items, stack, band_rows: int = 8) -> Iterator[np.ndarray]:
         yield _compose_host(items[y0 : y0 + band_rows], aug3, ts)
 
 
+def iter_bands_host(
+    items, tile_set, tile_size: int, band_rows: int = 4, cache_tiles: int = 4096
+) -> Iterator[np.ndarray]:
+    """Host-side banded composite for stacks too large for RAM/HBM
+    (tile_size x library combos past ~10 GB — SURVEY §7 "memory geometry").
+
+    Tile images stream from the prepared-tile disk cache with an LRU, the
+    way the reference composes every block (tileset.rs:146-161 re-reads the
+    cache per placement); flips are applied per placement. Slow relative to
+    the device paths but memory-bounded: one band + the LRU.
+    """
+    import functools as _ft
+
+    items = np.asarray(items, dtype=np.int32)
+    nby, nbx = items.shape
+
+    @_ft.lru_cache(maxsize=cache_tiles)
+    def tile_img(idx: int) -> np.ndarray:
+        from emosaic_tpu.io.prep import prepare_tile
+
+        return prepare_tile(tile_set.get_path(idx), tile_size, crop=True)
+
+    for y0 in range(0, nby, band_rows):
+        rows = items[y0 : y0 + band_rows]
+        band = np.zeros(
+            (rows.shape[0] * tile_size, nbx * tile_size, 3), dtype=np.uint8
+        )
+        for by in range(rows.shape[0]):
+            for bx in range(nbx):
+                it = int(rows[by, bx])
+                if it == 0:
+                    continue
+                img = tile_img(abs(it))
+                if it < 0:
+                    img = img[:, ::-1, :]
+                band[
+                    by * tile_size : (by + 1) * tile_size,
+                    bx * tile_size : (bx + 1) * tile_size,
+                ] = img
+        yield band
+
+
 # ---------------------------------------------------------------------------
 # tint blending (reference main.rs:447-478)
 # ---------------------------------------------------------------------------

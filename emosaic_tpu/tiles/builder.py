@@ -46,12 +46,29 @@ def generate_tile_set(
     tiles_dir = Path(tiles_dir)
     image_paths = find_images(tiles_dir, extensions)
 
-    prepared: list[tuple[Path, np.ndarray, str | None]] = []
+    # prepare + analyse in bounded chunks: only `chunk` prepared images are
+    # resident at once (a 100k-tile library at tile_size 1024 would need
+    # ~300 GB if fully materialized — SURVEY §7 "memory geometry")
+    chunk = max(1, _ANALYSE_BATCH_BYTES // (tile_size * tile_size * 3))
     errors: list[ImageError] = []
+    paths: list[Path] = []
+    dates: list[str | None] = []
+    palette_parts: list[np.ndarray] = []
+    pending: list[np.ndarray] = []
+
+    def flush():
+        if pending:
+            palette_parts.append(np.asarray(analyse_batch(np.stack(pending), dim)))
+            pending.clear()
+
     for i, path in enumerate(image_paths):
         try:
             img, date = prepare_tile_with_date(path, tile_size, crop)
-            prepared.append((path, img, date))
+            pending.append(img)
+            paths.append(path)
+            dates.append(date)
+            if len(pending) >= chunk:
+                flush()
         except ImageError as e:
             # error paths are reported relative to the tiles dir (main.rs:770)
             try:
@@ -61,25 +78,15 @@ def generate_tile_set(
             errors.append(ImageError(rel, e.error))
         if progress is not None:
             progress(i + 1, len(image_paths))
+    flush()
 
-    if not prepared:
+    if not paths:
         ts = TileSet(
             palettes=np.zeros((0, dim * dim, 3), dtype=np.uint8), paths=[]
         )
         return ts, errors
 
-    paths = [p for p, _, _ in prepared]
-    dates = [d for _, _, d in prepared]
-    stack = np.stack([img for _, img, _ in prepared])
-
-    chunk = max(1, _ANALYSE_BATCH_BYTES // (tile_size * tile_size * 3))
-    palettes = np.concatenate(
-        [
-            np.asarray(analyse_batch(stack[i : i + chunk], dim))
-            for i in range(0, len(stack), chunk)
-        ]
-    )
-
+    palettes = np.concatenate(palette_parts)
     ts = TileSet(palettes=palettes, paths=paths, dates=dates)
     summarise_tileset(ts, log=log)
     log(f"Extracted {sum(d is not None for d in dates)} dates successfully")

@@ -64,3 +64,26 @@ def test_streamed_cli_matches_unstreamed(tmp_path, rng, monkeypatch):
     a = np.asarray(Image.open(tmp_path / "a.png").convert("RGB"))
     b = np.asarray(Image.open(tmp_path / "b.png").convert("RGB"))
     assert (a == b).all()
+
+
+def test_host_compose_fallback_matches(tmp_path, rng, monkeypatch):
+    """--max-stack-bytes 0 forces the disk-streaming host composite; output
+    must be pixel-identical to the in-memory device path."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    monkeypatch.chdir(tmp_path)
+    from emosaic_tpu.cli import main
+
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tiles / f"t{i}.jpg", quality=95)
+    src = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    Image.fromarray(src).save(tmp_path / "s.png")
+
+    common = ["-s", "8", str(tmp_path / "s.png"), "mosaic", str(tiles), "-m", "1"]
+    main(["-o", str(tmp_path / "a.png")] + common)
+    main(["-o", str(tmp_path / "b.png")] + common + ["--max-stack-bytes", "0"])
+    a = np.asarray(Image.open(tmp_path / "a.png").convert("RGB"))
+    b = np.asarray(Image.open(tmp_path / "b.png").convert("RGB"))
+    assert (a == b).all()
