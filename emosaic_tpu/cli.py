@@ -354,22 +354,27 @@ def run_mosaic(args, timer=None) -> None:
         from emosaic_tpu.errors import ImageError
         from emosaic_tpu.io.prep import prepare_tile as _prep
 
+        keep_stack = (
+            len(images) * args.tile_size**2 * 3 <= args.max_stack_bytes
+        )
         good, prepared = [], []
         for p in images:
             try:
-                prepared.append(_prep(p, args.tile_size, crop=True))
+                img = _prep(p, args.tile_size, crop=True)
+                if keep_stack:
+                    prepared.append(img)
                 good.append(p)
             except ImageError as e:
                 log(f"- skipping {e}")
+        if not good:
+            raise SystemExit("❌ No usable tiles found")
         tile_set = TileSet(palettes=None, paths=good)
         log(f"Tile set with {len(tile_set)} tiles")
         src = np.asarray(original.convert("RGB"), dtype=np.uint8)
-        stack = np.stack(prepared) if prepared else None
-        if stack is None:
-            raise SystemExit("❌ No usable tiles found")
+        stack = np.stack(prepared) if keep_stack else None
         out_h = src.shape[0] * args.tile_size
         out_w = src.shape[1] * args.tile_size
-        streaming = out_h * out_w * 3 > args.stream_threshold
+        streaming = out_h * out_w * 3 > args.stream_threshold or stack is None
         if streaming:
             rng = np.random.default_rng(args.seed)
             items = rng.integers(

@@ -72,3 +72,18 @@ def test_ring_rotation_matcher_bit_identical(rng, devices, n):
     d_rg, r_rg = sharded_l1_argmin_ring(blocks, lib, mesh)
     assert (np.asarray(d_rg) == np.asarray(d_ref)).all()
     assert (np.asarray(r_rg) == np.asarray(r_ref)).all()
+
+
+def test_sharded_mosaic_step_model4(rng, devices):
+    mesh = make_mesh(8, model=4)
+    dim, ts = 1, 4
+    tiles = rng.integers(0, 256, size=(16, ts, ts, 3), dtype=np.uint8)
+    src = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)  # 4x6 blocks
+    out = np.asarray(sharded_mosaic_step(tiles, src, mesh, dim, ts))
+    pal = np.asarray(analyse_batch(tiles, dim))
+    lib = np.asarray(build_library(pal))
+    blocks = np.asarray(source_blocks(src, dim))
+    _, rows = l1_argmin_xla(blocks, lib)
+    items = np.asarray(rows_to_items(rows, 16)).reshape(4, 6)
+    ref = np.asarray(compose_mosaic(items, tiles))
+    assert (out == ref).all()
