@@ -87,3 +87,30 @@ def test_host_compose_fallback_matches(tmp_path, rng, monkeypatch):
     a = np.asarray(Image.open(tmp_path / "a.png").convert("RGB"))
     b = np.asarray(Image.open(tmp_path / "b.png").convert("RGB"))
     assert (a == b).all()
+
+
+def test_iter_bands_host_flips_and_black(tmp_path, rng, monkeypatch):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    from emosaic_tpu.io.prep import prepare_tile
+    from emosaic_tpu.ops.composite import iter_bands_host
+    from emosaic_tpu.tiles.tileset import TileSet
+    from pathlib import Path as P
+
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for i in range(3):
+        arr = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+        arr[:, :8] = 10 * (i + 1)  # asymmetric so flips are observable
+        Image.fromarray(arr).save(tiles / f"t{i}.jpg", quality=95)
+    ts = TileSet(palettes=None, paths=sorted(tiles.glob("*.jpg")))
+    items = np.array([[1, -2], [0, 3]], dtype=np.int32)
+    bands = list(iter_bands_host(items, ts, 8, band_rows=1))
+    out = np.concatenate(bands, axis=0)
+    assert out.shape == (16, 16, 3)
+    t1 = prepare_tile(ts.paths[0], 8, crop=True)
+    t2 = prepare_tile(ts.paths[1], 8, crop=True)
+    t3 = prepare_tile(ts.paths[2], 8, crop=True)
+    assert (out[:8, :8] == t1).all()
+    assert (out[:8, 8:] == t2[:, ::-1, :]).all()  # flipped
+    assert (out[8:, :8] == 0).all()  # item 0 -> black
+    assert (out[8:, 8:] == t3).all()
