@@ -164,3 +164,18 @@ def test_tile_coords_flip():
     assert (
         tf.coords() == [3, 4, 5, 0, 1, 2, 9, 10, 11, 6, 7, 8]
     ).all()
+
+
+def test_builder_chunked_analysis(tmp_path, rng, monkeypatch):
+    """Chunked prep+analyse (memory-bounded builder) matches one-shot."""
+    from emosaic_tpu.tiles import builder as b
+
+    tiles_dir = tmp_path / "tiles"
+    for i in range(7):
+        arr = rng.integers(0, 200, size=(24, 24, 3), dtype=np.uint8)
+        save_img(tiles_dir / f"t{i}.jpg", arr, fmt="JPEG")
+    ts1, _ = generate_tile_set(tiles_dir, 8, {"jpg"}, False, 2, log=lambda *a: None)
+    monkeypatch.setattr(b, "_ANALYSE_BATCH_BYTES", 1)  # flush every tile
+    ts2, _ = b.generate_tile_set(tiles_dir, 8, {"jpg"}, False, 2, log=lambda *a: None)
+    assert (ts1.palettes == ts2.palettes).all()
+    assert ts1.paths == ts2.paths

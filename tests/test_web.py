@@ -96,3 +96,26 @@ def test_empty_stats_raises(tmp_path):
 def test_year_range():
     stats = RenderStats()
     assert extract_year_range(stats) == (2000, 2030)  # defaults (widget.rs:59-60)
+
+
+def test_widget_escapes_hostile_paths(tmp_path):
+    """Paths with quotes/angle brackets must not inject raw HTML."""
+    ts = TileSet(
+        palettes=np.zeros((1, 1, 3), dtype=np.uint8),
+        paths=[tmp_path / 'evil"<script>alert(1)</script>.jpg'],
+        dates=[None],
+    )
+    stats = RenderStats()
+    stats.push_tile(0, 0, ts.get_tile(1), 5)
+    config = MosaicConfig(
+        tile_size=16, mode="1x1 (N=1)", no_repeat=False, greedy=False,
+        crop=False, tint_opacity=0.0, downsample=1, randomize=None,
+        tiles_dir=str(tmp_path), title='T<script>"',
+    )
+    out = tmp_path / "w.html"
+    generate_mosaic_widget_with_options(
+        stats, tmp_path / "m.png", out, ts, config, web_compatible=False
+    )
+    html = out.read_text()
+    assert "<script>alert(1)</script>" not in html
+    assert "&lt;script&gt;" in html or "alert(1)" not in html
