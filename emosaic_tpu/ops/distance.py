@@ -489,26 +489,32 @@ def l1_topk(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
       (dists [B, k] int32, rows [B, k] int32) numpy. If k > L, trailing
       entries carry I32_MAX distances.
     """
-    b = np.asarray(blocks).shape[0]
-    l = np.asarray(lib).shape[0]
-    if b * l <= _TOPK_MATRIX_BUDGET:
-        dist = l1_dist_matrix(blocks, lib)
-        kk = min(k, l)
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, l = blocks.shape[0], lib.shape[0]
+    if l > _TOPK_MATRIX_BUDGET // 64:
+        # even one 64-row matrix chunk would blow the budget: device scan
+        return _l1_topk_scan(blocks, lib, k)
+    chunk_b = max(64, _TOPK_MATRIX_BUDGET // l)
+    out_d = np.empty((b, min(k, l)), dtype=np.int32)
+    out_r = np.empty((b, min(k, l)), dtype=np.int32)
+    kk = min(k, l)
+    for c0 in range(0, b, chunk_b):
+        dist = l1_dist_matrix(blocks[c0 : c0 + chunk_b], lib)
         if kk < l:
             part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
         else:
-            part = np.broadcast_to(np.arange(l), (b, l)).copy()
+            part = np.broadcast_to(np.arange(l), (dist.shape[0], l)).copy()
         pd = np.take_along_axis(dist, part, axis=1)
         order = np.lexsort((part, pd), axis=1)
-        rows = np.take_along_axis(part, order, axis=1).astype(np.int32)
-        dists = np.take_along_axis(pd, order, axis=1).astype(np.int32)
-        if kk < k:
-            pad_d = np.full((b, k - kk), I32_MAX, dtype=np.int32)
-            pad_r = np.zeros((b, k - kk), dtype=np.int32)
-            dists = np.concatenate([dists, pad_d], axis=1)
-            rows = np.concatenate([rows, pad_r], axis=1)
-        return dists, rows
-    return _l1_topk_scan(blocks, lib, k)
+        out_r[c0 : c0 + chunk_b] = np.take_along_axis(part, order, axis=1)
+        out_d[c0 : c0 + chunk_b] = np.take_along_axis(pd, order, axis=1)
+    if kk < k:
+        pad_d = np.full((b, k - kk), I32_MAX, dtype=np.int32)
+        pad_r = np.zeros((b, k - kk), dtype=np.int32)
+        out_d = np.concatenate([out_d, pad_d], axis=1)
+        out_r = np.concatenate([out_r, pad_r], axis=1)
+    return out_d, out_r
 
 
 def _l1_topk_scan(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -295,3 +295,17 @@ def test_l1_topk_scan_path_matches_matrix(rng, monkeypatch):
     got_m = np.take_along_axis(np_l1_all(blocks, lib), r_m.astype(np.int64), 1)
     got_s = np.take_along_axis(np_l1_all(blocks, lib), np.asarray(r_s).astype(np.int64), 1)
     assert (got_m == got_s).all()
+
+
+def test_l1_topk_block_chunked_matches(rng, monkeypatch):
+    from emosaic_tpu.ops import distance as dist_mod
+
+    pal = rng.integers(0, 256, size=(30, 4, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))
+    blocks = rng.integers(0, 256, size=(200, 12), dtype=np.uint8)
+    d1, r1 = l1_topk(blocks, lib, 5)
+    # tiny budget -> many 64-row chunks, same results
+    monkeypatch.setattr(dist_mod, "_TOPK_MATRIX_BUDGET", 64 * lib.shape[0])
+    d2, r2 = l1_topk(blocks, lib, 5)
+    assert (np.asarray(d1) == np.asarray(d2)).all()
+    assert (np.asarray(r1) == np.asarray(r2)).all()
