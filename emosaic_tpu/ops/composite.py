@@ -77,8 +77,10 @@ def _tr_kernel(in_ref, out_ref, *, s3: int):
         out_ref[:, c * s3 : (c + 1) * s3] = in_ref[c][:, :s3]
 
 
-@functools.partial(jax.jit, static_argnames=("ts",))
-def _compose_rows_pallas(items: jax.Array, aug3: jax.Array, *, ts: int):
+@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
+def _compose_rows_pallas(
+    items: jax.Array, aug3: jax.Array, *, ts: int, interpret: bool = False
+):
     """TPU middle path: row gather from the pre-tiled stack + VMEM-blocked
     transpose kernel. Requires ts % 8 == 0 and nbx % _CH == 0."""
     nby, nbx = items.shape
@@ -89,6 +91,7 @@ def _compose_rows_pallas(items: jax.Array, aug3: jax.Array, *, ts: int):
     return pl.pallas_call(
         functools.partial(_tr_kernel, s3=ts * 3),
         grid=(nby, nj),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec(
                 (_CH, ts, lane),
@@ -132,8 +135,10 @@ def _dma_kernel(rows_ref, aug_hbm, out_ref, scratch, sems, *, s3: int):
         out_ref[:, c * s3 : (c + 1) * s3] = scratch[c][:, :s3]
 
 
-@functools.partial(jax.jit, static_argnames=("ts",))
-def _compose_rows_dma(items: jax.Array, aug3: jax.Array, *, ts: int):
+@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
+def _compose_rows_dma(
+    items: jax.Array, aug3: jax.Array, *, ts: int, interpret: bool = False
+):
     """TPU fast path (see module docstring). Caller guarantees
     nby*nbx <= _DMA_MAX_ROWS, nbx % _CH == 0, ts % 8 == 0, VMEM budget."""
     nby, nbx = items.shape
@@ -154,6 +159,7 @@ def _compose_rows_dma(items: jax.Array, aug3: jax.Array, *, ts: int):
     return pl.pallas_call(
         functools.partial(_dma_kernel, s3=ts * 3),
         grid_spec=grid_spec,
+        interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((nby * ts, nbx * ts * 3), jnp.uint8),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(rows, aug3)

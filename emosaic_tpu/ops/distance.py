@@ -247,8 +247,12 @@ def _l1_kernel(
         arg_ref[:, 0] = jnp.where(take, local_arg, arg_ref[:, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("real_d", "real_l"))
-def _l1_argmin_pallas_jit(blocks_p, lib_t_p, *, real_d: int, real_l: int):
+@functools.partial(
+    jax.jit, static_argnames=("real_d", "real_l", "interpret")
+)
+def _l1_argmin_pallas_jit(
+    blocks_p, lib_t_p, *, real_d: int, real_l: int, interpret: bool = False
+):
     bp, dp = blocks_p.shape
     lp = lib_t_p.shape[1]
     dc = min(dp, _D_CHUNK)
@@ -259,6 +263,7 @@ def _l1_argmin_pallas_jit(blocks_p, lib_t_p, *, real_d: int, real_l: int):
     min_out, arg_out = pl.pallas_call(
         kernel,
         grid=(nb, nl, nd),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec(
                 (_B_TILE, dc), lambda i, j, d: (i, d), memory_space=pltpu.VMEM
@@ -298,6 +303,16 @@ def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.A
     on_tpu = jax.devices()[0].platform == "tpu"
     if force_xla or not on_tpu:
         return l1_argmin_xla(blocks, lib)
+    return _l1_argmin_pallas(blocks, lib)
+
+
+def _l1_argmin_pallas(
+    blocks: np.ndarray, lib: np.ndarray, *, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Host padding + Pallas call. `interpret=True` runs the kernel body
+    through the Pallas interpreter (CPU CI coverage of _l1_kernel)."""
+    b, d = blocks.shape
+    l = lib.shape[0]
     dc = min(-(-d // 128) * 128, _D_CHUNK)
     dp = -(-d // dc) * dc
     bp = -(-b // _B_TILE) * _B_TILE
@@ -306,7 +321,11 @@ def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.A
     blocks_p = np.pad(blocks, ((0, bp - b), (0, dp - d)))
     lib_t_p = np.pad(lib.T, ((0, dp - d), (0, lp - l)))
     dist, row = _l1_argmin_pallas_jit(
-        jnp.asarray(blocks_p), jnp.asarray(lib_t_p), real_d=d, real_l=l
+        jnp.asarray(blocks_p),
+        jnp.asarray(lib_t_p),
+        real_d=d,
+        real_l=l,
+        interpret=interpret,
     )
     return dist[:b], row[:b]
 
