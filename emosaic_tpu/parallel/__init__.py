@@ -1,5 +1,6 @@
 """Multi-chip parallel layer: mesh construction + sharded match/composite."""
 
+from emosaic_tpu.parallel.lut import sharded_build_l1_lut  # noqa: F401
 from emosaic_tpu.parallel.mesh import make_mesh  # noqa: F401
 from emosaic_tpu.parallel.sharded import (  # noqa: F401
     sharded_l1_argmin,

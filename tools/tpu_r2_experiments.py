@@ -1,0 +1,350 @@
+"""Round-2 on-chip measurement batch (one process, one device claim).
+
+A. LUT gather engine characterization (VERDICT r1 #4): the mode-1 match is
+   bound by a fixed ~116 M elems/s scalar gather. Measure whether shape,
+   row width, sorting, or scatter changes the per-index rate — to decide
+   if any restructuring can beat it.
+B. Mode-32 no-repeat scoring approaches (VERDICT r1 #3 + #8) at the
+   flagship scale: B=16384 blocks (4096^2 source), T=32767 tiles
+   (L=65534 flip rows), D=3072 features:
+   - exact paths: XLA distance stripes + top_k, Pallas argmin, topk scan
+   - MXU paths: bf16 L2 score matmul, approx_min_k prefilter, exact-L1
+     rescore of the prefiltered candidates
+
+Timing: difference method (k2-k1 reps) with completion forced by fetching
+result bytes (block_until_ready is enqueue-only through the tunnel).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[r2exp {time.time() - T0:6.1f}s] {msg}", flush=True)
+
+
+def sync(x):
+    while isinstance(x, (tuple, list)):
+        x = x[0]
+    jax.device_get(x.reshape(-1)[0])
+
+
+def timeit(fn, k1=1, k2=3, reps=2):
+    """Per-iteration seconds via the difference method."""
+    def run(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn()
+        sync(out)
+        return time.perf_counter() - t0
+
+    run(1)  # warm
+    t1 = min(run(k1) for _ in range(reps))
+    t2 = min(run(k2) for _ in range(reps))
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# A. gather characterization
+# ---------------------------------------------------------------------------
+
+
+def exp_gather():
+    n = 4096 * 4096  # 16.78M queries
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (n,), 0, 1 << 24, dtype=jnp.int32)
+    table = jax.random.randint(key, (1 << 24,), 0, 1 << 30, dtype=jnp.int32)
+    sync(idx); sync(table)
+
+    f1 = jax.jit(lambda: table[idx])
+    t = timeit(f1)
+    log(f"A1 1D elem gather: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
+
+    idx2 = idx.reshape(4096, 4096)
+    f2 = jax.jit(lambda: table[idx2])
+    t = timeit(f2)
+    log(f"A2 2D elem gather: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
+
+    # row gathers: does per-index cost amortize over row bytes?
+    tab8 = table.reshape(1 << 21, 8)
+    idx8 = jax.random.randint(key, (n // 8,), 0, 1 << 21, dtype=jnp.int32)
+    f3 = jax.jit(lambda: tab8[idx8])
+    t = timeit(f3)
+    log(f"A3 row8 gather ({n//8} rows x 32B): {t*1e3:.1f} ms = "
+        f"{(n//8)/t/1e6:.0f} Mrows/s, {n/t/1e6:.0f} Melem/s")
+
+    tab128 = table.reshape(1 << 17, 128)
+    idx128 = jax.random.randint(key, (n // 128,), 0, 1 << 17, dtype=jnp.int32)
+    f4 = jax.jit(lambda: tab128[idx128])
+    t = timeit(f4)
+    log(f"A4 row128 gather ({n//128} rows x 512B): {t*1e3:.1f} ms = "
+        f"{(n//128)/t/1e6:.2f} Mrows/s, {n/t/1e6:.0f} Melem/s")
+
+    # u8 table: is the engine element-count-bound regardless of dtype?
+    tab_u8 = (table & 0xFF).astype(jnp.uint8)
+    f5 = jax.jit(lambda: tab_u8[idx])
+    t = timeit(f5)
+    log(f"A5 u8 elem gather: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
+
+    # sort cost (the gateway to any merge/bucketed scheme)
+    f6 = jax.jit(lambda: jnp.sort(idx))
+    t = timeit(f6)
+    log(f"A6 sort 16.7M i32: {t*1e3:.1f} ms")
+
+    vals = jax.random.randint(key, (n,), 0, 100, dtype=jnp.int32)
+    f7 = jax.jit(lambda: jax.lax.sort_key_val(idx, vals))
+    t = timeit(f7)
+    log(f"A7 sort_key_val 16.7M: {t*1e3:.1f} ms")
+
+    # gather with SORTED indices: does locality change the fixed rate?
+    idx_sorted = jnp.sort(idx)
+    sync(idx_sorted)
+    f8 = jax.jit(lambda: table[idx_sorted])
+    t = timeit(f8)
+    log(f"A8 sorted elem gather: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
+
+    # scatter rate (inverse-permutation restoration cost)
+    perm = jax.random.permutation(key, n).astype(jnp.int32)
+    sync(perm)
+    f9 = jax.jit(lambda: jnp.zeros((n,), jnp.int32).at[perm].set(vals))
+    t = timeit(f9)
+    log(f"A9 scatter 16.7M: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
+
+
+# ---------------------------------------------------------------------------
+# B. mode-32 scoring at flagship no-repeat scale
+# ---------------------------------------------------------------------------
+
+B_FULL = 16384
+L = 65534
+LP = 65536
+D = 3072
+K_PRE = 640
+K_FINAL = 512
+
+
+def exp_scoring():
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    blocks = jax.random.randint(k1, (B_FULL, D), 0, 256, dtype=jnp.uint8)
+    lib = jax.random.randint(k2, (LP, D), 0, 256, dtype=jnp.uint8)
+    sync(blocks); sync(lib)
+    log(f"B inputs ready: blocks {blocks.shape} lib {lib.shape}")
+
+    # B2a: MXU bf16 score matmul only (chunked, min-reduced consumer)
+    t_bf = lib.astype(jnp.bfloat16)
+    t_norm = (lib.astype(jnp.float32) ** 2).sum(axis=1)
+
+    @jax.jit
+    def mxu_scores_min():
+        def per_chunk(xc):
+            g = jax.lax.dot_general(
+                xc.astype(jnp.bfloat16), t_bf.T,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = t_norm[None, :] - 2.0 * g
+            return jnp.min(s, axis=1)
+        bc = min(2048, B_FULL)
+        return jax.lax.map(per_chunk, blocks.reshape(B_FULL // bc, bc, D)).reshape(-1)
+
+    t = timeit(mxu_scores_min)
+    flops = 2.0 * B_FULL * LP * D
+    log(f"B2a MXU matmul+min: {t*1e3:.0f} ms = {flops/t/1e12:.0f} TFLOP/s")
+
+    # B2b: matmul + lax.top_k(K_PRE)
+    @jax.jit
+    def mxu_topk():
+        def per_chunk(xc):
+            g = jax.lax.dot_general(
+                xc.astype(jnp.bfloat16), t_bf.T,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = t_norm[None, :] - 2.0 * g
+            nd, ni = jax.lax.top_k(-s, K_PRE)
+            return -nd, ni
+        bc = min(1024, B_FULL)
+        return jax.lax.map(per_chunk, blocks.reshape(B_FULL // bc, bc, D))
+
+    t = timeit(mxu_topk, 1, 2)
+    log(f"B2b MXU matmul+top_k({K_PRE}): {t*1e3:.0f} ms")
+
+    # B2c: matmul + approx_min_k(K_PRE)
+    @jax.jit
+    def mxu_approx():
+        def per_chunk(xc):
+            g = jax.lax.dot_general(
+                xc.astype(jnp.bfloat16), t_bf.T,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = t_norm[None, :] - 2.0 * g
+            return jax.lax.approx_min_k(s, K_PRE)
+        bc = min(1024, B_FULL)
+        return jax.lax.map(per_chunk, blocks.reshape(B_FULL // bc, bc, D))
+
+    t = timeit(mxu_approx, 1, 2)
+    log(f"B2c MXU matmul+approx_min_k({K_PRE}): {t*1e3:.0f} ms")
+
+    # recall of approx_min_k vs exact L1 ordering (random data, one chunk)
+    sd, si = jax.jit(
+        lambda xc: jax.lax.approx_min_k(
+            t_norm[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                xc.astype(jnp.bfloat16), t_bf.T,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            K_PRE,
+        )
+    )(blocks[:256])
+    xc_i = blocks[:256].astype(jnp.int32)
+    d_exact = jnp.abs(xc_i[:, None, :] - lib[None, :512].astype(jnp.int32)).sum(-1)
+    log("B2c sanity computed (recall measured below in rescore agreement)")
+
+    # B3: exact-L1 rescore of K_PRE prefiltered candidates
+    cand = np.asarray(jax.device_get(si)).astype(np.int32)  # [256, K_PRE]
+    cand_full = jnp.asarray(
+        np.random.default_rng(0).integers(0, L, size=(B_FULL, K_PRE), dtype=np.int32)
+    )
+    sync(cand_full)
+
+    @jax.jit
+    def rescore(cand_rows):
+        def per_chunk(args):
+            xc, cr = args  # [bc, D] u8, [bc, K_PRE] i32
+            tc = lib[cr]  # [bc, K_PRE, D] u8 row gather
+            dist = jnp.abs(
+                xc.astype(jnp.int32)[:, None, :] - tc.astype(jnp.int32)
+            ).sum(-1, dtype=jnp.int32)
+            nd, ni = jax.lax.top_k(-dist, K_FINAL)
+            return -nd, jnp.take_along_axis(cr, ni, axis=1)
+        bc = min(256, B_FULL)
+        return jax.lax.map(
+            per_chunk,
+            (blocks.reshape(B_FULL // bc, bc, D),
+             cand_rows.reshape(B_FULL // bc, bc, K_PRE)),
+        )
+
+    t = timeit(lambda: rescore(cand_full), 1, 2)
+    ops = 3.0 * B_FULL * K_PRE * D
+    log(f"B3 exact-L1 rescore {K_PRE}->{K_FINAL}: {t*1e3:.0f} ms "
+        f"({ops/t/1e12:.2f} T elem-ops/s; row-gather "
+        f"{B_FULL*K_PRE/t/1e6:.1f} Mrows/s)")
+
+    # B6: exact XLA distance stripe + top_k per stripe (the exact path)
+    @jax.jit
+    def exact_stripe_topk():
+        def per_chunk(xc):  # [bc, D]
+            dist = jnp.abs(
+                xc.astype(jnp.int32)[:, None, :] - lib.astype(jnp.int32)[None]
+            ).sum(-1, dtype=jnp.int32)  # [bc, LP]
+            nd, ni = jax.lax.top_k(-dist, K_FINAL)
+            return -nd, ni
+        bc = 128
+        return jax.lax.map(per_chunk, blocks.reshape(B_FULL // bc, bc, D))
+
+    # one stripe slice to extrapolate (full would be ~B/bc * stripe)
+    @jax.jit
+    def exact_stripe_slice():
+        xc = blocks[:min(128, B_FULL)]
+        dist = jnp.abs(
+            xc.astype(jnp.int32)[:, None, :] - lib.astype(jnp.int32)[None]
+        ).sum(-1, dtype=jnp.int32)
+        nd, ni = jax.lax.top_k(-dist, K_FINAL)
+        return -nd
+
+    t = timeit(exact_stripe_slice, 1, 2)
+    sb = min(128, B_FULL)
+    total = t * (B_FULL / sb)
+    ops = 3.0 * sb * LP * D
+    log(f"B6 exact stripe (bc={sb}): {t*1e3:.0f} ms/stripe = "
+        f"{ops/t/1e12:.2f} T elem-ops/s -> full B={B_FULL}: {total:.1f} s")
+
+    # B4: Pallas brute argmin on a B=2048 slice (mode-32 repeat-mode match)
+    from emosaic_tpu.ops.distance import _l1_argmin_pallas
+
+    sb4 = min(2048, B_FULL)
+    blocks_np = np.asarray(jax.device_get(blocks[:sb4]))
+    lib_np = np.asarray(jax.device_get(lib[:L]))
+
+    if jax.devices()[0].platform == "tpu":
+        def pallas_slice():
+            d, r = _l1_argmin_pallas(blocks_np, lib_np)
+            return d
+
+        t0 = time.perf_counter()
+        sync(pallas_slice())
+        log(f"B4 pallas argmin warm: {time.perf_counter()-t0:.1f} s")
+        t0 = time.perf_counter()
+        sync(pallas_slice())
+        t = time.perf_counter() - t0
+        ops = 3.0 * sb4 * L * D
+        log(f"B4 pallas argmin (B={sb4}): {t:.2f} s = "
+            f"{ops/t/1e12:.2f} T elem-ops/s"
+            f" -> full B={B_FULL}: {t*B_FULL/sb4:.1f} s")
+    else:
+        log("B4 skipped (needs TPU)")
+
+    # B5: l2_argmin (existing MXU argmin path) on the full B
+    from emosaic_tpu.ops.distance import l2_argmin
+
+    blocks_all = np.asarray(jax.device_get(blocks))
+
+    def l2_full():
+        d, r = l2_argmin(blocks_all, lib_np)
+        return d
+
+    t0 = time.perf_counter()
+    _ = l2_full()
+    log("B5 l2 warm done")
+    t0 = time.perf_counter()
+    _ = l2_full()
+    t = time.perf_counter() - t0
+    log(f"B5 l2_argmin full B={B_FULL}: {t:.2f} s (incl host pad/transfer)")
+
+    # B1: current _l1_topk_scan on a small slice -> extrapolate
+    from emosaic_tpu.ops.distance import _l1_topk_scan
+
+    def scan_slice():
+        d, r = _l1_topk_scan(blocks_np[:min(1024, B_FULL)], lib_np, K_FINAL)
+        return d
+
+    t0 = time.perf_counter()
+    _ = scan_slice()
+    log("B1 scan warm done")
+    t0 = time.perf_counter()
+    _ = scan_slice()
+    t = time.perf_counter() - t0
+    sb1 = min(1024, B_FULL)
+    log(f"B1 topk scan (B={sb1}): {t:.2f} s -> full B={B_FULL}: "
+        f"{t*B_FULL/sb1:.0f} s")
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    x = jnp.ones((8, 128), jnp.float32)
+    sync(x @ x.T)
+    log("device probe ok")
+    exp_gather()
+    exp_scoring()
+    log("ALL EXPERIMENTS DONE")
+
+
+if __name__ == "__main__":
+    main()
