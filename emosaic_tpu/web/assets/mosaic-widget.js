@@ -13,8 +13,13 @@
  *    .disabled to tiles from other years);
  *  - TileFlagSystem: client of the flag REST API (POST/DELETE
  *    /tiles/{hash}/flag, POST /tiles/flags) with a 10s response cache,
- *    request de-duplication, and a localStorage fallback when no API is
- *    configured; client-side rate limiter (10 flags/min sliding window).
+ *    request de-duplication, a localStorage fallback when no API is
+ *    configured, and one-time localStorage -> server migration when an
+ *    API appears (reference mosaic-widget.js:1127-1210 behavior);
+ *    client-side rate limiter (10 flags/min sliding window);
+ *  - mobile lifecycle: iOS Safari toolbar-hide attempt on load, debounced
+ *    orientationchange/resize re-layout with fit-to-container minimum
+ *    zoom on mobile (reference mosaic-widget.js:8-36, :505-560).
  *
  * The API base is read from window.MOSAIC_FLAG_API (set it in a <script>
  * tag before this file loads); without it, flags persist in localStorage.
@@ -22,12 +27,31 @@
 (function () {
   'use strict';
 
-  var MIN_ZOOM = 0.5;
   var MAX_ZOOM = 5.0;
   var MOBILE_BREAKPOINT = 768;
 
   function isMobile() {
     return window.innerWidth <= MOBILE_BREAKPOINT || 'ontouchstart' in window;
+  }
+
+  function isIOS() {
+    return /iPad|iPhone|iPod/.test(navigator.userAgent);
+  }
+
+  /* Attempt to hide the Safari toolbar on iOS: scroll trick after load,
+   * plus standalone-mode detection (home-screen apps have none). */
+  function attemptHideIOSToolbar() {
+    if (!isIOS()) return;
+    setTimeout(function () {
+      window.scrollTo(0, 1);
+    }, 100);
+    if (!window.navigator.standalone && document.documentElement.requestFullscreen) {
+      var once = function () {
+        document.documentElement.requestFullscreen().catch(function () {});
+        document.removeEventListener('touchstart', once);
+      };
+      document.addEventListener('touchstart', once, { once: true });
+    }
   }
 
   /* ----------------------------------------------------------------- *
@@ -37,6 +61,7 @@
     scale: 1,
     tx: 0,
     ty: 0,
+    minZoom: 0.5,
     container: null,
     apply: function () {
       if (!this.container) return;
@@ -45,7 +70,7 @@
         'translate(' + this.tx + 'px,' + this.ty + 'px) scale(' + this.scale + ')';
     },
     clamp: function () {
-      this.scale = Math.min(MAX_ZOOM, Math.max(MIN_ZOOM, this.scale));
+      this.scale = Math.min(MAX_ZOOM, Math.max(this.minZoom, this.scale));
       var rect = this.container.getBoundingClientRect();
       var parent = this.container.parentElement.getBoundingClientRect();
       var maxX = Math.max(0, (rect.width - parent.width) / 2 + 80);
@@ -54,10 +79,35 @@
       this.ty = Math.min(maxY, Math.max(-maxY, this.ty));
     },
     reset: function () {
-      this.scale = 1;
+      this.scale = isMobile() ? this.minZoom : 1;
       this.tx = 0;
       this.ty = 0;
       this.apply();
+    },
+    /* Mobile: the minimum zoom is "image fits the container" (with a 5%
+     * buffer, capped at 1). Desktop keeps an effectively-free minimum. */
+    updateMinZoom: function () {
+      if (!this.container) return;
+      if (!isMobile()) {
+        this.minZoom = 0.1;
+        return;
+      }
+      var img = this.container.querySelector('.mosaic-image');
+      var parent = this.container.parentElement;
+      if (!img || !parent || !img.naturalWidth || !img.naturalHeight) {
+        this.minZoom = 0.5;
+        return;
+      }
+      var p = parent.getBoundingClientRect();
+      var fit = Math.min(
+        p.width / img.naturalWidth,
+        p.height / img.naturalHeight
+      );
+      this.minZoom = Math.min(fit * 0.95, 1);
+      if (this.scale < this.minZoom) {
+        this.scale = this.minZoom;
+        this.apply();
+      }
     },
   };
 
@@ -135,6 +185,52 @@
       lastDist = null;
       panStart = null;
     });
+  }
+
+  /* ----------------------------------------------------------------- *
+   * Resize / orientation lifecycle (debounced)
+   * ----------------------------------------------------------------- */
+  function repositionVisibleTooltips() {
+    var regions = document.querySelectorAll('.tile-region:hover');
+    for (var i = 0; i < regions.length; i++) positionTooltip(regions[i]);
+  }
+
+  function handleResize() {
+    if (isMobile()) {
+      zoom.updateMinZoom();
+      zoom.apply(); // re-clamp pan for the new viewport
+    } else {
+      setTimeout(repositionVisibleTooltips, 10);
+    }
+  }
+
+  var orientationTimer = null;
+  function handleOrientationChange() {
+    clearTimeout(orientationTimer);
+    orientationTimer = setTimeout(function () {
+      zoom.updateMinZoom();
+      if (isMobile()) {
+        zoom.reset(); // reinitialize to fit after rotation
+        attemptHideIOSToolbar();
+      } else {
+        zoom.apply();
+      }
+    }, 150);
+  }
+
+  function setupLifecycle() {
+    window.addEventListener('resize', handleResize);
+    window.addEventListener('orientationchange', handleOrientationChange);
+    if (window.screen && window.screen.orientation && window.screen.orientation.addEventListener) {
+      window.screen.orientation.addEventListener('change', handleOrientationChange);
+    }
+    var img = document.querySelector('.mosaic-image');
+    if (img && !img.complete) {
+      img.addEventListener('load', function () {
+        zoom.updateMinZoom();
+        if (isMobile()) zoom.reset();
+      });
+    }
   }
 
   /* ----------------------------------------------------------------- *
@@ -273,19 +369,90 @@
 
     getLocal: function (hash) {
       try {
-        return localStorage.getItem(this.localKey(hash)) === '1';
+        return localStorage.getItem(this.localKey(hash)) !== null;
       } catch (e) {
         return false;
       }
     },
 
-    setLocal: function (hash, flagged) {
+    setLocal: function (hash, flagged, path) {
       try {
-        if (flagged) localStorage.setItem(this.localKey(hash), '1');
-        else localStorage.removeItem(this.localKey(hash));
+        if (flagged) {
+          localStorage.setItem(
+            this.localKey(hash),
+            JSON.stringify({ p: path || '', t: Date.now() })
+          );
+        } else {
+          localStorage.removeItem(this.localKey(hash));
+        }
       } catch (e) {
         /* storage unavailable */
       }
+    },
+
+    /* One-time migration of locally-stored flags to the server once an
+     * API base is configured (reference behavior, mosaic-widget.js:1127-
+     * 1210): POST each local flag; successes are removed locally,
+     * failures stay for the next visit. */
+    migrateLocalFlags: function () {
+      if (!this.apiBase) return Promise.resolve(null);
+      var entries = [];
+      try {
+        for (var i = 0; i < localStorage.length; i++) {
+          var k = localStorage.key(i);
+          if (k && k.indexOf('mosaic-flag-') === 0) {
+            var hash = k.slice('mosaic-flag-'.length);
+            var path = '';
+            try {
+              var v = JSON.parse(localStorage.getItem(k));
+              if (v && v.p) path = v.p;
+            } catch (e) {
+              /* legacy '1' format: no path recorded */
+            }
+            entries.push({ hash: hash, path: path });
+          }
+        }
+      } catch (e) {
+        return Promise.resolve(null);
+      }
+      if (!entries.length) return Promise.resolve(null);
+      showToast('Migrating ' + entries.length + ' saved flags to server...');
+      var self = this;
+      var ok = 0;
+      var fail = 0;
+      var chain = entries.reduce(function (p, ent) {
+        return p.then(function () {
+          return fetch(self.apiBase + '/tiles/' + ent.hash + '/flag', {
+            method: 'POST',
+            headers: { 'Content-Type': 'application/json' },
+            body: JSON.stringify({ tilePath: ent.path }),
+          })
+            .then(function (r) {
+              if (r.ok) {
+                ok++;
+                self.cache[ent.hash] = { flagged: true, ts: Date.now() };
+                try {
+                  localStorage.removeItem(self.localKey(ent.hash));
+                } catch (e) {}
+              } else {
+                fail++;
+              }
+            })
+            .catch(function () {
+              fail++;
+            });
+        });
+      }, Promise.resolve());
+      return chain.then(function () {
+        if (fail === 0 && ok > 0) {
+          showToast('✅ Migrated ' + ok + ' flags to server');
+        } else if (ok > 0) {
+          showToast('⚠️ Migrated ' + ok + '/' + entries.length + ' flags (' + fail + ' failed)');
+        } else {
+          showToast('❌ Flag migration failed (keeping local copies)');
+        }
+        return { ok: ok, fail: fail };
+      });
     },
 
     isFlagged: function (hash) {
@@ -326,7 +493,7 @@
       return this.isFlagged(hash).then(function (flagged) {
         var next = !flagged;
         self.cache[hash] = { flagged: next, ts: Date.now() };
-        self.setLocal(hash, next);
+        self.setLocal(hash, next, path);
         if (!self.apiBase) return { flagged: next };
         return fetch(self.apiBase + '/tiles/' + hash + '/flag', {
           method: next ? 'POST' : 'DELETE',
@@ -343,6 +510,24 @@
       });
     },
   };
+
+  /* transient status toast (bottom of the viewport) */
+  var toastTimer = null;
+  function showToast(msg) {
+    var el = document.getElementById('mosaic-toast');
+    if (!el) {
+      el = document.createElement('div');
+      el.id = 'mosaic-toast';
+      el.className = 'mosaic-toast';
+      document.body.appendChild(el);
+    }
+    el.textContent = msg;
+    el.classList.add('visible');
+    clearTimeout(toastTimer);
+    toastTimer = setTimeout(function () {
+      el.classList.remove('visible');
+    }, 3000);
+  }
 
   function updateFlagUI(hash, flagged) {
     var btn = document.getElementById('flag-btn-' + hash);
@@ -368,7 +553,22 @@
    * ----------------------------------------------------------------- */
   function init() {
     setupZoom();
+    setupLifecycle();
+    attemptHideIOSToolbar();
+    zoom.updateMinZoom();
+    if (isMobile()) zoom.reset(); // initialize mobile view at fit zoom
     setupYearFilter();
+    FlagSystem.migrateLocalFlags().then(function (res) {
+      if (res && res.ok) {
+        var regions = document.querySelectorAll('.tile-region');
+        for (var i = 0; i < regions.length; i++) {
+          var h = regions[i].dataset.tileHash;
+          if (h && FlagSystem.cache[h] && FlagSystem.cache[h].flagged) {
+            updateFlagUI(h, true);
+          }
+        }
+      }
+    });
     var regions = document.querySelectorAll('.tile-region');
     for (var i = 0; i < regions.length; i++) {
       (function (region) {

@@ -11,8 +11,10 @@ B. Mode-32 no-repeat scoring approaches (VERDICT r1 #3 + #8) at the
    - MXU paths: bf16 L2 score matmul, approx_min_k prefilter, exact-L1
      rescore of the prefiltered candidates
 
-Timing: difference method (k2-k1 reps) with completion forced by fetching
-result bytes (block_until_ready is enqueue-only through the tunnel).
+All timed computations take their operands as jit ARGUMENTS (zero-arg
+closures get constant-folded by XLA and time as no-ops). Timing:
+difference method (k2-k1 reps), completion forced by fetching result
+bytes (block_until_ready is enqueue-only through the tunnel).
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ def sync(x):
 
 def timeit(fn, k1=1, k2=3, reps=2):
     """Per-iteration seconds via the difference method."""
+
     def run(k):
         t0 = time.perf_counter()
         out = None
@@ -62,65 +65,76 @@ def timeit(fn, k1=1, k2=3, reps=2):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _g_elem(table, idx):
+    return table[idx]
+
+
+@jax.jit
+def _g_sort(idx):
+    return jnp.sort(idx)
+
+
+@jax.jit
+def _g_sortkv(idx, vals):
+    return jax.lax.sort_key_val(idx, vals)
+
+
+@jax.jit
+def _g_scatter(perm, vals):
+    return jnp.zeros(vals.shape, jnp.int32).at[perm].set(vals)
+
+
 def exp_gather():
     n = 4096 * 4096  # 16.78M queries
     key = jax.random.PRNGKey(0)
     idx = jax.random.randint(key, (n,), 0, 1 << 24, dtype=jnp.int32)
     table = jax.random.randint(key, (1 << 24,), 0, 1 << 30, dtype=jnp.int32)
-    sync(idx); sync(table)
+    sync(idx)
+    sync(table)
 
-    f1 = jax.jit(lambda: table[idx])
-    t = timeit(f1)
+    t = timeit(lambda: _g_elem(table, idx))
     log(f"A1 1D elem gather: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
 
     idx2 = idx.reshape(4096, 4096)
-    f2 = jax.jit(lambda: table[idx2])
-    t = timeit(f2)
+    t = timeit(lambda: _g_elem(table, idx2))
     log(f"A2 2D elem gather: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
 
-    # row gathers: does per-index cost amortize over row bytes?
     tab8 = table.reshape(1 << 21, 8)
     idx8 = jax.random.randint(key, (n // 8,), 0, 1 << 21, dtype=jnp.int32)
-    f3 = jax.jit(lambda: tab8[idx8])
-    t = timeit(f3)
-    log(f"A3 row8 gather ({n//8} rows x 32B): {t*1e3:.1f} ms = "
-        f"{(n//8)/t/1e6:.0f} Mrows/s, {n/t/1e6:.0f} Melem/s")
+    t = timeit(lambda: _g_elem(tab8, idx8))
+    log(
+        f"A3 row8 gather ({n//8} rows x 32B): {t*1e3:.1f} ms = "
+        f"{(n//8)/t/1e6:.0f} Mrows/s, {n/t/1e6:.0f} Melem/s"
+    )
 
     tab128 = table.reshape(1 << 17, 128)
     idx128 = jax.random.randint(key, (n // 128,), 0, 1 << 17, dtype=jnp.int32)
-    f4 = jax.jit(lambda: tab128[idx128])
-    t = timeit(f4)
-    log(f"A4 row128 gather ({n//128} rows x 512B): {t*1e3:.1f} ms = "
-        f"{(n//128)/t/1e6:.2f} Mrows/s, {n/t/1e6:.0f} Melem/s")
+    t = timeit(lambda: _g_elem(tab128, idx128))
+    log(
+        f"A4 row128 gather ({n//128} rows x 512B): {t*1e3:.1f} ms = "
+        f"{(n//128)/t/1e6:.2f} Mrows/s, {n/t/1e6:.0f} Melem/s"
+    )
 
-    # u8 table: is the engine element-count-bound regardless of dtype?
     tab_u8 = (table & 0xFF).astype(jnp.uint8)
-    f5 = jax.jit(lambda: tab_u8[idx])
-    t = timeit(f5)
+    t = timeit(lambda: _g_elem(tab_u8, idx))
     log(f"A5 u8 elem gather: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
 
-    # sort cost (the gateway to any merge/bucketed scheme)
-    f6 = jax.jit(lambda: jnp.sort(idx))
-    t = timeit(f6)
+    t = timeit(lambda: _g_sort(idx))
     log(f"A6 sort 16.7M i32: {t*1e3:.1f} ms")
 
     vals = jax.random.randint(key, (n,), 0, 100, dtype=jnp.int32)
-    f7 = jax.jit(lambda: jax.lax.sort_key_val(idx, vals))
-    t = timeit(f7)
+    t = timeit(lambda: _g_sortkv(idx, vals))
     log(f"A7 sort_key_val 16.7M: {t*1e3:.1f} ms")
 
-    # gather with SORTED indices: does locality change the fixed rate?
     idx_sorted = jnp.sort(idx)
     sync(idx_sorted)
-    f8 = jax.jit(lambda: table[idx_sorted])
-    t = timeit(f8)
+    t = timeit(lambda: _g_elem(table, idx_sorted))
     log(f"A8 sorted elem gather: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
 
-    # scatter rate (inverse-permutation restoration cost)
     perm = jax.random.permutation(key, n).astype(jnp.int32)
     sync(perm)
-    f9 = jax.jit(lambda: jnp.zeros((n,), jnp.int32).at[perm].set(vals))
-    t = timeit(f9)
+    t = timeit(lambda: _g_scatter(perm, vals))
     log(f"A9 scatter 16.7M: {t*1e3:.1f} ms = {n/t/1e6:.0f} M/s")
 
 
@@ -136,145 +150,124 @@ K_PRE = 640
 K_FINAL = 512
 
 
+def _mm_scores(xc, t_bf, t_norm):
+    g = jax.lax.dot_general(
+        xc.astype(jnp.bfloat16),
+        t_bf.T,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return t_norm[None, :] - 2.0 * g
+
+
+@functools.partial(jax.jit, static_argnames=("bc",))
+def _mxu_min(blocks, t_bf, t_norm, *, bc):
+    def per_chunk(xc):
+        return jnp.min(_mm_scores(xc, t_bf, t_norm), axis=1)
+
+    nb = blocks.shape[0] // bc
+    return jax.lax.map(per_chunk, blocks.reshape(nb, bc, -1)).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("bc", "k"))
+def _mxu_topk(blocks, t_bf, t_norm, *, bc, k):
+    def per_chunk(xc):
+        nd, ni = jax.lax.top_k(-_mm_scores(xc, t_bf, t_norm), k)
+        return -nd, ni
+
+    nb = blocks.shape[0] // bc
+    return jax.lax.map(per_chunk, blocks.reshape(nb, bc, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("bc", "k"))
+def _mxu_approx(blocks, t_bf, t_norm, *, bc, k):
+    def per_chunk(xc):
+        return jax.lax.approx_min_k(_mm_scores(xc, t_bf, t_norm), k)
+
+    nb = blocks.shape[0] // bc
+    return jax.lax.map(per_chunk, blocks.reshape(nb, bc, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("bc", "kf"))
+def _rescore(blocks, cand_rows, lib, *, bc, kf):
+    def per_chunk(args):
+        xc, cr = args
+        tc = lib[cr]  # [bc, K, D] u8 row gather
+        dist = jnp.abs(
+            xc.astype(jnp.int32)[:, None, :] - tc.astype(jnp.int32)
+        ).sum(-1, dtype=jnp.int32)
+        nd, ni = jax.lax.top_k(-dist, kf)
+        return -nd, jnp.take_along_axis(cr, ni, axis=1)
+
+    nb = blocks.shape[0] // bc
+    k = cand_rows.shape[1]
+    return jax.lax.map(
+        per_chunk,
+        (blocks.reshape(nb, bc, -1), cand_rows.reshape(nb, bc, k)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kf",))
+def _exact_stripe(xc, lib, *, kf):
+    dist = jnp.abs(
+        xc.astype(jnp.int32)[:, None, :] - lib.astype(jnp.int32)[None]
+    ).sum(-1, dtype=jnp.int32)
+    nd, ni = jax.lax.top_k(-dist, kf)
+    return -nd, ni
+
+
 def exp_scoring():
     key = jax.random.PRNGKey(1)
     k1, k2 = jax.random.split(key)
     blocks = jax.random.randint(k1, (B_FULL, D), 0, 256, dtype=jnp.uint8)
     lib = jax.random.randint(k2, (LP, D), 0, 256, dtype=jnp.uint8)
-    sync(blocks); sync(lib)
-    log(f"B inputs ready: blocks {blocks.shape} lib {lib.shape}")
-
-    # B2a: MXU bf16 score matmul only (chunked, min-reduced consumer)
     t_bf = lib.astype(jnp.bfloat16)
     t_norm = (lib.astype(jnp.float32) ** 2).sum(axis=1)
+    sync(blocks)
+    sync(t_bf)
+    sync(t_norm)
+    log(f"B inputs ready: blocks {blocks.shape} lib {lib.shape}")
 
-    @jax.jit
-    def mxu_scores_min():
-        def per_chunk(xc):
-            g = jax.lax.dot_general(
-                xc.astype(jnp.bfloat16), t_bf.T,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = t_norm[None, :] - 2.0 * g
-            return jnp.min(s, axis=1)
-        bc = min(2048, B_FULL)
-        return jax.lax.map(per_chunk, blocks.reshape(B_FULL // bc, bc, D)).reshape(-1)
-
-    t = timeit(mxu_scores_min)
+    bc = min(2048, B_FULL)
+    t = timeit(lambda: _mxu_min(blocks, t_bf, t_norm, bc=bc))
     flops = 2.0 * B_FULL * LP * D
     log(f"B2a MXU matmul+min: {t*1e3:.0f} ms = {flops/t/1e12:.0f} TFLOP/s")
 
-    # B2b: matmul + lax.top_k(K_PRE)
-    @jax.jit
-    def mxu_topk():
-        def per_chunk(xc):
-            g = jax.lax.dot_general(
-                xc.astype(jnp.bfloat16), t_bf.T,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = t_norm[None, :] - 2.0 * g
-            nd, ni = jax.lax.top_k(-s, K_PRE)
-            return -nd, ni
-        bc = min(1024, B_FULL)
-        return jax.lax.map(per_chunk, blocks.reshape(B_FULL // bc, bc, D))
-
-    t = timeit(mxu_topk, 1, 2)
+    bc = min(1024, B_FULL)
+    t = timeit(lambda: _mxu_topk(blocks, t_bf, t_norm, bc=bc, k=K_PRE), 1, 2)
     log(f"B2b MXU matmul+top_k({K_PRE}): {t*1e3:.0f} ms")
 
-    # B2c: matmul + approx_min_k(K_PRE)
-    @jax.jit
-    def mxu_approx():
-        def per_chunk(xc):
-            g = jax.lax.dot_general(
-                xc.astype(jnp.bfloat16), t_bf.T,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = t_norm[None, :] - 2.0 * g
-            return jax.lax.approx_min_k(s, K_PRE)
-        bc = min(1024, B_FULL)
-        return jax.lax.map(per_chunk, blocks.reshape(B_FULL // bc, bc, D))
-
-    t = timeit(mxu_approx, 1, 2)
+    t = timeit(lambda: _mxu_approx(blocks, t_bf, t_norm, bc=bc, k=K_PRE), 1, 2)
     log(f"B2c MXU matmul+approx_min_k({K_PRE}): {t*1e3:.0f} ms")
 
-    # recall of approx_min_k vs exact L1 ordering (random data, one chunk)
-    sd, si = jax.jit(
-        lambda xc: jax.lax.approx_min_k(
-            t_norm[None, :]
-            - 2.0
-            * jax.lax.dot_general(
-                xc.astype(jnp.bfloat16), t_bf.T,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ),
-            K_PRE,
-        )
-    )(blocks[:256])
-    xc_i = blocks[:256].astype(jnp.int32)
-    d_exact = jnp.abs(xc_i[:, None, :] - lib[None, :512].astype(jnp.int32)).sum(-1)
-    log("B2c sanity computed (recall measured below in rescore agreement)")
-
-    # B3: exact-L1 rescore of K_PRE prefiltered candidates
-    cand = np.asarray(jax.device_get(si)).astype(np.int32)  # [256, K_PRE]
+    # B3: exact-L1 rescore of K_PRE prefiltered candidates (random rows —
+    # gather pattern matches production)
     cand_full = jnp.asarray(
-        np.random.default_rng(0).integers(0, L, size=(B_FULL, K_PRE), dtype=np.int32)
+        np.random.default_rng(0).integers(
+            0, L, size=(B_FULL, K_PRE), dtype=np.int32
+        )
     )
     sync(cand_full)
-
-    @jax.jit
-    def rescore(cand_rows):
-        def per_chunk(args):
-            xc, cr = args  # [bc, D] u8, [bc, K_PRE] i32
-            tc = lib[cr]  # [bc, K_PRE, D] u8 row gather
-            dist = jnp.abs(
-                xc.astype(jnp.int32)[:, None, :] - tc.astype(jnp.int32)
-            ).sum(-1, dtype=jnp.int32)
-            nd, ni = jax.lax.top_k(-dist, K_FINAL)
-            return -nd, jnp.take_along_axis(cr, ni, axis=1)
-        bc = min(256, B_FULL)
-        return jax.lax.map(
-            per_chunk,
-            (blocks.reshape(B_FULL // bc, bc, D),
-             cand_rows.reshape(B_FULL // bc, bc, K_PRE)),
-        )
-
-    t = timeit(lambda: rescore(cand_full), 1, 2)
+    bc3 = min(256, B_FULL)
+    t = timeit(
+        lambda: _rescore(blocks, cand_full, lib, bc=bc3, kf=K_FINAL), 1, 2
+    )
     ops = 3.0 * B_FULL * K_PRE * D
-    log(f"B3 exact-L1 rescore {K_PRE}->{K_FINAL}: {t*1e3:.0f} ms "
+    log(
+        f"B3 exact-L1 rescore {K_PRE}->{K_FINAL}: {t*1e3:.0f} ms "
         f"({ops/t/1e12:.2f} T elem-ops/s; row-gather "
-        f"{B_FULL*K_PRE/t/1e6:.1f} Mrows/s)")
+        f"{B_FULL*K_PRE/t/1e6:.1f} Mrows/s)"
+    )
 
-    # B6: exact XLA distance stripe + top_k per stripe (the exact path)
-    @jax.jit
-    def exact_stripe_topk():
-        def per_chunk(xc):  # [bc, D]
-            dist = jnp.abs(
-                xc.astype(jnp.int32)[:, None, :] - lib.astype(jnp.int32)[None]
-            ).sum(-1, dtype=jnp.int32)  # [bc, LP]
-            nd, ni = jax.lax.top_k(-dist, K_FINAL)
-            return -nd, ni
-        bc = 128
-        return jax.lax.map(per_chunk, blocks.reshape(B_FULL // bc, bc, D))
-
-    # one stripe slice to extrapolate (full would be ~B/bc * stripe)
-    @jax.jit
-    def exact_stripe_slice():
-        xc = blocks[:min(128, B_FULL)]
-        dist = jnp.abs(
-            xc.astype(jnp.int32)[:, None, :] - lib.astype(jnp.int32)[None]
-        ).sum(-1, dtype=jnp.int32)
-        nd, ni = jax.lax.top_k(-dist, K_FINAL)
-        return -nd
-
-    t = timeit(exact_stripe_slice, 1, 2)
+    # B6: exact XLA distance stripe + top_k (extrapolated to full B)
     sb = min(128, B_FULL)
+    t = timeit(lambda: _exact_stripe(blocks[:sb], lib, kf=K_FINAL), 1, 2)
     total = t * (B_FULL / sb)
     ops = 3.0 * sb * LP * D
-    log(f"B6 exact stripe (bc={sb}): {t*1e3:.0f} ms/stripe = "
-        f"{ops/t/1e12:.2f} T elem-ops/s -> full B={B_FULL}: {total:.1f} s")
+    log(
+        f"B6 exact stripe (bc={sb}): {t*1e3:.0f} ms/stripe = "
+        f"{ops/t/1e12:.2f} T elem-ops/s -> full B={B_FULL}: {total:.1f} s"
+    )
 
     # B4: Pallas brute argmin on a B=2048 slice (mode-32 repeat-mode match)
     from emosaic_tpu.ops.distance import _l1_argmin_pallas
@@ -284,6 +277,7 @@ def exp_scoring():
     lib_np = np.asarray(jax.device_get(lib[:L]))
 
     if jax.devices()[0].platform == "tpu":
+
         def pallas_slice():
             d, r = _l1_argmin_pallas(blocks_np, lib_np)
             return d
@@ -295,9 +289,11 @@ def exp_scoring():
         sync(pallas_slice())
         t = time.perf_counter() - t0
         ops = 3.0 * sb4 * L * D
-        log(f"B4 pallas argmin (B={sb4}): {t:.2f} s = "
+        log(
+            f"B4 pallas argmin (B={sb4}): {t:.2f} s = "
             f"{ops/t/1e12:.2f} T elem-ops/s"
-            f" -> full B={B_FULL}: {t*B_FULL/sb4:.1f} s")
+            f" -> full B={B_FULL}: {t*B_FULL/sb4:.1f} s"
+        )
     else:
         log("B4 skipped (needs TPU)")
 
@@ -308,9 +304,8 @@ def exp_scoring():
 
     def l2_full():
         d, r = l2_argmin(blocks_all, lib_np)
-        return d
+        return np.asarray(d)
 
-    t0 = time.perf_counter()
     _ = l2_full()
     log("B5 l2 warm done")
     t0 = time.perf_counter()
@@ -321,19 +316,33 @@ def exp_scoring():
     # B1: current _l1_topk_scan on a small slice -> extrapolate
     from emosaic_tpu.ops.distance import _l1_topk_scan
 
-    def scan_slice():
-        d, r = _l1_topk_scan(blocks_np[:min(1024, B_FULL)], lib_np, K_FINAL)
-        return d
+    sb1 = min(1024, B_FULL)
 
-    t0 = time.perf_counter()
+    def scan_slice():
+        d, r = _l1_topk_scan(blocks_np[:sb1], lib_np, K_FINAL)
+        return np.asarray(d)
+
     _ = scan_slice()
     log("B1 scan warm done")
     t0 = time.perf_counter()
     _ = scan_slice()
     t = time.perf_counter() - t0
-    sb1 = min(1024, B_FULL)
-    log(f"B1 topk scan (B={sb1}): {t:.2f} s -> full B={B_FULL}: "
-        f"{t*B_FULL/sb1:.0f} s")
+    log(
+        f"B1 topk scan (B={sb1}): {t:.2f} s -> full B={B_FULL}: "
+        f"{t*B_FULL/sb1:.0f} s"
+    )
+
+    # agreement check: MXU prefilter+rescore vs exact L1 top-1 on a slice
+    sd, si = _mxu_approx(blocks[:1024], t_bf, t_norm, bc=1024, k=K_PRE)
+    rd, rr = _rescore(
+        blocks[:1024], si.reshape(1024, K_PRE), lib, bc=256, kf=K_FINAL
+    )
+    rd = np.asarray(jax.device_get(rd)).reshape(1024, K_FINAL)
+    rr = np.asarray(jax.device_get(rr)).reshape(1024, K_FINAL)
+    ed, er = _exact_stripe(blocks[:1024], lib, kf=1)
+    ed = np.asarray(jax.device_get(ed)).reshape(-1)
+    agree = float((rd[:, 0] == ed).mean())
+    log(f"B7 hybrid-vs-exact top-1 distance agreement (random data): {agree:.4f}")
 
 
 def main():
