@@ -34,6 +34,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from emosaic_tpu.ops.composite import _compose_rows_2d
 from emosaic_tpu.ops.lut import _build_l1_lut_jit
@@ -68,7 +69,14 @@ def match_phase(tiles3, src_packed):
     # flip of a 1x1 palette is the identity; the library is [pal; pal]
     lib = jnp.concatenate([pal, pal], axis=0)
     lut = _build_l1_lut_jit(lib.astype(jnp.int32))
-    key = lut.reshape(-1)[src_packed.reshape(-1)]
+    # 8-wide row gather + fused lane select: the gather engine is
+    # per-index bound, so one 32B row fetch per query beats one element
+    # fetch (144 -> 84 ms, tools/tpu_r2_experiments2.py)
+    idx = src_packed.reshape(-1)
+    rows8 = lut.reshape(-1, 8)[idx >> 3]
+    lane = (idx & 7)[:, None]
+    j = jnp.arange(8, dtype=jnp.int32)[None, :]
+    key = jnp.where(j == lane, rows8, 0).sum(axis=1, dtype=jnp.int32)
     rows = key & ((1 << 21) - 1)
     items = jnp.where(rows < NUM_TILES, rows + 1, -(rows - NUM_TILES + 1))
     return items.astype(jnp.int32).reshape(SRC, SRC)
@@ -146,6 +154,68 @@ def _arm_watchdog():
     return done
 
 
+def norepeat_phase() -> tuple[float, float]:
+    """No-repeat flagship scoring + assignment (the reference Makefile's
+    own default config class: mode 32, --no-repeat, Makefile:62-91 /
+    rendering.rs:262-401): B=16384 blocks (4096^2 source at dim 32),
+    T=32767 tiles (the reference's hard cap) -> L=65534 flip rows,
+    D=3072. Returns (score_s device, assign_s host).
+
+    Scoring is the production stripe path (ops/distance.l1_topk_stripes'
+    jit: fused [bc, L] distance stripes + top_k(512)); assignment is the
+    production C++ global-greedy over the candidate lists with exact
+    masked refills.
+    """
+    from emosaic_tpu.ops.distance import _l1_topk_stripes_jit
+    from emosaic_tpu import native
+
+    b, t, d, k = 16384, 32767, 3072, 512
+    l = 2 * t
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    blocks_d = jax.random.randint(k1, (b, d), 0, 256, dtype=jnp.uint8)
+    lib_d = jax.random.randint(k2, (l, d), 0, 256, dtype=jnp.uint8)
+    _sync(blocks_d[:1])
+    _sync(lib_d[:1])
+
+    def run_score():
+        return _l1_topk_stripes_jit(
+            blocks_d.reshape(-1), lib_d.reshape(-1), d=d, bc=128, k=k, real_l=l
+        )
+
+    cd_dev, cr_dev = run_score()  # compile + warm
+    _sync(cd_dev)
+    _progress("norepeat score warm")
+    t0 = time.perf_counter()
+    cd_dev, cr_dev = run_score()
+    _sync(cd_dev)
+    score_s = time.perf_counter() - t0
+    _progress(f"norepeat scoring: {score_s:.2f} s (16384x65534xD3072, k=512)")
+
+    cd = np.asarray(jax.device_get(cd_dev))
+    cr = np.asarray(jax.device_get(cr_dev))
+    blocks_np = np.asarray(jax.device_get(blocks_d))
+    lib_np = np.asarray(jax.device_get(lib_d))
+    t0 = time.perf_counter()
+    if native.available():
+        rows, dists = native.greedy_global(cd, cr, blocks_np, lib_np, t)
+    else:
+        from emosaic_tpu.render.greedy import (
+            greedy_global_assign,
+            make_numpy_refill,
+        )
+
+        rows, dists = greedy_global_assign(
+            cd, cr, l, t, make_numpy_refill(blocks_np, lib_np)
+        )
+    assign_s = time.perf_counter() - t0
+    assigned = int((rows >= 0).sum())
+    _progress(
+        f"norepeat assignment: {assign_s:.2f} s ({assigned}/{b} assigned)"
+    )
+    return score_s, assign_s
+
+
 def main() -> int:
     watchdog_done = _arm_watchdog()
     key = jax.random.PRNGKey(0)
@@ -196,6 +266,10 @@ def main() -> int:
     t_band = _rate_via_difference(run_bands, 4, 16)
     _progress(f"band timed: {t_band * 1e3:.2f} ms")
 
+    # free the gigapixel-phase arrays before the no-repeat phase
+    del tiles3, src_packed, aug3, items
+    score_s, assign_s = norepeat_phase()
+
     watchdog_done.set()
     total = t_match + N_BANDS * t_band
     out_mp = (SRC * TILE_SIZE) ** 2 / 1e6  # 17179.87 MP
@@ -208,7 +282,9 @@ def main() -> int:
                 "unit": f"MP/s (4096^2 src, {NUM_TILES} tiles, ts={TILE_SIZE},"
                 f" mode 1; match {t_match * 1e3:.0f}ms + composite "
                 f"{N_BANDS}x{t_band * 1e3:.1f}ms = {total:.3f}s; target "
-                f"{target_s}s)",
+                f"{target_s}s | no-repeat flagship mode32 16k blocks x "
+                f"32767 tiles: score {score_s:.2f}s + assign "
+                f"{assign_s:.2f}s)",
                 "vs_baseline": round(target_s / total, 2),
             }
         )

@@ -236,9 +236,11 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--seed", type=int, default=0, help="RNG seed (reproducible runs)")
     m.add_argument(
         "--matcher",
-        choices=["auto", "lut", "pallas", "xla"],
+        choices=["auto", "lut", "pallas", "xla", "hybrid"],
         default="auto",
-        help="Matching kernel selection",
+        help="Matching kernel selection; 'hybrid' = MXU L2 prefilter + "
+        "exact-L1 rescore, the approximate fast mode for high-N modes "
+        "(PARITY deviation; also accelerates --no-repeat scoring)",
     )
     m.add_argument(
         "--metric",
@@ -417,9 +419,14 @@ def run_mosaic(args, timer=None) -> None:
                 tile_set, args.tiles_dir, args.tile_size,
                 max_bytes=args.max_stack_bytes,
             )
-        use_lut = {"auto": "auto", "lut": "always", "pallas": "never", "xla": "never"}[
-            args.matcher
-        ]
+        use_lut = {
+            "auto": "auto",
+            "lut": "always",
+            "pallas": "never",
+            "xla": "never",
+            "hybrid": "auto",
+        }[args.matcher]
+        hybrid = args.matcher == "hybrid"
         # gigapixel outputs are composed in bands and PNG-encoded
         # incrementally instead of materializing W*H*3 bytes at once;
         # stack=None (too big for memory) always streams via the host path
@@ -433,6 +440,7 @@ def run_mosaic(args, timer=None) -> None:
                 result = render_nto1_no_repeat(
                     src, tile_set, args.tile_size, stack=stack,
                     compose=not streaming,
+                    scorer="hybrid" if hybrid else "exact",
                 )
             else:
                 result = render_nto1(
@@ -444,6 +452,7 @@ def run_mosaic(args, timer=None) -> None:
                     seed=args.seed,
                     use_lut=use_lut,
                     metric=args.metric,
+                    hybrid=hybrid,
                     stack=stack,
                     compose=not streaming,
                 )

@@ -303,6 +303,11 @@ def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.A
     on_tpu = jax.devices()[0].platform == "tpu"
     if force_xla or not on_tpu:
         return l1_argmin_xla(blocks, lib)
+    if d > _PALLAS_MAX_D:
+        # high-D: the fused XLA stripe is ~12x the Pallas kernel
+        # (tools/tpu_r2_experiments.py B4 vs B6)
+        dist, row = l1_topk_stripes(blocks, lib, 1)
+        return jnp.asarray(dist[:, 0]), jnp.asarray(row[:, 0])
     return _l1_argmin_pallas(blocks, lib)
 
 
@@ -328,6 +333,194 @@ def _l1_argmin_pallas(
         interpret=interpret,
     )
     return dist[:b], row[:b]
+
+
+# ---------------------------------------------------------------------------
+# Fused distance stripes (exact high-D path: argmin and top-k)
+#
+# Measured v5e (tools/tpu_r2_experiments.py, B=16384 L=65534 D=3072):
+# XLA fuses the [bc, L, D] broadcast-abs-reduce into a loop fusion at
+# 2.27 T elem-ops/s — 12x the Pallas kernel at this D (0.19 T) and 21x
+# the chunked running-top-k scan. Above _PALLAS_MAX_D the dispatchers
+# use stripes.
+# ---------------------------------------------------------------------------
+
+#: Pallas brute kernel wins at small D (tuned there); the fused XLA
+#: stripe wins at high D (mode >= 16). Crossover not precisely measured;
+#: the Pallas kernel's statically-unrolled feature loop degrades past a
+#: few hundred dims.
+_PALLAS_MAX_D = 256
+_STRIPE_BC = 128
+
+
+@functools.partial(jax.jit, static_argnames=("d", "bc", "k", "real_l"))
+def _l1_topk_stripes_jit(blocks_flat, lib_flat, *, d, bc, k, real_l):
+    blocks = blocks_flat.reshape(-1, d)
+    lib = lib_flat.reshape(-1, d)
+    col = jnp.arange(lib.shape[0], dtype=jnp.int32)
+    invalid = col >= real_l
+
+    def per_chunk(xc):
+        dist = jnp.abs(
+            xc.astype(jnp.int32)[:, None, :] - lib.astype(jnp.int32)[None]
+        ).sum(-1, dtype=jnp.int32)  # fused: [bc, L] never holds [bc, L, D]
+        dist = jnp.where(invalid[None, :], I32_MAX, dist)
+        nd, ni = jax.lax.top_k(-dist, k)  # ties -> lowest column index
+        return -nd, ni
+
+    nb = blocks.shape[0] // bc
+    dists, rows = jax.lax.map(per_chunk, blocks.reshape(nb, bc, d))
+    return dists.reshape(-1, k), rows.reshape(-1, k)
+
+
+def l1_topk_stripes(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact k nearest rows per block via fused distance stripes.
+
+    Same contract as `l1_topk` (ascending by (distance, row); I32_MAX
+    padding when k > L) but computed as full-library stripes with a
+    device top_k — the fast exact path for high-D no-repeat scoring
+    (rendering.rs:307-321's candidate lists at production scale).
+    """
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, d = blocks.shape
+    l = lib.shape[0]
+    kk = min(k, l)
+    bc = min(_STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
+    bp = -(-b // bc) * bc
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    dists, rows = _l1_topk_stripes_jit(
+        jnp.asarray(blocks_p.reshape(-1)),
+        jnp.asarray(lib.reshape(-1)),
+        d=d,
+        bc=bc,
+        k=kk,
+        real_l=l,
+    )
+    out_d = np.asarray(jax.device_get(dists))[:b]
+    out_r = np.asarray(jax.device_get(rows))[:b]
+    if kk < k:
+        out_d = np.concatenate(
+            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
+        )
+        out_r = np.concatenate([out_r, np.zeros((b, k - kk), np.int32)], axis=1)
+    return out_d, out_r
+
+
+# ---------------------------------------------------------------------------
+# MXU hybrid: bf16 L2 prefilter (approx_min_k) + exact-L1 rescore
+#
+# Measured v5e at the flagship no-repeat scale: matmul 35 ms
+# (186 TFLOP/s) + approx_min_k(640) 244 ms + exact rescore ~1 s ≈ 1.2 s
+# vs 4.4 s exact stripes. APPROXIMATE: candidates come from squared-L2
+# ordering (plus approx_min_k's recall), then are re-ranked and distanced
+# in exact int32 L1 — measured top-1 agreement 1.0000 on random data
+# (tools/tpu_r2_experiments.py B7), but exactness is NOT guaranteed;
+# opt-in via --matcher hybrid (PARITY deviation).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("d", "bc", "k_pre"))
+def _mxu_prefilter_jit(blocks_flat, lib_flat, *, d, bc, k_pre):
+    x = blocks_flat.reshape(-1, d)
+    t = lib_flat.reshape(-1, d)
+    t_bf = t.astype(jnp.bfloat16).T
+    t_norm = (t.astype(jnp.float32) ** 2).sum(axis=1)
+
+    def per_chunk(xc):
+        g = jax.lax.dot_general(
+            xc.astype(jnp.bfloat16),
+            t_bf,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        score = t_norm[None, :] - 2.0 * g
+        _, idx = jax.lax.approx_min_k(score, k_pre)
+        return idx.astype(jnp.int32)
+
+    nb = x.shape[0] // bc
+    return jax.lax.map(per_chunk, x.reshape(nb, bc, d)).reshape(-1, k_pre)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "bc", "k", "real_l"))
+def _l1_rescore_jit(blocks_flat, cand_rows, lib_flat, *, d, bc, k, real_l):
+    blocks = blocks_flat.reshape(-1, d)
+    lib = lib_flat.reshape(-1, d)
+    k_pre = cand_rows.shape[1]
+
+    def per_chunk(args):
+        xc, cr = args
+        # candidates ascending by row: top_k prefers earlier positions on
+        # value ties, so equal distances resolve to the lowest library
+        # row, matching the exact kernels' tie-break
+        cr = jnp.sort(cr, axis=1)
+        tc = lib[cr]  # [bc, k_pre, D] row gather
+        dist = jnp.abs(
+            xc.astype(jnp.int32)[:, None, :] - tc.astype(jnp.int32)
+        ).sum(-1, dtype=jnp.int32)
+        dist = jnp.where(cr < real_l, dist, I32_MAX)
+        nd, ni = jax.lax.top_k(-dist, k)
+        return -nd, jnp.take_along_axis(cr, ni, axis=1)
+
+    nb = blocks.shape[0] // bc
+    dists, rows = jax.lax.map(
+        per_chunk, (blocks.reshape(nb, bc, d), cand_rows.reshape(nb, bc, k_pre))
+    )
+    return dists.reshape(-1, k), rows.reshape(-1, k)
+
+
+def l1_topk_hybrid(
+    blocks, lib, k: int, *, k_pre: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Approximate k nearest rows: MXU L2 prefilter, exact-L1 rescore.
+
+    Returned distances are exact int32 L1 for the returned rows; the
+    candidate *set* is L2-preselected (see module comment). k_pre defaults
+    to max(2k, 64) capped at the library size.
+    """
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, d = blocks.shape
+    l = lib.shape[0]
+    if l <= max(k * 2, 256):
+        return l1_topk_stripes(blocks, lib, k)  # small library: exact
+    kp = min(k_pre or max(2 * k, 64), l)
+    kk = min(k, kp)
+    bc = max(8, min(1024, (2**26) // max(1, l * 4)))
+    bp = -(-b // bc) * bc
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    cand = _mxu_prefilter_jit(
+        jnp.asarray(blocks_p.reshape(-1)),
+        jnp.asarray(lib.reshape(-1)),
+        d=d,
+        bc=bc,
+        k_pre=kp,
+    )
+    bc2 = max(8, min(256, bp))
+    dists, rows = _l1_rescore_jit(
+        jnp.asarray(blocks_p.reshape(-1)),
+        cand,
+        jnp.asarray(lib.reshape(-1)),
+        d=d,
+        bc=bc2,
+        k=kk,
+        real_l=l,
+    )
+    out_d = np.asarray(jax.device_get(dists))[:b]
+    out_r = np.asarray(jax.device_get(rows))[:b]
+    if kk < k:
+        out_d = np.concatenate(
+            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
+        )
+        out_r = np.concatenate([out_r, np.zeros((b, k - kk), np.int32)], axis=1)
+    return out_d, out_r
+
+
+def l1_argmin_hybrid(blocks, lib, *, k_pre: int = 64):
+    """Approximate nearest row (exact L1 distance of the winner) via the
+    MXU prefilter + rescore. The high-N fast mode (VERDICT r1 #8)."""
+    d, r = l1_topk_hybrid(blocks, lib, 1, k_pre=k_pre)
+    return d[:, 0], r[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -501,8 +694,8 @@ def l1_topk(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
     Replaces kiddo `nearest_n` (rendering.rs:172-174 k=20 for --randomize;
     rendering.rs:307-321 candidate lists for global-greedy no-repeat).
     Dispatches between a dense-matrix + host argpartition path (small
-    B*L — the running device top-k merge is far slower per element) and
-    the chunked device scan (large problems that can't hold the matrix).
+    B*L) and fused device stripes + top_k (everything larger — 21x the
+    old running-top-k scan at flagship no-repeat scale).
 
     Returns:
       (dists [B, k] int32, rows [B, k] int32) numpy. If k > L, trailing
@@ -511,23 +704,22 @@ def l1_topk(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
     blocks = np.asarray(blocks, dtype=np.uint8)
     lib = np.asarray(lib, dtype=np.uint8)
     b, l = blocks.shape[0], lib.shape[0]
-    if l > _TOPK_MATRIX_BUDGET // 64:
-        # even one 64-row matrix chunk would blow the budget: device scan
-        return _l1_topk_scan(blocks, lib, k)
-    chunk_b = max(64, _TOPK_MATRIX_BUDGET // l)
-    out_d = np.empty((b, min(k, l)), dtype=np.int32)
-    out_r = np.empty((b, min(k, l)), dtype=np.int32)
+    if b * l > _TOPK_MATRIX_BUDGET:
+        return l1_topk_stripes(blocks, lib, k)
     kk = min(k, l)
-    for c0 in range(0, b, chunk_b):
-        dist = l1_dist_matrix(blocks[c0 : c0 + chunk_b], lib)
-        if kk < l:
-            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-        else:
-            part = np.broadcast_to(np.arange(l), (dist.shape[0], l)).copy()
-        pd = np.take_along_axis(dist, part, axis=1)
-        order = np.lexsort((part, pd), axis=1)
-        out_r[c0 : c0 + chunk_b] = np.take_along_axis(part, order, axis=1)
-        out_d[c0 : c0 + chunk_b] = np.take_along_axis(pd, order, axis=1)
+    dist = l1_dist_matrix(blocks, lib)
+    # exact lexicographic (distance, row) selection: a plain argpartition
+    # on distances picks arbitrary tie members at the kth boundary, so
+    # partition on a packed int64 key instead
+    key = dist.astype(np.int64) * l + np.arange(l, dtype=np.int64)[None, :]
+    if kk < l:
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(np.arange(l), (dist.shape[0], l)).copy()
+    pk = np.take_along_axis(key, part, axis=1)
+    order = np.argsort(pk, axis=1)
+    out_r = np.take_along_axis(part, order, axis=1).astype(np.int32)
+    out_d = (np.take_along_axis(pk, order, axis=1) // l).astype(np.int32)
     if kk < k:
         pad_d = np.full((b, k - kk), I32_MAX, dtype=np.int32)
         pad_r = np.zeros((b, k - kk), dtype=np.int32)

@@ -104,9 +104,24 @@ def pack_rgb(blocks: np.ndarray) -> np.ndarray:
     )
 
 
+#: row width for the match gather. The TPU gather engine is per-INDEX
+#: bound (~8.6 ns/element, table-size independent), but 32-byte row
+#:
+#: fetches cost only ~5 ns/index — so fetching 8 entries per index and
+#: selecting the target lane with vector math (fused, effectively free)
+#: cuts the 16.7M-query match from 144 ms to 84 ms on v5e (measured,
+#: tools/tpu_r2_experiments2.py C1/C2; widths 2/4/16 are all slower).
+_ROW_W = 8
+_ROW_SHIFT = 3
+
+
 @jax.jit
 def _lut_match_packed_jit(idx: jax.Array, lut: jax.Array):
-    key = lut.reshape(-1)[idx]
+    tab = lut.reshape(-1, _ROW_W)
+    rows = tab[idx >> _ROW_SHIFT]  # [B, 8] row gather
+    lane = (idx & (_ROW_W - 1))[:, None]
+    j = jnp.arange(_ROW_W, dtype=jnp.int32)[None, :]
+    key = jnp.where(j == lane, rows, 0).sum(axis=1, dtype=jnp.int32)
     return key >> ROW_BITS, key & ROW_MASK
 
 

@@ -34,6 +34,7 @@ from emosaic_tpu.ops.composite import compose_mosaic
 from emosaic_tpu.ops.distance import (
     build_library,
     l1_argmin,
+    l1_argmin_hybrid,
     l1_topk,
     l2_argmin,
     rows_to_items,
@@ -73,14 +74,19 @@ def match_blocks(
     *,
     use_lut: str = "auto",
     metric: str = "l1",
+    hybrid: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Dispatch to the LUT (mode 1), the dense L1 kernel, or the MXU L2
-    fast mode (a performance addition — the reference is L1-only).
+    """Dispatch to the LUT (mode 1), the dense L1 kernel, the MXU hybrid
+    (L2 prefilter + exact-L1 rescore, `hybrid=True`), or the MXU L2 fast
+    mode (performance additions — the reference is L1-only).
 
     Returns (dist [B] int32, row [B] int32) as numpy.
     """
     if metric == "l2":
         dist, row = l2_argmin(blocks, lib)
+        return np.asarray(dist), np.asarray(row)
+    if hybrid and blocks.shape[1] > 3:
+        dist, row = l1_argmin_hybrid(blocks, lib)
         return np.asarray(dist), np.asarray(row)
     b, d = blocks.shape
     lut_ok = d == 3 and lib.shape[0] <= MAX_ROWS
@@ -116,6 +122,7 @@ def render_nto1(
     seed: int = 0,
     use_lut: str = "auto",
     metric: str = "l1",
+    hybrid: bool = False,
     stack: np.ndarray | None = None,
     compose: bool = True,
     log=lambda *a: print(*a, file=sys.stderr),
@@ -175,7 +182,9 @@ def render_nto1(
                 order, cd, cr, lib.shape[0], refill
             )
     else:
-        dists, rows = match_blocks(blocks, lib, use_lut=use_lut, metric=metric)
+        dists, rows = match_blocks(
+            blocks, lib, use_lut=use_lut, metric=metric, hybrid=hybrid
+        )
 
     items = np.asarray(rows_to_items(rows, num_tiles))
     items = np.where(rows < 0, 0, items)  # unassigned -> black

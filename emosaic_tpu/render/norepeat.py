@@ -28,6 +28,7 @@ from emosaic_tpu.ops.distance import (
     build_library,
     l1_dist_matrix,
     l1_topk,
+    l1_topk_hybrid,
     rows_to_items,
 )
 from emosaic_tpu.render.greedy import greedy_global_assign, make_numpy_refill
@@ -37,6 +38,14 @@ from emosaic_tpu.tiles.tileset import TileSet
 
 #: full-list (exact) mode is used while B * L stays under this many entries
 _EXACT_BUDGET = 2 * 10**8
+#: Past _EXACT_BUDGET the scorer fetches this many exact candidates per
+#: block (device stripes + top_k). Truncation does NOT change assignment
+#: results: the greedy engines fall back to an exact masked refill
+#: whenever a block exhausts its prefix (render/greedy.py), so the
+#: consumed candidate sequence is identical to the full sorted list —
+#: K only trades scoring time against refill frequency. Refills become
+#: common only when assigned blocks approach 2T (the feasibility bound
+#: of rendering.rs:150-156).
 _TRUNCATED_K = 512
 
 
@@ -47,6 +56,7 @@ def render_nto1_no_repeat(
     *,
     stack: np.ndarray | None = None,
     compose: bool = True,
+    scorer: str = "exact",
     log=lambda *a: print(*a, file=sys.stderr),
 ) -> RenderOutcome:
     n = tile_set.n_cells
@@ -64,7 +74,14 @@ def render_nto1_no_repeat(
     num_tiles = len(tile_set)
     b, l = blocks.shape[0], lib.shape[0]
 
-    if b * l <= _EXACT_BUDGET:
+    if scorer == "hybrid" and b * l > _EXACT_BUDGET:
+        # MXU L2-prefilter + exact-L1 rescore (approximate candidate set,
+        # exact distances; ~3.5x faster scoring at flagship scale — see
+        # ops/distance.py hybrid section). Assignment still refills
+        # exactly, so only candidate-set membership is approximate.
+        k = min(_TRUNCATED_K, l)
+        cd, cr = l1_topk_hybrid(blocks, lib, k, k_pre=min(2 * k, l))
+    elif b * l <= _EXACT_BUDGET:
         # exact mode: the full sorted candidate list per block (what the
         # reference's 100k-NN fetch amounts to under its tile cap) — dense
         # matrix on device, stable argsort on host (a running device top-k

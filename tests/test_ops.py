@@ -309,3 +309,74 @@ def test_l1_topk_block_chunked_matches(rng, monkeypatch):
     d2, r2 = l1_topk(blocks, lib, 5)
     assert (np.asarray(d1) == np.asarray(d2)).all()
     assert (np.asarray(r1) == np.asarray(r2)).all()
+
+
+def test_l1_topk_stripes_matches_matrix_path(rng):
+    # the fused-stripe scorer (no-repeat flagship path) must match the
+    # dense-matrix oracle including (distance, row) tie ordering
+    from emosaic_tpu.ops.distance import l1_topk_stripes
+
+    pal = rng.integers(0, 256, size=(40, 4, 3), dtype=np.uint8)
+    lib = np.array(build_library(pal))  # writable copy
+    lib[33] = lib[5]  # forced exact tie
+    blocks = rng.integers(0, 256, size=(97, 12), dtype=np.uint8)
+    blocks[3] = lib[5]
+    d_m, r_m = l1_topk(blocks, lib, 9)
+    d_s, r_s = l1_topk_stripes(blocks, lib, 9)
+    assert (d_s == np.asarray(d_m)).all()
+    assert (r_s == np.asarray(r_m)).all()
+
+
+def test_l1_topk_stripes_k_exceeds_library(rng):
+    from emosaic_tpu.ops.distance import I32_MAX, l1_topk_stripes
+
+    lib = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    d, r = l1_topk_stripes(blocks, lib, 8)
+    assert d.shape == (4, 8)
+    assert (d[:, 5:] == I32_MAX).all()
+
+
+def test_l1_topk_dispatches_to_stripes_past_budget(rng, monkeypatch):
+    from emosaic_tpu.ops import distance as dist_mod
+
+    pal = rng.integers(0, 256, size=(30, 4, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))
+    blocks = rng.integers(0, 256, size=(200, 12), dtype=np.uint8)
+    d1, r1 = l1_topk(blocks, lib, 5)
+    monkeypatch.setattr(dist_mod, "_TOPK_MATRIX_BUDGET", 0)
+    d2, r2 = l1_topk(blocks, lib, 5)  # now the stripe path
+    assert (np.asarray(d1) == np.asarray(d2)).all()
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+
+
+def test_l1_hybrid_exact_on_small_library(rng):
+    # below the prefilter threshold the hybrid falls back to exact stripes
+    from emosaic_tpu.ops.distance import l1_topk_hybrid
+
+    pal = rng.integers(0, 256, size=(20, 4, 3), dtype=np.uint8)
+    lib = np.asarray(build_library(pal))
+    blocks = rng.integers(0, 256, size=(50, 12), dtype=np.uint8)
+    d_h, r_h = l1_topk_hybrid(blocks, lib, 5)
+    d_m, r_m = l1_topk(blocks, lib, 5)
+    assert (d_h == np.asarray(d_m)).all()
+    assert (r_h == np.asarray(r_m)).all()
+
+
+def test_l1_hybrid_rescore_distances_are_exact_l1(rng):
+    # large-enough library to engage the MXU prefilter: returned rows may
+    # be approximate, but their distances must be the exact int32 L1
+    from emosaic_tpu.ops.distance import l1_argmin_hybrid
+
+    lib = rng.integers(0, 256, size=(600, 27), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(40, 27), dtype=np.uint8)
+    d_h, r_h = l1_argmin_hybrid(blocks, lib)
+    expect = np.abs(
+        blocks.astype(np.int64)[:, None, :] - lib.astype(np.int64)[None]
+    ).sum(-1)
+    got = np.take_along_axis(expect, np.asarray(r_h)[:, None].astype(np.int64), 1)[:, 0]
+    assert (np.asarray(d_h) == got).all()
+    # exact-L2 prefilter at k_pre=64 over 600 rows: selections should in
+    # fact be exact on this scale (CPU approx_min_k is exact)
+    brute = expect.argmin(axis=1)
+    assert (np.asarray(r_h) == brute).mean() > 0.9
