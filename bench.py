@@ -127,11 +127,12 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 21438.1,
-    "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match 152ms + "
-    "composite 128x5.1ms = 0.801s; target 2.0s) [CACHED measurement — "
-    "live run hit a device-claim hang]",
-    "vs_baseline": 2.5,
+    "value": 23663.0,
+    "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match 95ms + "
+    "composite 128x4.9ms = 0.726s; target 2.0s | no-repeat flagship "
+    "mode32 16k blocks x 32767 tiles: score 4.48s + assign 0.02s) "
+    "[CACHED measurement — live run hit a device-claim hang]",
+    "vs_baseline": 2.75,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
 

@@ -175,3 +175,24 @@ def test_empty_library_raises(rng):
     ts = TileSet(palettes=np.zeros((0, 1, 3), dtype=np.uint8), paths=[])
     with pytest.raises(ValueError, match="No tiles"):
         render_nto1(src, ts, 4, **quiet)
+
+
+def test_no_repeat_hybrid_scorer_small_scale(rng, monkeypatch):
+    # force the truncated regime so scorer="hybrid" engages; on this
+    # small library the hybrid prefilter is exact (CPU approx_min_k is
+    # exact), so results must match the exact scorer bit-for-bit
+    from emosaic_tpu.render import norepeat as nr
+
+    dim = 1
+    src = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(40, 1, 3), dtype=np.uint8)
+    stack = rng.integers(0, 256, size=(40, 4, 4, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(40)])
+    exact = render_nto1_no_repeat(src, ts, 4, stack=stack, **quiet)
+    monkeypatch.setattr(nr, "_EXACT_BUDGET", 0)
+    trunc = render_nto1_no_repeat(src, ts, 4, stack=stack, **quiet)
+    hybrid = render_nto1_no_repeat(
+        src, ts, 4, stack=stack, scorer="hybrid", **quiet
+    )
+    assert (exact.items == trunc.items).all()
+    assert (exact.items == hybrid.items).all()

@@ -98,6 +98,33 @@ def config_random_tint():
     return t
 
 
+def kernel_crossover():
+    """Pallas brute argmin vs fused XLA stripes across feature dims —
+    justifies ops/distance._PALLAS_MAX_D (B=4096, L=65534)."""
+    from emosaic_tpu.ops.distance import _l1_argmin_pallas, l1_topk_stripes
+
+    rng = np.random.default_rng(11)
+    for d in (12, 48, 192, 768, 3072):
+        blocks = rng.integers(0, 256, size=(4096, d), dtype=np.uint8)
+        lib = rng.integers(0, 256, size=(65534, d), dtype=np.uint8)
+
+        def run_pallas():
+            dd, rr = _l1_argmin_pallas(blocks, lib)
+            return np.asarray(dd)
+
+        def run_stripes():
+            dd, rr = l1_topk_stripes(blocks, lib, 1)
+            return dd
+
+        tp = _timed(run_pallas, warm=1, reps=2)
+        ts_ = _timed(run_stripes, warm=1, reps=2)
+        eq = bool(np.array_equal(run_pallas(), run_stripes()[:, 0]))
+        log(
+            f"crossover D={d}: pallas {tp*1e3:.0f} ms vs stripes "
+            f"{ts_*1e3:.0f} ms (equal: {eq})"
+        )
+
+
 def main():
     log(f"devices: {jax.devices()}")
     import jax.numpy as jnp
@@ -110,6 +137,7 @@ def main():
     config_matched(
         "cfg4 mode1 1024^2 x 100kt ts32", (1024, 1024), 100_000, 32, 1, "auto"
     )
+    kernel_crossover()
     log("MATRIX DONE")
 
 
