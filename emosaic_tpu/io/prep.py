@@ -160,7 +160,11 @@ def _prepare(
 
     cpath.parent.mkdir(parents=True, exist_ok=True)
     try:
-        oriented.save(cpath, format="JPEG")
+        # atomic write: parallel prep workers may race on identical
+        # content (same md5); a rename never exposes a partial file
+        tmp = cpath.with_suffix(f".{os.getpid()}.tmp")
+        oriented.save(tmp, format="JPEG")
+        os.replace(tmp, cpath)
     except OSError as e:
         raise ImageError(path, f"failed to write cache: {e}") from e
     # Deviation (recorded): return the JPEG-roundtripped cache bytes rather
@@ -188,3 +192,18 @@ def prepare_tile_with_date(
 ) -> tuple[np.ndarray, str | None]:
     """prepare_tile + EXIF date (utils.rs:46-60)."""
     return _prepare(Path(path), tile_size, crop, want_date=True)
+
+
+def prep_worker(args) -> tuple[str, "np.ndarray | None", str | None, str | None]:
+    """Process-pool entry for parallel tile prep (the rayon `par_iter`
+    analogue, main.rs:760-766). Lives here so spawn workers import only
+    this jax-free module. Never raises: returns
+    (path, image|None, date|None, error_message|None)."""
+    path, tile_size, crop = args
+    try:
+        img, date = prepare_tile_with_date(path, tile_size, crop)
+        return (str(path), img, date, None)
+    except ImageError as e:
+        return (str(path), None, None, str(e.error))
+    except Exception as e:  # defensive: a worker crash must not kill the run
+        return (str(path), None, None, str(e))

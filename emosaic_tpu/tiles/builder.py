@@ -15,7 +15,7 @@ import numpy as np
 
 from emosaic_tpu.errors import ImageError
 from emosaic_tpu.io.discovery import find_images
-from emosaic_tpu.io.prep import prepare_tile_with_date
+from emosaic_tpu.io.prep import prep_worker, prepare_tile_with_date
 from emosaic_tpu.ops.analysis import analyse_batch
 from emosaic_tpu.tiles.cache import (
     analysis_cache_path,
@@ -26,6 +26,24 @@ from emosaic_tpu.tiles.tileset import TileSet
 
 # Cap device memory used per analysis batch (u8 tile pixels).
 _ANALYSE_BATCH_BYTES = 256 * 2**20
+
+
+def _prep_pool():
+    """Process pool for CPU-bound tile prep (the reference parallelizes
+    this with rayon, main.rs:760-766). Spawn context: workers import only
+    the jax-free prep module, never touching the parent's TPU client.
+    Returns None on single-core hosts (pool overhead loses there)."""
+    workers = int(os.environ.get("EMOSAIC_PREP_WORKERS", "0")) or (
+        os.cpu_count() or 1
+    )
+    if workers <= 1:
+        return None
+    import concurrent.futures
+    import multiprocessing
+
+    return concurrent.futures.ProcessPoolExecutor(
+        max_workers=workers, mp_context=multiprocessing.get_context("spawn")
+    )
 
 
 def generate_tile_set(
@@ -61,23 +79,39 @@ def generate_tile_set(
             palette_parts.append(np.asarray(analyse_batch(np.stack(pending), dim)))
             pending.clear()
 
-    for i, path in enumerate(image_paths):
-        try:
-            img, date = prepare_tile_with_date(path, tile_size, crop)
+    def consume(i, path, img, date, err):
+        if err is not None:
+            # error paths are reported relative to the tiles dir (main.rs:770)
+            try:
+                rel = Path(path).relative_to(tiles_dir)
+            except ValueError:
+                rel = Path(path)
+            errors.append(ImageError(rel, err))
+        else:
             pending.append(img)
-            paths.append(path)
+            paths.append(Path(path))
             dates.append(date)
             if len(pending) >= chunk:
                 flush()
-        except ImageError as e:
-            # error paths are reported relative to the tiles dir (main.rs:770)
-            try:
-                rel = e.path.relative_to(tiles_dir)
-            except ValueError:
-                rel = e.path
-            errors.append(ImageError(rel, e.error))
         if progress is not None:
             progress(i + 1, len(image_paths))
+
+    pool = _prep_pool()
+    if pool is None:
+        for i, path in enumerate(image_paths):
+            p, img, date, err = prep_worker((path, tile_size, crop))
+            consume(i, p, img, date, err)
+    else:
+        with pool:
+            # map preserves discovery order (1-based idx, main.rs:786-794);
+            # chunksize bounds pickling overhead for large libraries
+            results = pool.map(
+                prep_worker,
+                ((p, tile_size, crop) for p in image_paths),
+                chunksize=16,
+            )
+            for i, (p, img, date, err) in enumerate(results):
+                consume(i, p, img, date, err)
     flush()
 
     if not paths:
