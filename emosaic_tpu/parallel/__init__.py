@@ -5,5 +5,6 @@ from emosaic_tpu.parallel.mesh import make_mesh  # noqa: F401
 from emosaic_tpu.parallel.sharded import (  # noqa: F401
     sharded_l1_argmin,
     sharded_l1_argmin_ring,
+    sharded_l1_topk,
     sharded_mosaic_step,
 )

@@ -199,6 +199,106 @@ def sharded_l1_argmin_ring(
     return dist[:b], row[:b]
 
 
+def _local_l1_topk(blocks, lib, k: int, row_offset, real_l: int, ls: int):
+    """Traceable per-shard stripe top-k with GLOBAL row ids.
+
+    blocks [Bs, D], lib [ls, D] (this shard's slice; rows at global
+    row_offset..row_offset+ls, padding past real_l masked out). Returns
+    (dist [Bs, k], grow [Bs, k]) ascending by (distance, global row) —
+    lax.top_k prefers lower indices on ties, which are lower global rows.
+    """
+    b, d = blocks.shape
+    li = lib.astype(jnp.int32)
+    col = jnp.arange(ls, dtype=jnp.int32)
+    invalid = (row_offset + col) >= real_l
+    chunk = max(1, min(b, (2**24) // max(1, ls)))
+    bp = -(-b // chunk) * chunk
+    blocks_p = jnp.pad(blocks, ((0, bp - b), (0, 0)))
+
+    def per_chunk(bc):
+        dist = jnp.abs(bc.astype(jnp.int32)[:, None, :] - li[None]).sum(
+            axis=-1, dtype=jnp.int32
+        )
+        dist = jnp.where(invalid[None, :], I32_MAX, dist)
+        nd, ni = jax.lax.top_k(-dist, k)
+        return -nd, row_offset + ni
+
+    dists, rows = jax.lax.map(
+        per_chunk, blocks_p.reshape(bp // chunk, chunk, d)
+    )
+    return dists.reshape(bp, k)[:b], rows.reshape(bp, k)[:b]
+
+
+def sharded_l1_topk(
+    blocks, lib, k: int, mesh: Mesh
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact k nearest rows per block over a ("data", "model") mesh.
+
+    The multi-chip no-repeat scorer: blocks shard over "data" (pure DP),
+    the library over "model"; per-shard top-k lists are all-gathered over
+    ICI and merged with a two-key (distance, row) sort — bit-identical to
+    ops.distance.l1_topk_stripes including tie order and the
+    I32_MAX/row-0 padding convention when k > L.
+    """
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, l = blocks.shape[0], lib.shape[0]
+    kk = min(k, l)
+    blocks_p = _pad_rows_with_first(jnp.asarray(blocks), n_data)
+    lib_p = _pad_rows_with_first(jnp.asarray(lib), n_model)
+    ls = lib_p.shape[0] // n_model
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(),
+        in_shardings=(
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("model", None)),
+        ),
+        out_shardings=(
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data", None)),
+        ),
+    )
+    def run(blocks_s, lib_s):
+        def body(bl, li):
+            m = jax.lax.axis_index("model")
+            # per-shard k is capped by the shard size; the merged
+            # M * k_loc >= kk candidates always contain the true top-kk
+            # (if ls < kk then M*ls >= L >= kk)
+            k_loc = min(kk, ls)
+            d_loc, r_loc = _local_l1_topk(bl, li, k_loc, m * ls, l, ls)
+            dg = jax.lax.all_gather(d_loc, "model")  # [M, Bs, kk]
+            rg = jax.lax.all_gather(r_loc, "model")
+            dc = jnp.moveaxis(dg, 0, 1).reshape(d_loc.shape[0], -1)
+            rc = jnp.moveaxis(rg, 0, 1).reshape(d_loc.shape[0], -1)
+            sd, sr = jax.lax.sort((dc, rc), dimension=1, num_keys=2)
+            sd, sr = sd[:, :kk], sr[:, :kk]
+            # padding convention of l1_topk: row 0 under I32_MAX distance
+            sr = jnp.where(sd == I32_MAX, 0, sr)
+            return sd, sr
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("data", None), P("model", None)),
+            out_specs=(P("data", None), P("data", None)),
+            check_vma=False,
+        )(blocks_s, lib_s)
+
+    dist, rows = run(blocks_p, lib_p)
+    out_d = np.asarray(jax.device_get(dist))[:b]
+    out_r = np.asarray(jax.device_get(rows))[:b]
+    if kk < k:
+        out_d = np.concatenate(
+            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
+        )
+        out_r = np.concatenate([out_r, np.zeros((b, k - kk), np.int32)], axis=1)
+    return out_d, out_r
+
+
 def sharded_mosaic_step(
     tiles, source, mesh: Mesh, dim: int, tile_size: int
 ) -> np.ndarray:
