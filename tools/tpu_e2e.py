@@ -86,6 +86,10 @@ def main() -> int:
          and "file://" not in (root / "out/wb_widget.html").read_text()),
         ("force-reanalysis", ["-s", "8", "-o", out("fa.png"), src, "mosaic", tiles, "-m", "1", "-f"],
          lambda: Image.open(out("fa.png")).size == (96 * 8, 96 * 8)),
+        ("hybrid-matcher", ["-s", "8", "-o", out("hy.png"), src, "mosaic", tiles, "-m", "2", "--matcher", "hybrid"],
+         lambda: Image.open(out("hy.png")).size == (48 * 8, 48 * 8)),
+        ("mode16-stripes", ["-s", "16", "-o", out("m16.png"), src, "mosaic", tiles, "-m", "16", "--downsample", "1"],
+         lambda: Image.open(out("m16.png")).size == (6 * 16, 6 * 16)),
     ]
     passed = failed = 0
     for name, argv, check in cases:
