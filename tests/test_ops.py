@@ -380,3 +380,64 @@ def test_l1_hybrid_rescore_distances_are_exact_l1(rng):
     # fact be exact on this scale (CPU approx_min_k is exact)
     brute = expect.argmin(axis=1)
     assert (np.asarray(r_h) == brute).mean() > 0.9
+
+
+def test_l1_topk_twolevel_matches_stripes(rng):
+    # certified rows come straight from the segmented kernel; results must
+    # equal the stripe oracle bit-for-bit including (distance, row) ties
+    from emosaic_tpu.ops.distance import l1_topk_stripes, l1_topk_twolevel
+
+    pal = rng.integers(0, 256, size=(150, 4, 3), dtype=np.uint8)
+    lib = np.array(build_library(pal))
+    lib[200] = lib[7]  # cross-segment exact tie
+    blocks = rng.integers(0, 256, size=(70, 12), dtype=np.uint8)
+    blocks[5] = lib[7]
+    d_o, r_o = l1_topk_stripes(blocks, lib, 11)
+    d_t, r_t = l1_topk_twolevel(blocks, lib, 11)
+    assert (d_t == d_o).all()
+    assert (r_t == r_o).all()
+
+
+def test_l1_topk_twolevel_tie_storm_falls_back_exactly(rng):
+    # every library row identical -> every distance ties -> no row can
+    # certify (the k-th value equals every segment's cap-th value), so the
+    # fallback must fire and the result must still be exact: rows 0..k-1
+    from emosaic_tpu.ops import distance as dist_mod
+    from emosaic_tpu.ops.distance import l1_topk_twolevel
+
+    lib = np.tile(rng.integers(0, 256, size=(1, 12), dtype=np.uint8), (700, 1))
+    blocks = rng.integers(0, 256, size=(9, 12), dtype=np.uint8)
+    k = 10
+    d, r = l1_topk_twolevel(blocks, lib, k)
+    assert (r == np.arange(k)[None, :]).all()
+    assert (d == d[:, :1]).all()
+
+
+def test_l1_topk_twolevel_clustered_segment(rng):
+    # a segment packed with more than _TL_CAP near-duplicates of the query
+    # must be caught by the certificate (stage-1 truncation would
+    # otherwise drop true top-k members)
+    from emosaic_tpu.ops.distance import _TL_CAP, l1_topk_stripes, l1_topk_twolevel
+
+    lib = rng.integers(100, 256, size=(640, 12), dtype=np.uint8)
+    q = rng.integers(0, 40, size=(12,), dtype=np.uint8)
+    # 3*_TL_CAP almost-identical rows inside segment 1 (cols 128..151)
+    for i in range(3 * _TL_CAP):
+        lib[128 + i] = np.clip(q.astype(np.int32) + i % 3, 0, 255)
+    blocks = np.stack([q, rng.integers(0, 256, size=(12,), dtype=np.uint8)])
+    k = 2 * _TL_CAP
+    d_o, r_o = l1_topk_stripes(blocks, lib, k)
+    d_t, r_t = l1_topk_twolevel(blocks, lib, k)
+    assert (d_t == d_o).all()
+    assert (r_t == r_o).all()
+
+
+def test_l1_topk_twolevel_k_exceeds_cap_capacity(rng):
+    # k too large for nseg*cap -> plain stripes path, same contract
+    from emosaic_tpu.ops.distance import I32_MAX, l1_topk_twolevel
+
+    lib = rng.integers(0, 256, size=(130, 3), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(6, 3), dtype=np.uint8)
+    d, r = l1_topk_twolevel(blocks, lib, 140)
+    assert d.shape == (6, 140)
+    assert (d[:, 130:] == I32_MAX).all()
