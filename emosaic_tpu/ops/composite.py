@@ -12,8 +12,9 @@ unassigned-block case (item 0 -> black, like the reference's skipped
 blocks in rendering.rs:349-351) are plain row selection.
 
 Three composite paths, fastest first (per 1.61 GB band, measured v5e):
-  1. `_compose_rows_dma` (~12 ms): a Pallas kernel with scalar-prefetched
-     row indices issuing per-tile DMA gathers HBM->VMEM and writing the
+  1. `_compose_rows_dma` (~11 ms): a Pallas kernel with scalar-prefetched
+     row indices issuing per-tile DMA gathers HBM->VMEM (statically
+     unrolled — the path is scalar-issue-rate bound) and writing the
      band in final row-major layout — no intermediate buffer at all.
   2. `_compose_rows_pallas` (~27 ms): XLA row gather into a pre-tiled
      [*, ts, lane] intermediate + a VMEM-blocked transpose kernel.
@@ -109,28 +110,24 @@ def _compose_rows_pallas(
 def _dma_kernel(rows_ref, aug_hbm, out_ref, scratch, sems, *, s3: int):
     """Fused gather+layout: per grid step, DMA _CH selected tile images
     HBM->VMEM (row indices scalar-prefetched), then write them into the
-    band at their final positions. No HBM intermediate."""
+    band at their final positions. No HBM intermediate.
+
+    The issue/wait loops are statically unrolled: the path is bound by
+    the scalar core's per-copy issue rate, and a fori_loop's loop-carried
+    overhead nearly doubles it (4.97 -> 2.70 ms per 402 MB band measured
+    on v5e, tools/tpu_r3_experiments2.py C6; double-buffering the scratch
+    measured *slower* for the same reason, and sequential vs random row
+    indices measure the same, so HBM locality is not a factor)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     base = (i * nj + j) * _CH
-
-    def issue(c, _):
-        row = rows_ref[base + c]
+    for c in range(_CH):
         pltpu.make_async_copy(
-            aug_hbm.at[row], scratch.at[c], sems.at[c]
+            aug_hbm.at[rows_ref[base + c]], scratch.at[c], sems.at[c]
         ).start()
-        return 0
-
-    jax.lax.fori_loop(0, _CH, issue, 0)
-
-    def wait(c, _):
-        pltpu.make_async_copy(
-            aug_hbm.at[0], scratch.at[c], sems.at[c]
-        ).wait()
-        return 0
-
-    jax.lax.fori_loop(0, _CH, wait, 0)
+    for c in range(_CH):
+        pltpu.make_async_copy(aug_hbm.at[0], scratch.at[c], sems.at[c]).wait()
     for c in range(_CH):
         out_ref[:, c * s3 : (c + 1) * s3] = scratch[c][:, :s3]
 
@@ -158,76 +155,6 @@ def _compose_rows_dma(
     )
     return pl.pallas_call(
         functools.partial(_dma_kernel, s3=ts * 3),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((nby * ts, nbx * ts * 3), jnp.uint8),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rows, aug3)
-
-
-def _dma_kernel_db(rows_ref, aug_hbm, out_ref, scratch, sems, *, s3: int, nsteps: int):
-    """Double-buffered variant of `_dma_kernel`: while the current step's
-    gathered tiles are being written into the band, the NEXT step's _CH
-    DMAs are already in flight (scratch/semaphore slot = step parity).
-    The per-copy issue rate is the bottleneck (~37 ns each, measured), so
-    overlapping issue with the writeback hides most of it."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
-    step = i * nj + j
-    slot = jax.lax.rem(step, 2)
-
-    def issue(s, sl):
-        def body(c, _):
-            row = rows_ref[s * _CH + c]
-            pltpu.make_async_copy(
-                aug_hbm.at[row], scratch.at[sl, c], sems.at[sl, c]
-            ).start()
-            return 0
-
-        jax.lax.fori_loop(0, _CH, body, 0)
-
-    @pl.when(step == 0)
-    def _first():
-        issue(0, 0)
-
-    @pl.when(step + 1 < nsteps)
-    def _next():
-        issue(step + 1, 1 - slot)
-
-    def wait(c, _):
-        pltpu.make_async_copy(
-            aug_hbm.at[0], scratch.at[slot, c], sems.at[slot, c]
-        ).wait()
-        return 0
-
-    jax.lax.fori_loop(0, _CH, wait, 0)
-    for c in range(_CH):
-        out_ref[:, c * s3 : (c + 1) * s3] = scratch[slot, c][:, :s3]
-
-
-@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
-def _compose_rows_dma_db(
-    items: jax.Array, aug3: jax.Array, *, ts: int, interpret: bool = False
-):
-    """Double-buffered DMA fast path; same contract as `_compose_rows_dma`."""
-    nby, nbx = items.shape
-    t = aug3.shape[0] // 2
-    lane = aug3.shape[2]
-    rows = _rows_of(items, t).astype(jnp.int32)
-    nj = nbx // _CH
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nby, nj),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((ts, _CH * ts * 3), lambda i, j, *_: (i, j)),
-        scratch_shapes=[
-            pltpu.VMEM((2, _CH, ts, lane), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2, _CH)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_dma_kernel_db, s3=ts * 3, nsteps=nby * nj),
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((nby * ts, nbx * ts * 3), jnp.uint8),

@@ -694,8 +694,9 @@ def l1_topk(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
     Replaces kiddo `nearest_n` (rendering.rs:172-174 k=20 for --randomize;
     rendering.rs:307-321 candidate lists for global-greedy no-repeat).
     Dispatches between a dense-matrix + host argpartition path (small
-    B*L) and fused device stripes + top_k (everything larger — 21x the
-    old running-top-k scan at flagship no-repeat scale).
+    B*L) and the certified two-level device top-k (everything larger —
+    the stripe+lax.top_k path it supersedes was itself 21x the old
+    running-top-k scan at flagship no-repeat scale).
 
     Returns:
       (dists [B, k] int32, rows [B, k] int32) numpy. If k > L, trailing
@@ -705,7 +706,7 @@ def l1_topk(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
     lib = np.asarray(lib, dtype=np.uint8)
     b, l = blocks.shape[0], lib.shape[0]
     if b * l > _TOPK_MATRIX_BUDGET:
-        return l1_topk_stripes(blocks, lib, k)
+        return l1_topk_twolevel(blocks, lib, k)
     kk = min(k, l)
     dist = l1_dist_matrix(blocks, lib)
     # exact lexicographic (distance, row) selection: a plain argpartition
@@ -774,6 +775,11 @@ _TL_SEG = 128
 _TL_CAP = 8
 
 
+#: invalid-column sentinel for the min-identity score space (score + the
+#: per-block constant stays far below this, so masked columns never win)
+_TL_BIG = np.int32(2**30)
+
+
 @functools.partial(jax.jit, static_argnames=("d", "bc", "k", "real_l", "cap"))
 def _l1_topk_twolevel_jit(
     blocks_flat, lib_flat, *, d: int, bc: int, k: int, real_l: int, cap: int
@@ -785,13 +791,22 @@ def _l1_topk_twolevel_jit(
     col = jnp.arange(lp, dtype=jnp.int32)
     invalid = col >= real_l
     seg_base = (jnp.arange(nseg, dtype=jnp.int32) * _TL_SEG)[None, :, None]
+    # min-identity: |x-t| = x + t - 2*min(x,t), so
+    # dist[b, l] = cx[b] + score[b, l] with score = ct[l] - 2*sum_min.
+    # cx is a per-block constant: score ordering == distance ordering
+    # (ties included), and the stripe drops one VPU op per element
+    # (measured ~5% at D=3072, tools/tpu_r3_experiments2.py D1).
+    ct = lib.astype(jnp.int32).sum(axis=1)
 
     def per_chunk(xc):
-        dist = jnp.abs(
-            xc.astype(jnp.int32)[:, None, :] - lib.astype(jnp.int32)[None]
-        ).sum(-1, dtype=jnp.int32)  # fused stripe: [bc, L]
-        dist = jnp.where(invalid[None, :], I32_MAX, dist)
-        seg = dist.reshape(bc, nseg, _TL_SEG)
+        s = (
+            jnp.minimum(xc[:, None, :], lib[None])
+            .astype(jnp.int32)
+            .sum(-1, dtype=jnp.int32)
+        )  # fused stripe: [bc, L]
+        score = ct[None, :] - 2 * s
+        score = jnp.where(invalid[None, :], _TL_BIG, score)
+        seg = score.reshape(bc, nseg, _TL_SEG)
         nd1, ni1 = jax.lax.top_k(-seg, cap)  # [bc, nseg, cap]
         vals = -nd1  # ascending per segment; ties -> lowest column
         cols = ni1.astype(jnp.int32) + seg_base
@@ -799,9 +814,10 @@ def _l1_topk_twolevel_jit(
         # to equal distances is ascending column order — so the global
         # top_k's earliest-position tie rule still yields lowest-row ties
         nd2, ni2 = jax.lax.top_k(-vals.reshape(bc, nseg * cap), k)
-        out_d = -nd2
+        cx = xc.astype(jnp.int32).sum(-1)  # [bc]
+        out_d = jnp.where(-nd2 >= _TL_BIG, I32_MAX, -nd2 + cx[:, None])
         out_r = jnp.take_along_axis(cols.reshape(bc, nseg * cap), ni2, axis=1)
-        kth = out_d[:, k - 1]
+        kth = -nd2[:, k - 1]
         ok = jnp.all(vals[:, :, cap - 1] > kth[:, None], axis=1)
         return out_d, out_r, ok
 

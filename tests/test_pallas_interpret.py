@@ -73,10 +73,10 @@ def test_compose_rows_dma_interpret_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_x))
 
 
-def test_compose_rows_dma_db_interpret_matches_xla(rng):
-    # multi-step grid (nby=3 x nj=2) so the double-buffer slot parity and
-    # the step+1 prefetch actually alternate
+def test_compose_rows_dma_interpret_multi_step_grid(rng):
+    # multi-step grid (nby=3 x nj=2) so the unrolled issue loop's
+    # scalar-prefetch base advances across steps
     items, aug3, ts = _composite_case(rng, nby=3, nbx=2 * composite._CH)
-    out_d = composite._compose_rows_dma_db(items, aug3, ts=ts, interpret=True)
+    out_d = composite._compose_rows_dma(items, aug3, ts=ts, interpret=True)
     out_x = composite._compose_rows_xla(items, aug3, ts=ts)
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_x))
