@@ -122,17 +122,17 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
-#: last verified on-chip measurement (2026-08-16, commit fcd475c), reported
+#: last verified on-chip measurement (2026-08-16, commit ae6db1c), reported
 #: only if the device claim wedges (the axon tunnel sometimes hangs a fresh
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 23663.0,
+    "value": 40178.2,
     "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match 95ms + "
-    "composite 128x4.9ms = 0.726s; target 2.0s | no-repeat flagship "
-    "mode32 16k blocks x 32767 tiles: score 4.48s + assign 0.02s) "
+    "composite 128x2.6ms = 0.428s; target 2.0s | no-repeat flagship "
+    "mode32 16k blocks x 32767 tiles: score 3.72s + assign 0.02s) "
     "[CACHED measurement — live run hit a device-claim hang]",
-    "vs_baseline": 2.75,
+    "vs_baseline": 4.68,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
 
