@@ -441,3 +441,18 @@ def test_l1_topk_twolevel_k_exceeds_cap_capacity(rng):
     d, r = l1_topk_twolevel(blocks, lib, 140)
     assert d.shape == (6, 140)
     assert (d[:, 130:] == I32_MAX).all()
+
+
+@pytest.mark.parametrize("seed,b,l,d,k", [(0, 33, 129, 3, 1), (1, 64, 400, 12, 20), (2, 17, 1000, 48, 64), (3, 5, 257, 27, 257)])
+def test_l1_topk_twolevel_fuzz(seed, b, l, d, k):
+    # min-identity + segmentation across odd shapes, k at boundaries
+    from emosaic_tpu.ops.distance import l1_topk_stripes, l1_topk_twolevel
+
+    r = np.random.default_rng(seed)
+    lib = r.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = r.integers(0, 256, size=(b, d), dtype=np.uint8)
+    blocks[0] = lib[l // 2]  # zero-distance hit
+    d_o, r_o = l1_topk_stripes(blocks, lib, k)
+    d_t, r_t = l1_topk_twolevel(blocks, lib, k)
+    np.testing.assert_array_equal(d_t, d_o)
+    np.testing.assert_array_equal(r_t, r_o)
