@@ -261,6 +261,82 @@ def norepeat_phase() -> tuple[float, float]:
     return score_s, assign_s
 
 
+def norepeat_adaptive_phase() -> tuple[float, int]:
+    """No-repeat flagship scoring on CLUSTERABLE data via the production
+    adaptive coarse-to-fine certified scorer (ops/distance.py). Real tile
+    libraries are color-structured, so this is the representative regime;
+    the uniform-random flagship number above is the worst case (where the
+    adaptive path's sample gate reroutes to the direct two-level scorer
+    for ~2% overhead). Synthetic model: per-tile base color + ±10
+    texture, blocks = tiles + ±6 noise. Returns (score_s, certified)."""
+    from emosaic_tpu.ops.distance import (
+        _ad_coarse_jit,
+        _ad_rescore_jit,
+        _AD_CAP,
+        _AD_M,
+    )
+
+    b, t, d, k = 16384, 32767, 3072, 512
+    l, nc = 2 * t, d // 3
+    lp = -(-l // 128) * 128
+    key = jax.random.PRNGKey(11)
+    kc, km, kb, kn, kp = jax.random.split(key, 5)
+    colors = jax.random.randint(kc, (l, 3), 0, 256, dtype=jnp.int32)
+    tex = jax.random.randint(km, (l, d), -10, 11, dtype=jnp.int32)
+    lib = jnp.clip(jnp.tile(colors, (1, nc)) + tex, 0, 255).astype(jnp.uint8)
+    pick = jax.random.randint(kb, (b,), 0, l, dtype=jnp.int32)
+    bn = jax.random.randint(kn, (b, d), -6, 7, dtype=jnp.int32)
+    blocks = jnp.clip(lib[pick].astype(jnp.int32) + bn, 0, 255).astype(
+        jnp.uint8
+    )
+    perm = jax.random.permutation(kp, l).astype(jnp.int32)
+    libp = jnp.pad(lib[perm], ((0, lp - l), (0, 0)))
+    perm_pad = jnp.pad(perm, (0, lp - l))
+    _sync(blocks[:1])
+    _sync(libp[:1])
+    bf, lf = blocks.reshape(-1), libp.reshape(-1)
+
+    def run():
+        vals, cols, s_min = _ad_coarse_jit(
+            bf, lf, d=d, g=16, chan=True, bc=128, cap=_AD_CAP, real_l=l
+        )
+        return _ad_rescore_jit(
+            bf, vals, cols, s_min, lf, perm_pad,
+            d=d, bc=64, m=_AD_M, k=k, real_l=l,
+        )
+
+    cd, cr, ok = run()  # compile + warm
+    _sync(cd)
+    _progress("adaptive score warm")
+    t0 = time.perf_counter()
+    cd, cr, ok = run()
+    _sync(cd)
+    ok_np = np.asarray(jax.device_get(ok))
+    certified = int(ok_np.sum())
+    # per-row stripe fallback is part of the production cost
+    if certified < b:
+        bad = np.flatnonzero(~ok_np)[:1024]
+        from emosaic_tpu.ops.distance import _l1_topk_stripes_jit
+
+        idxp = np.zeros(1024, np.int32)
+        idxp[: bad.size] = bad
+        fb = _l1_topk_stripes_jit(
+            blocks[jnp.asarray(idxp)].reshape(-1),
+            lib.reshape(-1),
+            d=d,
+            bc=128,
+            k=k,
+            real_l=l,
+        )
+        _sync(fb[0])
+    score_s = time.perf_counter() - t0
+    _progress(
+        f"adaptive clustered scoring: {score_s:.2f} s ({certified}/{b} "
+        f"certified)"
+    )
+    return score_s, certified
+
+
 def main() -> int:
     watchdog_done = _arm_watchdog()
     key = jax.random.PRNGKey(0)
@@ -314,6 +390,7 @@ def main() -> int:
     # free the gigapixel-phase arrays before the no-repeat phase
     del tiles3, src_packed, aug3, items
     score_s, assign_s = norepeat_phase()
+    ad_score_s, ad_cert = norepeat_adaptive_phase()
 
     watchdog_done.set()
     total = t_match + N_BANDS * t_band
@@ -328,8 +405,9 @@ def main() -> int:
                 f" mode 1; match {t_match * 1e3:.0f}ms + composite "
                 f"{N_BANDS}x{t_band * 1e3:.1f}ms = {total:.3f}s; target "
                 f"{target_s}s | no-repeat flagship mode32 16k blocks x "
-                f"32767 tiles: score {score_s:.2f}s + assign "
-                f"{assign_s:.2f}s)",
+                f"32767 tiles: score {score_s:.2f}s (uniform-random worst "
+                f"case) / {ad_score_s:.2f}s (clusterable data, adaptive "
+                f"certified {ad_cert}/16384) + assign {assign_s:.2f}s)",
                 "vs_baseline": round(target_s / total, 2),
             }
         )

@@ -306,9 +306,61 @@ def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.A
     if d > _PALLAS_MAX_D:
         # high-D: the fused XLA stripe is ~12x the Pallas kernel
         # (tools/tpu_r2_experiments.py B4 vs B6)
-        dist, row = l1_topk_stripes(blocks, lib, 1)
-        return jnp.asarray(dist[:, 0]), jnp.asarray(row[:, 0])
+        return l1_argmin_stripes(blocks, lib)
     return _l1_argmin_pallas(blocks, lib)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "bc", "real_l"))
+def _l1_argmin_stripes_jit(blocks_flat, lib_flat, *, d: int, bc: int, real_l: int):
+    """Min-identity distance stripes + first-min argmin (lowest-row ties).
+
+    dist[b, l] = cx[b] + ct[l] - 2*sum_d min(x, t); the per-block cx shift
+    preserves per-row ordering, so argmin runs on the score and the true
+    distance is recovered by adding cx (exact int32 identity; ~5% fewer
+    VPU ops than the abs-diff form, tools/tpu_r3_experiments2.py D1).
+    """
+    blocks = blocks_flat.reshape(-1, d)
+    lib = lib_flat.reshape(-1, d)
+    col = jnp.arange(lib.shape[0], dtype=jnp.int32)
+    invalid = col >= real_l
+    ct = lib.astype(jnp.int32).sum(axis=1)
+
+    def per_chunk(xc):
+        s = (
+            jnp.minimum(xc[:, None, :], lib[None])
+            .astype(jnp.int32)
+            .sum(-1, dtype=jnp.int32)
+        )
+        score = ct[None, :] - 2 * s
+        score = jnp.where(invalid[None, :], _TL_BIG, score)
+        row = jnp.argmin(score, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(score, row[:, None], axis=1)[:, 0]
+        cx = xc.astype(jnp.int32).sum(-1)
+        return best + cx, row
+
+    nb = blocks.shape[0] // bc
+    dists, rows = jax.lax.map(per_chunk, blocks.reshape(nb, bc, d))
+    return dists.reshape(-1), rows.reshape(-1)
+
+
+def l1_argmin_stripes(blocks, lib) -> tuple[jax.Array, jax.Array]:
+    """Exact L1 argmin via min-identity stripes (the high-D matched-mode
+    path; same contract as `l1_argmin_xla`)."""
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, d = blocks.shape
+    l = lib.shape[0]
+    bc = min(_STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
+    bp = -(-b // bc) * bc
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    dist, row = _l1_argmin_stripes_jit(
+        jnp.asarray(blocks_p.reshape(-1)),
+        jnp.asarray(lib.reshape(-1)),
+        d=d,
+        bc=bc,
+        real_l=l,
+    )
+    return dist[:b], row[:b]
 
 
 def _l1_argmin_pallas(
@@ -858,6 +910,228 @@ def l1_topk_twolevel(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
     bad = np.flatnonzero(~np.asarray(jax.device_get(ok))[:b])
     if bad.size:
         out_d = out_d.copy()  # device_get buffers are read-only
+        out_r = out_r.copy()
+        fd, fr = l1_topk_stripes(blocks[bad], lib, kk)
+        out_d[bad] = fd
+        out_r[bad] = fr
+    if kk < k:
+        out_d = np.concatenate(
+            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
+        )
+        out_r = np.concatenate([out_r, np.zeros((b, k - kk), np.int32)], axis=1)
+    return out_d, out_r
+
+
+# ---------------------------------------------------------------------------
+# Adaptive coarse-to-fine certified top-k (no-repeat scorer for real data)
+#
+# Real tile libraries are strongly clusterable: most library rows are far
+# from any given block, and the true top-k distances are small. A coarse
+# projection that sums groups of `g` adjacent coordinates yields an exact
+# L1 LOWER bound (|sum x - sum t| <= sum |x - t| per group) at 1/g the
+# VPU work, so most of the library can be pruned before the full-D
+# distance is ever computed:
+#
+#   1. coarse stripes over a row-PERMUTED library (the permutation makes
+#      per-segment survivor counts Poisson regardless of how clustered
+#      the library order is) -> per-segment top_k(cap) survivors,
+#   2. sort survivors, keep the m best as candidates; everything else
+#      provably has coarse >= c_next = min(worst kept per segment, first
+#      unselected survivor),
+#   3. exact full-D rescore of the m candidates, sorted by (true
+#      distance, ORIGINAL row) -> top-k lists,
+#   4. per-row certificate: c_next > k-th true distance means no pruned
+#      row could enter the list (strict > also covers boundary ties);
+#      uncertified rows are recomputed with the plain stripe kernel.
+#
+# On concentrated data (uniform-random inputs: every distance within a
+# few % of the mean) no lossy projection can separate candidates; a
+# cheap count check after step 1 detects that and reroutes to the
+# direct two-level scorer, wasting only the coarse pass (~8%).
+# ---------------------------------------------------------------------------
+
+#: coarse group width (largest divisor of D from this list is used)
+_AD_GROUPS = (16, 8, 4)
+#: coarse survivors per 128-column segment (Poisson headroom: with ~1.5k
+#: library rows whose coarse bound undercuts the k-th true distance,
+#: lambda ~ 3 per segment and P[>=16] ~ 1e-7)
+_AD_CAP = 16
+#: candidates rescored at full D per block
+_AD_M = 2048
+
+
+def _ad_project(x, d: int, g: int, chan: bool):
+    """Group-sum projection (any disjoint grouping is a valid L1 lower
+    bound). `chan=True` groups g cells per RGB channel — palette coords
+    interleave channels (analysis.py layout), and real tile differences
+    are dominated by per-channel shifts whose signs would cancel across
+    mixed-channel groups."""
+    r = x.shape[0]
+    if chan:
+        nc = d // 3
+        return (
+            x.reshape(r, nc // g, g, 3)
+            .sum(axis=-2, dtype=jnp.int32)
+            .reshape(r, (nc // g) * 3)
+        )
+    return x.reshape(r, d // g, g).sum(-1, dtype=jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "g", "chan", "bc", "cap", "real_l")
+)
+def _ad_coarse_jit(blocks_flat, libp_flat, *, d, g, chan, bc, cap, real_l):
+    """Step 1: coarse survivor lists over the permuted library.
+
+    Returns (vals [B, nseg*cap] coarse bounds ascending per segment,
+    cols [B, nseg*cap] permuted-library columns, s_min [B] min over
+    segments of the worst kept value — part of the non-candidate bound).
+    """
+    blocks = blocks_flat.reshape(-1, d)
+    libp = libp_flat.reshape(-1, d)
+    lp = libp.shape[0]
+    nseg = lp // _TL_SEG
+    col = jnp.arange(lp, dtype=jnp.int32)
+    invalid = col >= real_l
+    cl = _ad_project(libp, d, g, chan)
+    seg_base = (jnp.arange(nseg, dtype=jnp.int32) * _TL_SEG)[None, :, None]
+
+    def per_chunk(xc):
+        cb = _ad_project(xc, d, g, chan)
+        dist = jnp.abs(cb[:, None, :] - cl[None]).sum(-1, dtype=jnp.int32)
+        dist = jnp.where(invalid[None, :], _TL_BIG, dist)
+        seg = dist.reshape(bc, nseg, _TL_SEG)
+        nd1, ni1 = jax.lax.top_k(-seg, cap)
+        vals = -nd1  # [bc, nseg, cap]
+        cols = ni1.astype(jnp.int32) + seg_base
+        s_min = vals[:, :, cap - 1].min(axis=1)  # [bc]
+        return vals.reshape(bc, nseg * cap), cols.reshape(bc, nseg * cap), s_min
+
+    nb = blocks.shape[0] // bc
+    vals, cols, s_min = jax.lax.map(per_chunk, blocks.reshape(nb, bc, d))
+    s = vals.shape[-1]
+    return vals.reshape(-1, s), cols.reshape(-1, s), s_min.reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "bc", "m", "k", "real_l")
+)
+def _ad_rescore_jit(
+    blocks_flat, vals, cols, s_min, libp_flat, perm_pad, *, d, bc, m, k, real_l
+):
+    """Steps 2-4: select m candidates, exact rescore, certify."""
+    blocks = blocks_flat.reshape(-1, d)
+    libp = libp_flat.reshape(-1, d)
+
+    def per_chunk(args):
+        xc, vc, cc, sm = args
+        sv, sc = jax.lax.sort((vc, cc), dimension=1, num_keys=2)
+        cand = sc[:, :m]  # permuted-library columns
+        c_next = jnp.minimum(sm, sv[:, m])
+        tc = libp[cand]  # [bc, m, D] row gather
+        dist = jnp.abs(
+            xc.astype(jnp.int32)[:, None, :] - tc.astype(jnp.int32)
+        ).sum(-1, dtype=jnp.int32)
+        dist = jnp.where(cand < real_l, dist, I32_MAX)
+        orig = perm_pad[cand]  # original library rows (tie-break space)
+        sd, so = jax.lax.sort((dist, orig), dimension=1, num_keys=2)
+        out_d, out_r = sd[:, :k], so[:, :k]
+        ok = c_next > out_d[:, k - 1]
+        return out_d, out_r, ok
+
+    nb = blocks.shape[0] // bc
+    s = vals.shape[-1]
+    dists, rows, ok = jax.lax.map(
+        per_chunk,
+        (
+            blocks.reshape(nb, bc, d),
+            vals.reshape(nb, bc, s),
+            cols.reshape(nb, bc, s),
+            s_min.reshape(nb, bc),
+        ),
+    )
+    return dists.reshape(-1, k), rows.reshape(-1, k), ok.reshape(-1)
+
+
+def l1_topk_adaptive(
+    blocks,
+    lib,
+    k: int,
+    *,
+    m: int = _AD_M,
+    cap: int = _AD_CAP,
+    seed: int = 1234,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact k nearest rows per block — same contract and results as
+    `l1_topk_stripes` — via the adaptive coarse-to-fine certified scorer
+    (module comment above). Falls back to `l1_topk_twolevel` wholesale
+    when the coarse pass cannot prune (concentrated data), and per-row to
+    the stripe kernel for uncertified rows.
+    """
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, d = blocks.shape
+    l = lib.shape[0]
+    # prefer grouping whole cells per channel (palette coords interleave
+    # RGB; see _ad_project); fall back to consecutive coords otherwise
+    chan = d % 3 == 0
+    nc = d // 3 if chan else d
+    g = next(
+        (
+            gg
+            for gg in _AD_GROUPS
+            if nc % gg == 0 and (nc // gg) * (3 if chan else 1) >= 4
+        ),
+        None,
+    )
+    kk = min(k, l)
+    lp = -(-l // _TL_SEG) * _TL_SEG
+    nseg = lp // _TL_SEG
+    if (
+        g is None
+        or b == 0
+        or kk > m // 2
+        or m + 1 > nseg * cap
+        or l <= 2 * m
+    ):
+        return l1_topk_twolevel(blocks, lib, k)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(l).astype(np.int32)
+    libp = np.zeros((lp, d), np.uint8)
+    libp[:l] = lib[perm]
+    perm_pad = np.zeros(lp, np.int32)
+    perm_pad[:l] = perm
+    bc = min(_STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
+    bp = -(-b // bc) * bc
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    bf = jnp.asarray(blocks_p.reshape(-1))
+    lf = jnp.asarray(libp.reshape(-1))
+    ppad = jnp.asarray(perm_pad)
+    bc2 = max(8, min(64, bp))
+
+    def run(flat_blocks):
+        vals, cols, s_min = _ad_coarse_jit(
+            flat_blocks, lf, d=d, g=g, chan=chan, bc=bc, cap=cap, real_l=l
+        )
+        return _ad_rescore_jit(
+            flat_blocks, vals, cols, s_min, lf, ppad,
+            d=d, bc=bc2, m=m, k=kk, real_l=l,
+        )
+
+    # adaptivity gate: run one sample chunk through the whole pipeline
+    # (~1/128 of the work) and check its actual certification rate —
+    # concentrated data (every distance within a few % of the mean)
+    # cannot be pruned by any lossy projection and is detected here.
+    if bp > bc:
+        _, _, ok_s = run(bf[: bc * d])
+        if np.asarray(jax.device_get(ok_s)).mean() < 0.5:
+            return l1_topk_twolevel(blocks, lib, k)
+    dists, rows, ok = run(bf)
+    out_d = np.asarray(jax.device_get(dists))[:b]
+    out_r = np.asarray(jax.device_get(rows))[:b]
+    bad = np.flatnonzero(~np.asarray(jax.device_get(ok))[:b])
+    if bad.size:
+        out_d = out_d.copy()
         out_r = out_r.copy()
         fd, fr = l1_topk_stripes(blocks[bad], lib, kk)
         out_d[bad] = fd

@@ -27,7 +27,7 @@ from emosaic_tpu.ops.composite import compose_mosaic
 from emosaic_tpu.ops.distance import (
     build_library,
     l1_dist_matrix,
-    l1_topk,
+    l1_topk_adaptive,
     l1_topk_hybrid,
     rows_to_items,
 )
@@ -90,8 +90,12 @@ def render_nto1_no_repeat(
         cr = np.argsort(dist, axis=1, kind="stable").astype(np.int32)
         cd = np.take_along_axis(dist, cr, axis=1).astype(np.int32)
     else:
+        # exact truncated lists via the adaptive coarse-to-fine certified
+        # scorer (ops/distance.py): clusterable libraries prune ~6x of
+        # the scoring work; concentrated data routes to the direct
+        # two-level scorer — results are identical either way
         k = min(_TRUNCATED_K, l)
-        cd, cr = l1_topk(blocks, lib, k)
+        cd, cr = l1_topk_adaptive(blocks, lib, k)
         cd, cr = np.asarray(cd), np.asarray(cr)
     from emosaic_tpu import native
 

@@ -456,3 +456,84 @@ def test_l1_topk_twolevel_fuzz(seed, b, l, d, k):
     d_t, r_t = l1_topk_twolevel(blocks, lib, k)
     np.testing.assert_array_equal(d_t, d_o)
     np.testing.assert_array_equal(r_t, r_o)
+
+
+def test_l1_argmin_stripes_matches_oracle(rng):
+    # min-identity argmin (high-D matched path) vs the XLA oracle,
+    # duplicate rows forcing lowest-row tie-breaks
+    from emosaic_tpu.ops.distance import l1_argmin_stripes, l1_argmin_xla
+
+    base = rng.integers(0, 256, size=(60, 27), dtype=np.uint8)
+    lib = np.concatenate([base, base[:20]], axis=0)
+    blocks = rng.integers(0, 256, size=(41, 27), dtype=np.uint8)
+    blocks[0] = lib[65]  # exact hit on a duplicated row -> lower twin wins
+    d_s, r_s = l1_argmin_stripes(blocks, lib)
+    d_o, r_o = l1_argmin_xla(blocks, lib)
+    np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_o))
+    np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_o))
+
+
+def _clustered_case(rng, l=2000, d=48, planted=8):
+    # high-valued random library + a handful of planted near-matches of a
+    # low-valued query: coarse group-sums see the systematic shift, so
+    # the certified prune holds (the realistic photomosaic regime)
+    lib = rng.integers(100, 256, size=(l, d), dtype=np.uint8)
+    q = rng.integers(0, 20, size=(d,), dtype=np.uint8)
+    for i in range(planted):
+        lib[rng.integers(0, l)] = np.clip(
+            q.astype(np.int32) + rng.integers(0, 3, size=d), 0, 255
+        )
+    blocks = np.stack([q, np.clip(q + 1, 0, 255).astype(np.uint8)])
+    return blocks, lib
+
+
+def test_l1_topk_adaptive_certified_on_clustered(rng):
+    from emosaic_tpu.ops.distance import l1_topk_adaptive
+
+    blocks, lib = _clustered_case(rng)
+    k = 8
+    d_o, r_o = l1_topk(blocks, lib, k)
+    d_a, r_a = l1_topk_adaptive(blocks, lib, k, m=32, cap=4)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+def test_l1_topk_adaptive_exact_on_concentrated_random(rng):
+    # uniform-random data: distances concentrate, the coarse bound cannot
+    # prune -> the gate (or per-row certificates) must keep it exact
+    from emosaic_tpu.ops.distance import l1_topk_adaptive
+
+    lib = rng.integers(0, 256, size=(1500, 48), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(17, 48), dtype=np.uint8)
+    k = 6
+    d_o, r_o = l1_topk(blocks, lib, k)
+    d_a, r_a = l1_topk_adaptive(blocks, lib, k, m=32, cap=4)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+def test_l1_topk_adaptive_tie_storm(rng):
+    # duplicated planted rows force exact ties across the permutation;
+    # the final (distance, original row) sort must restore lowest-row order
+    from emosaic_tpu.ops.distance import l1_topk_adaptive
+
+    blocks, lib = _clustered_case(rng, planted=0)
+    q = blocks[0]
+    for pos in (3, 700, 1100, 1999):
+        lib[pos] = q  # four identical zero-distance rows
+    k = 6
+    d_o, r_o = l1_topk(blocks, lib, k)
+    d_a, r_a = l1_topk_adaptive(blocks, lib, k, m=32, cap=4)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+def test_l1_topk_adaptive_small_cases_route_to_twolevel(rng):
+    from emosaic_tpu.ops.distance import l1_topk_adaptive
+
+    lib = rng.integers(0, 256, size=(100, 12), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(5, 12), dtype=np.uint8)
+    d_o, r_o = l1_topk(blocks, lib, 110)  # k > L and l <= 2m
+    d_a, r_a = l1_topk_adaptive(blocks, lib, 110)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
