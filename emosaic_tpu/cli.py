@@ -271,6 +271,21 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="zlib level for streamed PNG output (0 = stored, fastest)",
     )
+    m.add_argument(
+        "--png-filter",
+        choices=("none", "sub", "up"),
+        default="sub",
+        help="PNG scanline filter for streamed output (sub/up compress "
+        "photographic mosaics ~11%% smaller than none at ~same speed)",
+    )
+    m.add_argument(
+        "--png-workers",
+        type=int,
+        default=None,
+        metavar="N",
+        help="parallel PNG compression threads (default: min(16, cpus); "
+        "output bytes are identical for any worker count)",
+    )
     return p
 
 
@@ -503,7 +518,12 @@ def run_mosaic(args, timer=None) -> None:
         log(f"📝 Streaming {out_w}x{out_h} output to {out_path}")
         y0 = 0
         with timer.phase("stream compose+encode"), StreamingPNGWriter(
-            out_path, out_w, out_h, compress_level=args.png_compress_level
+            out_path,
+            out_w,
+            out_h,
+            compress_level=args.png_compress_level,
+            filter_type=args.png_filter,
+            workers=args.png_workers,
         ) as w:
             for band in bands:
                 if args.tint_opacity > 0.0:

@@ -965,16 +965,29 @@ def _ad_project(x, d: int, g: int, chan: bool):
     bound). `chan=True` groups g cells per RGB channel — palette coords
     interleave channels (analysis.py layout), and real tile differences
     are dominated by per-channel shifts whose signs would cancel across
-    mixed-channel groups."""
-    r = x.shape[0]
+    mixed-channel groups.
+
+    Computed as an MXU matmul with a 0/1 selection matrix rather than a
+    reshape+sum: a [r, nc/g, g, 3] intermediate gets the (8,128) tiled
+    layout on its size-3 minor dim (~42x physical inflation — 34 GB at
+    library scale, a compile-time OOM on a 16 GB chip; CLAUDE.md layout
+    rule). The matmul is exact: u8 is exact in bf16, per-group sums
+    (<= g*255) accumulate in f32 on the MXU.
+    """
+    i = jnp.arange(d, dtype=jnp.int32)
     if chan:
-        nc = d // 3
-        return (
-            x.reshape(r, nc // g, g, 3)
-            .sum(axis=-2, dtype=jnp.int32)
-            .reshape(r, (nc // g) * 3)
-        )
-    return x.reshape(r, d // g, g).sum(-1, dtype=jnp.int32)
+        dout = (d // (3 * g)) * 3
+        o = (i // (3 * g)) * 3 + i % 3
+    else:
+        dout = d // g
+        o = i // g
+    sel = (o[:, None] == jnp.arange(dout, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16
+    )
+    out = jax.lax.dot(
+        x.astype(jnp.bfloat16), sel, preferred_element_type=jnp.float32
+    )
+    return out.astype(jnp.int32)
 
 
 @functools.partial(

@@ -18,6 +18,71 @@ def test_round_trip(tmp_path, rng):
     assert (back == img).all()
 
 
+@pytest.mark.parametrize("ftype", ["none", "sub", "up"])
+@pytest.mark.parametrize("workers", [1, 4])
+def test_filters_round_trip(tmp_path, rng, ftype, workers):
+    """Every scanline filter decodes back to the exact pixels, serial and
+    parallel, across band splits that straddle segment boundaries."""
+    img = rng.integers(0, 256, size=(300, 41, 3), dtype=np.uint8)
+    path = tmp_path / f"f_{ftype}_{workers}.png"
+    with StreamingPNGWriter(
+        path, 41, 300, filter_type=ftype, workers=workers
+    ) as w:
+        w.write_band(img[:1])
+        w.write_band(img[1:190])
+        w.write_band(img[190:])
+    back = np.asarray(Image.open(path).convert("RGB"))
+    assert (back == img).all()
+
+
+def test_output_bytes_deterministic_across_workers_and_bands(tmp_path, rng):
+    """Segmentation is fixed by the image width, so bytes must not depend
+    on band chunking or worker count."""
+    img = rng.integers(0, 256, size=(128, 997, 3), dtype=np.uint8)
+    outs = []
+    for name, workers, splits in [
+        ("a", 1, [128]),
+        ("b", 4, [128]),
+        ("c", 4, [1, 63, 64]),
+        ("d", 2, [127, 1]),
+    ]:
+        path = tmp_path / f"{name}.png"
+        with StreamingPNGWriter(path, 997, 128, workers=workers) as w:
+            y = 0
+            for h in splits:
+                w.write_band(img[y : y + h])
+                y += h
+        outs.append(path.read_bytes())
+    assert all(o == outs[0] for o in outs[1:])
+
+
+def test_adler32_combine_matches_zlib(rng):
+    import zlib
+
+    from emosaic_tpu.io.codecs import adler32_combine
+
+    a = rng.integers(0, 256, size=70000, dtype=np.uint8).tobytes()
+    b = rng.integers(0, 256, size=130001, dtype=np.uint8).tobytes()
+    combined = adler32_combine(zlib.adler32(a), zlib.adler32(b), len(b))
+    assert combined == zlib.adler32(a + b)
+    # chain of three, including an empty middle segment
+    c = b""
+    d = rng.integers(0, 256, size=7, dtype=np.uint8).tobytes()
+    acc = zlib.adler32(a)
+    for seg in (b, c, d):
+        acc = adler32_combine(acc, zlib.adler32(seg), len(seg))
+    assert acc == zlib.adler32(a + b + c + d)
+
+
+def test_single_row_bands_sub_filter(tmp_path, rng):
+    img = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    path = tmp_path / "rows.png"
+    with StreamingPNGWriter(path, 5, 9, filter_type="up") as w:
+        for r in range(9):
+            w.write_band(img[r : r + 1])
+    assert (np.asarray(Image.open(path).convert("RGB")) == img).all()
+
+
 def test_stored_level_zero(tmp_path, rng):
     img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
     path = tmp_path / "out0.png"
