@@ -272,6 +272,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="zlib level for streamed PNG output (0 = stored, fastest)",
     )
     m.add_argument(
+        "--mesh",
+        default="off",
+        metavar="SPEC",
+        help="multi-device mesh for matching/scoring: 'off' (single "
+        "device), 'auto' (all devices, data-parallel), 'N' (N devices, "
+        "data-parallel) or 'DxM' (D data x M library shards). Sharded "
+        "results are bit-identical to single-device. Applies to the "
+        "exact-L1 matchers; lut/hybrid/l2 matchers stay single-device",
+    )
+    m.add_argument(
         "--png-filter",
         choices=("none", "sub", "up"),
         default="sub",
@@ -287,6 +297,54 @@ def build_parser() -> argparse.ArgumentParser:
         "output bytes are identical for any worker count)",
     )
     return p
+
+
+# ---------------------------------------------------------------------------
+# multi-device mesh (--mesh)
+# ---------------------------------------------------------------------------
+
+
+def _parse_mesh(spec: str, log):
+    """Resolve a --mesh spec to a ("data", "model") Mesh, or None.
+
+    'off' -> None; 'auto' -> all visible devices, data-parallel;
+    'N' -> N devices data-parallel; 'DxM' -> D data x M library shards.
+    A 1-device resolution returns None (the single-device kernels are the
+    same computation without the shard_map plumbing).
+    """
+    spec = spec.strip().lower()
+    if spec == "off":
+        return None
+    import jax
+
+    from emosaic_tpu.parallel import make_mesh
+
+    avail = len(jax.devices())
+    if spec == "auto":
+        data, model = avail, 1
+    else:
+        parts = spec.split("x")
+        try:
+            if len(parts) == 1:
+                data, model = int(parts[0]), 1
+            elif len(parts) == 2:
+                data, model = int(parts[0]), int(parts[1])
+            else:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"❌ Invalid --mesh '{spec}': expected off, auto, N, or DxM"
+            ) from None
+    n = data * model
+    if n > avail:
+        raise SystemExit(
+            f"❌ --mesh {spec} needs {n} devices but only {avail} are visible"
+        )
+    if n <= 1:
+        return None
+    mesh = make_mesh(n, model=model)
+    log(f"🕸  Matching on a {data}x{model} (data x model) device mesh")
+    return mesh
 
 
 # ---------------------------------------------------------------------------
@@ -442,6 +500,7 @@ def run_mosaic(args, timer=None) -> None:
             "hybrid": "auto",
         }[args.matcher]
         hybrid = args.matcher == "hybrid"
+        mesh = _parse_mesh(args.mesh, log)
         # gigapixel outputs are composed in bands and PNG-encoded
         # incrementally instead of materializing W*H*3 bytes at once;
         # stack=None (too big for memory) always streams via the host path
@@ -456,6 +515,7 @@ def run_mosaic(args, timer=None) -> None:
                     src, tile_set, args.tile_size, stack=stack,
                     compose=not streaming,
                     scorer="hybrid" if hybrid else "exact",
+                    mesh=mesh,
                 )
             else:
                 result = render_nto1(
@@ -470,6 +530,7 @@ def run_mosaic(args, timer=None) -> None:
                     hybrid=hybrid,
                     stack=stack,
                     compose=not streaming,
+                    mesh=mesh,
                 )
         result.stats.summarise(tile_set)
         output = result.image

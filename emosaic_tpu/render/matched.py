@@ -75,10 +75,17 @@ def match_blocks(
     use_lut: str = "auto",
     metric: str = "l1",
     hybrid: bool = False,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Dispatch to the LUT (mode 1), the dense L1 kernel, the MXU hybrid
     (L2 prefilter + exact-L1 rescore, `hybrid=True`), or the MXU L2 fast
     mode (performance additions — the reference is L1-only).
+
+    With `mesh` (a ("data", "model") jax Mesh), the exact-L1 match shards
+    blocks over "data" and the library over "model" with an ICI
+    (min, row) combine — bit-identical to the single-device kernels
+    (tests/test_sharding.py). The l2/hybrid fast modes and an explicit
+    `use_lut="always"` stay single-device (documented in --mesh help).
 
     Returns (dist [B] int32, row [B] int32) as numpy.
     """
@@ -87,6 +94,11 @@ def match_blocks(
         return np.asarray(dist), np.asarray(row)
     if hybrid and blocks.shape[1] > 3:
         dist, row = l1_argmin_hybrid(blocks, lib)
+        return np.asarray(dist), np.asarray(row)
+    if mesh is not None and use_lut != "always":
+        from emosaic_tpu.parallel import sharded_l1_argmin
+
+        dist, row = sharded_l1_argmin(blocks, lib, mesh)
         return np.asarray(dist), np.asarray(row)
     b, d = blocks.shape
     lut_ok = d == 3 and lib.shape[0] <= MAX_ROWS
@@ -125,6 +137,7 @@ def render_nto1(
     hybrid: bool = False,
     stack: np.ndarray | None = None,
     compose: bool = True,
+    mesh=None,
     log=lambda *a: print(*a, file=sys.stderr),
 ) -> RenderOutcome:
     if no_repeat and randomize is not None:
@@ -151,10 +164,19 @@ def render_nto1(
     num_tiles = len(tile_set)
     rng = np.random.default_rng(seed)
 
+    def topk(k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k candidate lists; sharded over the mesh when given
+        (bit-identical contract, tests/test_sharding.py)."""
+        if mesh is not None:
+            from emosaic_tpu.parallel import sharded_l1_topk
+
+            return sharded_l1_topk(blocks, lib, k, mesh)
+        cd, cr = l1_topk(blocks, lib, k)
+        return np.asarray(cd), np.asarray(cr)
+
     if randomize is not None:
         k = min(_DEFAULT_RANDOM_NEIGHBORS, lib.shape[0])
-        cd, cr = l1_topk(blocks, lib, k)
-        cd, cr = np.asarray(cd), np.asarray(cr)
+        cd, cr = topk(k)
         mins = cd[:, 0].astype(np.float64)
         eligible = (cd.astype(np.float64) - mins[:, None]) < (
             float(randomize) * mins[:, None] / 100.0
@@ -166,8 +188,7 @@ def render_nto1(
         dists = np.take_along_axis(cd, pick[:, None], axis=1)[:, 0]
     elif no_repeat:
         k = min(_GREEDY_TOPK, lib.shape[0])
-        cd, cr = l1_topk(blocks, lib, k)
-        cd, cr = np.asarray(cd), np.asarray(cr)
+        cd, cr = topk(k)
         # render order: rows in sequence, x shuffled per row
         order = np.concatenate(
             [by * htiles + rng.permutation(htiles) for by in range(vtiles)]
@@ -183,7 +204,8 @@ def render_nto1(
             )
     else:
         dists, rows = match_blocks(
-            blocks, lib, use_lut=use_lut, metric=metric, hybrid=hybrid
+            blocks, lib, use_lut=use_lut, metric=metric, hybrid=hybrid,
+            mesh=mesh,
         )
 
     items = np.asarray(rows_to_items(rows, num_tiles))

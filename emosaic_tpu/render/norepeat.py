@@ -57,6 +57,7 @@ def render_nto1_no_repeat(
     stack: np.ndarray | None = None,
     compose: bool = True,
     scorer: str = "exact",
+    mesh=None,
     log=lambda *a: print(*a, file=sys.stderr),
 ) -> RenderOutcome:
     n = tile_set.n_cells
@@ -74,7 +75,17 @@ def render_nto1_no_repeat(
     num_tiles = len(tile_set)
     b, l = blocks.shape[0], lib.shape[0]
 
-    if scorer == "hybrid" and b * l > _EXACT_BUDGET:
+    if mesh is not None:
+        # multi-chip scoring: blocks shard over "data", library over
+        # "model", per-shard top-k lists merged over ICI — bit-identical
+        # candidate lists (tests/test_sharding.py). Truncation to K does
+        # not change assignment results (see _TRUNCATED_K note): the
+        # greedy engines refill exactly when a block's prefix runs dry.
+        from emosaic_tpu.parallel import sharded_l1_topk
+
+        k = min(_TRUNCATED_K, l)
+        cd, cr = sharded_l1_topk(blocks, lib, k, mesh)
+    elif scorer == "hybrid" and b * l > _EXACT_BUDGET:
         # MXU L2-prefilter + exact-L1 rescore (approximate candidate set,
         # exact distances; ~3.5x faster scoring at flagship scale — see
         # ops/distance.py hybrid section). Assignment still refills

@@ -130,3 +130,66 @@ def test_sharded_mosaic_step_model4(rng, devices):
     items = np.asarray(rows_to_items(rows, 16)).reshape(4, 6)
     ref = np.asarray(compose_mosaic(items, tiles))
     assert (out == ref).all()
+
+
+def _mesh_cli_case(tmp_path, rng, extra, out_name_a, out_name_b):
+    """Run the CLI twice (--mesh off vs --mesh 4x2) and return both
+    decoded outputs. Uses a fresh tiles dir per case so analysis caches
+    don't interact."""
+    from PIL import Image
+
+    from emosaic_tpu.cli import main
+
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for i in range(14):
+        arr = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tiles / f"t{i}.jpg", quality=95)
+    src = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+    Image.fromarray(src).save(tmp_path / "s.png")
+    common = ["-s", "8", str(tmp_path / "s.png"), "mosaic", str(tiles)]
+    main(["-o", str(tmp_path / out_name_a)] + common + extra + ["--mesh", "off"])
+    main(["-o", str(tmp_path / out_name_b)] + common + extra + ["--mesh", "4x2"])
+    a = np.asarray(Image.open(tmp_path / out_name_a).convert("RGB"))
+    b = np.asarray(Image.open(tmp_path / out_name_b).convert("RGB"))
+    return a, b
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        ["-m", "2"],  # dense exact match -> sharded_l1_argmin
+        ["-m", "2", "--no-repeat"],  # global greedy -> sharded_l1_topk
+        ["-m", "2", "--randomize", "25", "--seed", "7"],  # top-k prefix
+        ["-m", "1"],  # mode 1 small: LUT ineligible at this size either way
+    ],
+)
+def test_cli_mesh_output_identical(tmp_path, rng, devices, monkeypatch, extra):
+    """--mesh 4x2 must be pixel-identical to single-device for every
+    matcher family it covers (the product-surface wiring, not just the
+    kernels)."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    monkeypatch.chdir(tmp_path)
+    a, b = _mesh_cli_case(tmp_path, rng, extra, "a.png", "b.png")
+    assert (a == b).all()
+
+
+def test_cli_mesh_too_many_devices(tmp_path, rng, devices, monkeypatch, capsys):
+    from PIL import Image
+
+    from emosaic_tpu.cli import main
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    Image.fromarray(
+        rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+    ).save(tiles / "t0.jpg", quality=95)
+    Image.fromarray(
+        rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    ).save(tmp_path / "s.png")
+    with pytest.raises(SystemExit):
+        main(
+            ["-o", str(tmp_path / "x.png"), "-s", "8", str(tmp_path / "s.png"),
+             "mosaic", str(tiles), "--mesh", "64"]
+        )
