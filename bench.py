@@ -280,7 +280,7 @@ def norepeat_adaptive_phase() -> tuple[float, int]:
     l, nc = 2 * t, d // 3
     lp = -(-l // 128) * 128
     key = jax.random.PRNGKey(11)
-    kc, km, kb, kn, kp = jax.random.split(key, 5)
+    kc, km, kb, kn = jax.random.split(key, 4)
     colors = jax.random.randint(kc, (l, 3), 0, 256, dtype=jnp.int32)
     tex = jax.random.randint(km, (l, d), -10, 11, dtype=jnp.int32)
     lib = jnp.clip(jnp.tile(colors, (1, nc)) + tex, 0, 255).astype(jnp.uint8)
@@ -289,20 +289,19 @@ def norepeat_adaptive_phase() -> tuple[float, int]:
     blocks = jnp.clip(lib[pick].astype(jnp.int32) + bn, 0, 255).astype(
         jnp.uint8
     )
-    perm = jax.random.permutation(kp, l).astype(jnp.int32)
-    libp = jnp.pad(lib[perm], ((0, lp - l), (0, 0)))
-    perm_pad = jnp.pad(perm, (0, lp - l))
+    libp = jnp.pad(lib, ((0, lp - l), (0, 0)))
     _sync(blocks[:1])
     _sync(libp[:1])
     bf, lf = blocks.reshape(-1), libp.reshape(-1)
+    use_dma = jax.devices()[0].platform == "tpu"
 
     def run():
         vals, cols, s_min = _ad_coarse_jit(
             bf, lf, d=d, g=16, chan=True, bc=128, cap=_AD_CAP, real_l=l
         )
         return _ad_rescore_jit(
-            bf, vals, cols, s_min, lf, perm_pad,
-            d=d, bc=64, m=_AD_M, k=k, real_l=l,
+            bf, vals, cols, s_min, lf,
+            d=d, bc=64, m=_AD_M, k=k, real_l=l, use_dma=use_dma,
         )
 
     cd, cr, ok = run()  # compile + warm

@@ -932,14 +932,20 @@ def l1_topk_twolevel(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
 # VPU work, so most of the library can be pruned before the full-D
 # distance is ever computed:
 #
-#   1. coarse stripes over a row-PERMUTED library (the permutation makes
-#      per-segment survivor counts Poisson regardless of how clustered
-#      the library order is) -> per-segment top_k(cap) survivors,
+#   1. coarse stripes with STRIDED segments (segment s holds columns
+#      {s + k*nseg}; clustered libraries are contiguous runs in discovery
+#      order, so striding spreads a run across min(len, nseg) segments —
+#      no physical permutation, and survivor columns ARE original rows)
+#      -> per-segment top_k(cap) survivors,
 #   2. sort survivors, keep the m best as candidates; everything else
 #      provably has coarse >= c_next = min(worst kept per segment, first
 #      unselected survivor),
-#   3. exact full-D rescore of the m candidates, sorted by (true
-#      distance, ORIGINAL row) -> top-k lists,
+#   3. exact full-D rescore of the m candidates — on TPU via the
+#      DMA-fused row-distance kernel `_l1_rows_dma` (an XLA gather of
+#      B*m arbitrary library rows measures ~87 ns/row; the Pallas
+#      scalar-prefetched DMA issue loop runs at ~20 ns/row, the same
+#      pattern as the composite's _dma_kernel) — sorted by (true
+#      distance, row) -> top-k lists,
 #   4. per-row certificate: c_next > k-th true distance means no pruned
 #      row could enter the list (strict > also covers boundary ties);
 #      uncertified rows are recomputed with the plain stripe kernel.
@@ -993,30 +999,37 @@ def _ad_project(x, d: int, g: int, chan: bool):
 @functools.partial(
     jax.jit, static_argnames=("d", "g", "chan", "bc", "cap", "real_l")
 )
-def _ad_coarse_jit(blocks_flat, libp_flat, *, d, g, chan, bc, cap, real_l):
-    """Step 1: coarse survivor lists over the permuted library.
+def _ad_coarse_jit(blocks_flat, lib_pad_flat, *, d, g, chan, bc, cap, real_l):
+    """Step 1: coarse survivor lists over strided segments.
+
+    Segment s in [0, nseg) holds library columns {s + k*nseg}: the
+    distance stripe is reshaped [bc, w, nseg] (w = lp/nseg) and
+    transposed so top_k runs per segment — survivor columns are original
+    library rows (col = k*nseg + s), no permutation anywhere.
 
     Returns (vals [B, nseg*cap] coarse bounds ascending per segment,
-    cols [B, nseg*cap] permuted-library columns, s_min [B] min over
-    segments of the worst kept value — part of the non-candidate bound).
+    cols [B, nseg*cap] library rows, s_min [B] min over segments of the
+    worst kept value — part of the non-candidate bound).
     """
     blocks = blocks_flat.reshape(-1, d)
-    libp = libp_flat.reshape(-1, d)
+    libp = lib_pad_flat.reshape(-1, d)
     lp = libp.shape[0]
     nseg = lp // _TL_SEG
+    w = lp // nseg
     col = jnp.arange(lp, dtype=jnp.int32)
     invalid = col >= real_l
     cl = _ad_project(libp, d, g, chan)
-    seg_base = (jnp.arange(nseg, dtype=jnp.int32) * _TL_SEG)[None, :, None]
+    seg_base = jnp.arange(nseg, dtype=jnp.int32)[None, :, None]
 
     def per_chunk(xc):
         cb = _ad_project(xc, d, g, chan)
         dist = jnp.abs(cb[:, None, :] - cl[None]).sum(-1, dtype=jnp.int32)
         dist = jnp.where(invalid[None, :], _TL_BIG, dist)
-        seg = dist.reshape(bc, nseg, _TL_SEG)
+        # [bc, w, nseg] -> [bc, nseg, w]: element [i, s, k] = col k*nseg+s
+        seg = jnp.swapaxes(dist.reshape(bc, w, nseg), 1, 2)
         nd1, ni1 = jax.lax.top_k(-seg, cap)
         vals = -nd1  # [bc, nseg, cap]
-        cols = ni1.astype(jnp.int32) + seg_base
+        cols = ni1.astype(jnp.int32) * nseg + seg_base
         s_min = vals[:, :, cap - 1].min(axis=1)  # [bc]
         return vals.reshape(bc, nseg * cap), cols.reshape(bc, nseg * cap), s_min
 
@@ -1026,44 +1039,177 @@ def _ad_coarse_jit(blocks_flat, libp_flat, *, d, g, chan, bc, cap, real_l):
     return vals.reshape(-1, s), cols.reshape(-1, s), s_min.reshape(-1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("d", "bc", "m", "k", "real_l")
-)
-def _ad_rescore_jit(
-    blocks_flat, vals, cols, s_min, libp_flat, perm_pad, *, d, bc, m, k, real_l
-):
-    """Steps 2-4: select m candidates, exact rescore, certify."""
-    blocks = blocks_flat.reshape(-1, d)
-    libp = libp_flat.reshape(-1, d)
+#: VMEM budget for the rescore kernel's candidate-row scratch buffer
+_ROWS_DMA_VMEM = 4 << 20
+#: per-call budget for the scalar-prefetched candidate indices (SMEM is
+#: ~1 MB; the kernel chunks over block rows to stay under this)
+_SMEM_CAND_BUDGET = 256 << 10
+
+
+def _rows_dma_mc(m: int, d: int) -> int:
+    """Candidate rows fetched per grid step: the largest power of two
+    dividing m that keeps the scratch under budget (and <= 128 so the
+    unrolled issue loop stays reasonable)."""
+    cap_rows = max(1, min(128, _ROWS_DMA_VMEM // max(d, 1)))
+    mc = 1
+    while mc * 2 <= cap_rows and m % (mc * 2) == 0:
+        mc *= 2
+    return mc
+
+
+def _l1_rows_kernel(cand_ref, x_ref, lib_hbm, out_ref, scratch, sems, *, mc):
+    """dist of one block against mc scalar-prefetched candidate rows.
+
+    Same structure as composite._dma_kernel: statically unrolled DMA
+    issue/wait loops (the path is scalar-core issue-rate bound, ~20 ns
+    per row copy measured on v5e; an XLA row gather of the same rows
+    measures ~87 ns/row), then one fused abs-diff-reduce over the VMEM
+    scratch."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    base = (i * pl.num_programs(1) + j) * mc
+    for c in range(mc):
+        pltpu.make_async_copy(
+            lib_hbm.at[cand_ref[base + c]], scratch.at[c], sems.at[c]
+        ).start()
+    x = x_ref[0].astype(jnp.int32)  # [sl, lw]
+    for c in range(mc):
+        pltpu.make_async_copy(lib_hbm.at[0], scratch.at[c], sems.at[c]).wait()
+    # keep every value >= 2D (Mosaic layouts don't support 1D vectors):
+    # reduce sublanes, then contract the lane axis against ones with a
+    # dot_general whose result is already [1, mc]. Exact in f32: row sums
+    # <= 255 * D < 2^24.
+    r2 = jnp.abs(scratch[...].astype(jnp.int32) - x[None]).sum(
+        axis=1, dtype=jnp.int32
+    )  # [mc, lw]
+    ones = jnp.ones((1, r2.shape[1]), jnp.float32)
+    dist = jax.lax.dot_general(
+        ones, r2.astype(jnp.float32), (((1,), (1,)), ((), ()))
+    )  # [1, mc]
+    out_ref[0] = dist.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("mc", "interpret"))
+def _l1_rows_dma(blocks, cand, libp, *, mc, interpret=False):
+    """dist[i, j] = exact L1(blocks[i], libp[cand[i, j]]).
+
+    blocks [B, D] u8, cand [B, m] i32 (m % mc == 0; mc % 128 == 0 or
+    mc == m — Mosaic's trailing-block-dim rule), libp [LP, D] u8 in HBM.
+    The shortlist-rescore primitive for the adaptive scorer (and any
+    candidate-list rescoring): fetches arbitrary library rows at DMA
+    issue rate instead of XLA gather rate.
+
+    Library rows travel as [LP, D/128, 128] so the per-row DMA slices the
+    *untiled* leading dim (a 2D [LP, D] slice of height 1 violates
+    Mosaic's sublane-tiling alignment — same layout trick as
+    composite._dma_kernel's [2T+1, ts, lane] stack). On TPU this wants
+    D % 1024 == 0 so the copied [D/128, 128] slab is sublane-aligned;
+    the dispatcher falls back to the XLA gather otherwise.
+    """
+    b, d = blocks.shape
+    m = cand.shape[1]
+    sl, lw = (d // 128, 128) if d % 128 == 0 else (1, d)
+    libp3 = libp.reshape(-1, sl, lw)
+    # the prefetched candidate slab lives in SMEM (~1 MB total): chunk the
+    # call over block rows so each chunk's indices fit comfortably
+    bs = max(1, min(b, _SMEM_CAND_BUDGET // (4 * m)))
+    bp = -(-b // bs) * bs
+    blocks3 = jnp.pad(
+        blocks.reshape(b, sl, lw), ((0, bp - b), (0, 0), (0, 0))
+    )
+    cand_p = jnp.pad(cand, ((0, bp - b), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bs, m // mc),
+        in_specs=[
+            pl.BlockSpec((1, sl, lw), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, mc), lambda i, j, *_: (i, 0, j)),
+        scratch_shapes=[
+            pltpu.VMEM((mc, sl, lw), jnp.uint8),
+            pltpu.SemaphoreType.DMA((mc,)),
+        ],
+    )
+    call = pl.pallas_call(
+        functools.partial(_l1_rows_kernel, mc=mc),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((bs, 1, m), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
 
     def per_chunk(args):
-        xc, vc, cc, sm = args
-        sv, sc = jax.lax.sort((vc, cc), dimension=1, num_keys=2)
-        cand = sc[:, :m]  # permuted-library columns
-        c_next = jnp.minimum(sm, sv[:, m])
-        tc = libp[cand]  # [bc, m, D] row gather
-        dist = jnp.abs(
-            xc.astype(jnp.int32)[:, None, :] - tc.astype(jnp.int32)
-        ).sum(-1, dtype=jnp.int32)
-        dist = jnp.where(cand < real_l, dist, I32_MAX)
-        orig = perm_pad[cand]  # original library rows (tie-break space)
-        sd, so = jax.lax.sort((dist, orig), dimension=1, num_keys=2)
-        out_d, out_r = sd[:, :k], so[:, :k]
-        ok = c_next > out_d[:, k - 1]
-        return out_d, out_r, ok
+        cc, bl = args
+        return call(cc.reshape(-1), bl, libp3)
 
-    nb = blocks.shape[0] // bc
-    s = vals.shape[-1]
-    dists, rows, ok = jax.lax.map(
+    out = jax.lax.map(
         per_chunk,
         (
-            blocks.reshape(nb, bc, d),
-            vals.reshape(nb, bc, s),
-            cols.reshape(nb, bc, s),
-            s_min.reshape(nb, bc),
+            cand_p.reshape(bp // bs, bs, m),
+            blocks3.reshape(bp // bs, bs, sl, lw),
         ),
     )
-    return dists.reshape(-1, k), rows.reshape(-1, k), ok.reshape(-1)
+    return out.reshape(bp, m)[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "bc", "m", "k", "real_l", "use_dma")
+)
+def _ad_rescore_jit(
+    blocks_flat, vals, cols, s_min, lib_pad_flat, *, d, bc, m, k, real_l,
+    use_dma=False,
+):
+    """Steps 2-4: select m candidates, exact rescore, certify.
+
+    use_dma=True routes the candidate-row distances through the Pallas
+    DMA kernel (TPU; requires d % 128 == 0); False uses the XLA row
+    gather (CPU/portable oracle, bit-identical results)."""
+    blocks = blocks_flat.reshape(-1, d)
+    libp = lib_pad_flat.reshape(-1, d)
+    b = blocks.shape[0]
+    nb = b // bc
+    s = vals.shape[-1]
+
+    def select(args):
+        vc, cc, sm = args
+        sv, sc = jax.lax.sort((vc, cc), dimension=1, num_keys=2)
+        return sc[:, :m], jnp.minimum(sm, sv[:, m])
+
+    cand, c_next = jax.lax.map(
+        select,
+        (vals.reshape(nb, bc, s), cols.reshape(nb, bc, s), s_min.reshape(nb, bc)),
+    )
+    cand = cand.reshape(b, m)  # original library rows (strided segments)
+    c_next = c_next.reshape(b)
+
+    mc = _rows_dma_mc(m, d)
+    if use_dma and (mc % 128 == 0 or mc == m) and d % 1024 == 0:
+        dist = _l1_rows_dma(blocks, cand, libp, mc=mc)
+    else:
+
+        def dist_chunk(args):
+            xc, cc = args
+            tc = libp[cc]  # [bc, m, D] row gather
+            return jnp.abs(
+                xc.astype(jnp.int32)[:, None, :] - tc.astype(jnp.int32)
+            ).sum(-1, dtype=jnp.int32)
+
+        dist = jax.lax.map(
+            dist_chunk, (blocks.reshape(nb, bc, d), cand.reshape(nb, bc, m))
+        ).reshape(b, m)
+    dist = jnp.where(cand < real_l, dist, I32_MAX)
+
+    def finish(args):
+        dc, cc, cn = args
+        sd, so = jax.lax.sort((dc, cc), dimension=1, num_keys=2)
+        return sd[:, :k], so[:, :k], cn > sd[:, k - 1]
+
+    dists, rows, ok = jax.lax.map(
+        finish,
+        (dist.reshape(nb, bc, m), cand.reshape(nb, bc, m), c_next.reshape(nb, bc)),
+    )
+    return dists.reshape(b, k), rows.reshape(b, k), ok.reshape(b)
 
 
 def l1_topk_adaptive(
@@ -1073,7 +1219,6 @@ def l1_topk_adaptive(
     *,
     m: int = _AD_M,
     cap: int = _AD_CAP,
-    seed: int = 1234,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact k nearest rows per block — same contract and results as
     `l1_topk_stripes` — via the adaptive coarse-to-fine certified scorer
@@ -1108,27 +1253,23 @@ def l1_topk_adaptive(
         or l <= 2 * m
     ):
         return l1_topk_twolevel(blocks, lib, k)
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(l).astype(np.int32)
-    libp = np.zeros((lp, d), np.uint8)
-    libp[:l] = lib[perm]
-    perm_pad = np.zeros(lp, np.int32)
-    perm_pad[:l] = perm
+    lib_pad = np.zeros((lp, d), np.uint8)
+    lib_pad[:l] = lib
     bc = min(_STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
     bp = -(-b // bc) * bc
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
     bf = jnp.asarray(blocks_p.reshape(-1))
-    lf = jnp.asarray(libp.reshape(-1))
-    ppad = jnp.asarray(perm_pad)
+    lf = jnp.asarray(lib_pad.reshape(-1))
     bc2 = max(8, min(64, bp))
+    use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
 
     def run(flat_blocks):
         vals, cols, s_min = _ad_coarse_jit(
             flat_blocks, lf, d=d, g=g, chan=chan, bc=bc, cap=cap, real_l=l
         )
         return _ad_rescore_jit(
-            flat_blocks, vals, cols, s_min, lf, ppad,
-            d=d, bc=bc2, m=m, k=kk, real_l=l,
+            flat_blocks, vals, cols, s_min, lf,
+            d=d, bc=bc2, m=m, k=kk, real_l=l, use_dma=use_dma,
         )
 
     # adaptivity gate: run one sample chunk through the whole pipeline

@@ -80,3 +80,77 @@ def test_compose_rows_dma_interpret_multi_step_grid(rng):
     out_d = composite._compose_rows_dma(items, aug3, ts=ts, interpret=True)
     out_x = composite._compose_rows_xla(items, aug3, ts=ts)
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_x))
+
+
+@pytest.mark.parametrize(
+    "b,lp,d,m",
+    [
+        (4, 128, 48, 8),  # mc < lanes
+        (9, 256, 128, 32),  # odd b
+        (16, 384, 256, 16),  # multi-lane rows
+    ],
+)
+def test_l1_rows_dma_interpret_matches_gather(rng, b, lp, d, m):
+    """The DMA-fused shortlist rescore kernel (adaptive no-repeat scorer)
+    must equal the XLA row-gather distance on arbitrary candidate sets."""
+    import jax.numpy as jnp
+
+    blocks = rng.integers(0, 256, size=(b, d), dtype=np.uint8)
+    libp = rng.integers(0, 256, size=(lp, d), dtype=np.uint8)
+    cand = rng.integers(0, lp, size=(b, m)).astype(np.int32)
+    cand[0, :3] = [0, lp - 1, 0]  # boundary + repeated rows
+    mc = distance._rows_dma_mc(m, d)
+    got = distance._l1_rows_dma(
+        jnp.asarray(blocks), jnp.asarray(cand), jnp.asarray(libp),
+        mc=mc, interpret=True,
+    )
+    ref = np.abs(
+        blocks.astype(np.int64)[:, None, :]
+        - libp.astype(np.int64)[cand]
+    ).sum(-1)
+    np.testing.assert_array_equal(np.asarray(got), ref.astype(np.int32))
+
+
+def test_ad_rescore_dma_path_equivalent(rng):
+    """The DMA rescore path must reach the same (dists, rows, ok) as
+    _ad_rescore_jit's gather path: re-derive selection/certification in
+    numpy around the interpret-mode kernel and compare end-to-end."""
+    import jax.numpy as jnp
+
+    b, l, d, g, cap, m, k = 16, 2000, 48, 4, 4, 32, 6
+    lp = -(-l // 128) * 128
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = lib[rng.integers(0, l, size=b)]
+    lib_pad = np.zeros((lp, d), np.uint8)
+    lib_pad[:l] = lib
+    bf = jnp.asarray(blocks.reshape(-1))
+    lf = jnp.asarray(lib_pad.reshape(-1))
+    vals, cols, s_min = distance._ad_coarse_jit(
+        bf, lf, d=d, g=g, chan=True, bc=8, cap=cap, real_l=l
+    )
+    d_g, r_g, ok_g = distance._ad_rescore_jit(
+        bf, vals, cols, s_min, lf, d=d, bc=8, m=m, k=k, real_l=l,
+        use_dma=False,
+    )
+    # numpy re-derivation with the DMA kernel for the distance stage
+    v, c, sm = (np.asarray(x) for x in (vals, cols, s_min))
+    order = np.lexsort((c, v), axis=-1)
+    sv = np.take_along_axis(v, order, axis=1)
+    sc = np.take_along_axis(c, order, axis=1)
+    cand = sc[:, :m].astype(np.int32)
+    c_next = np.minimum(sm, sv[:, m])
+    mc = distance._rows_dma_mc(m, d)
+    dist = np.asarray(
+        distance._l1_rows_dma(
+            jnp.asarray(blocks), jnp.asarray(cand), jnp.asarray(lib_pad),
+            mc=mc, interpret=True,
+        )
+    )
+    dist = np.where(cand < l, dist, distance.I32_MAX)
+    order2 = np.lexsort((cand, dist), axis=-1)
+    sd = np.take_along_axis(dist, order2, axis=1)[:, :k]
+    so = np.take_along_axis(cand, order2, axis=1)[:, :k]
+    ok = c_next > sd[:, k - 1]
+    np.testing.assert_array_equal(np.asarray(d_g), sd)
+    np.testing.assert_array_equal(np.asarray(r_g), so)
+    np.testing.assert_array_equal(np.asarray(ok_g), ok)

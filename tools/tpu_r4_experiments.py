@@ -1,14 +1,10 @@
 #!/usr/bin/env python3
-"""r4 on-chip experiments: why is adaptive scoring 3.66s when its parts
-should sum to <1s, and is the 4.3 vs 2.6 ms/band composite regression real?
+"""r4 on-chip experiments: adaptive-scorer stage timing after the strided
++ DMA-rescore redesign, plus composite-band variance re-check.
 
-Stages timed separately (device-resident inputs, difference method):
-  A. _ad_coarse_jit at flagship shape (B=16384, L=65534, D=3072, g=16)
-  B. _ad_rescore_jit (m=2048, k=512)
-  C. projection matmul alone (lib -> [L, 192])
-  D. plain fused stripe distance+top_k at D=192 (isolates the segment
-     top_k overhead from the raw stripe cost)
-  E. composite DMA band + mode-1 LUT match re-check (bench phases)
+Findings from run 1 (pre-redesign): coarse 0.341 s, rescore 3.247 s (XLA
+row gather ~87 ns/row), match 94.5 ms, band 3.71 ms. The rescore redesign
+replaces the gather with the Pallas DMA issue loop (~20 ns/row).
 """
 
 import sys
@@ -23,7 +19,8 @@ sys.path.insert(0, "/root/repo")
 from emosaic_tpu.ops.distance import (  # noqa: E402
     _ad_coarse_jit,
     _ad_rescore_jit,
-    _ad_project,
+    _l1_rows_dma,
+    _rows_dma_mc,
     _AD_CAP,
     _AD_M,
 )
@@ -58,7 +55,7 @@ def main():
     l, lp = 2 * t, 65536
     g = 16
     key = jax.random.PRNGKey(11)
-    kc, km, kb, kn, kp = jax.random.split(key, 5)
+    kc, km, kb, kn = jax.random.split(key, 4)
     nc = d // 3
     colors = jax.random.randint(kc, (l, 3), 0, 256, dtype=jnp.int32)
     tex = jax.random.randint(km, (l, d), -10, 11, dtype=jnp.int32)
@@ -66,21 +63,13 @@ def main():
     pick = jax.random.randint(kb, (b,), 0, l, dtype=jnp.int32)
     bn = jax.random.randint(kn, (b, d), -6, 7, dtype=jnp.int32)
     blocks = jnp.clip(lib[pick].astype(jnp.int32) + bn, 0, 255).astype(jnp.uint8)
-    perm = jax.random.permutation(kp, l).astype(jnp.int32)
-    libp = jnp.pad(lib[perm], ((0, lp - l), (0, 0)))
-    perm_pad = jnp.pad(perm, (0, lp - l))
+    libp = jnp.pad(lib, ((0, lp - l), (0, 0)))
     sync(blocks)
     sync(libp)
     bf, lf = blocks.reshape(-1), libp.reshape(-1)
     log("inputs ready")
 
-    # C: projection matmul alone
-    proj = jax.jit(lambda x: _ad_project(x.reshape(-1, d), d, g, True))
-    sync(proj(lf))
-    t_proj = diff_time(lambda: proj(lf))
-    log(f"C. lib projection matmul [65536,3072]->[.,192]: {t_proj*1e3:.1f} ms")
-
-    # A: coarse pass
+    # A: coarse pass (strided segments)
     def coarse():
         v, c, s = _ad_coarse_jit(
             bf, lf, d=d, g=g, chan=True, bc=128, cap=_AD_CAP, real_l=l
@@ -89,65 +78,58 @@ def main():
 
     sync(coarse())
     t_coarse = diff_time(coarse)
-    log(f"A. _ad_coarse_jit: {t_coarse:.3f} s")
+    log(f"A. _ad_coarse_jit (strided): {t_coarse:.3f} s")
 
-    # D: stripe-only at D=192 (no segment top_k): plain min over L
-    cl = proj(lf)
-    cb = proj(bf)
-    sync(cl); sync(cb)
-
-    @jax.jit
-    def stripe192(cb_, cl_):
-        def per_chunk(xc):
-            dist = jnp.abs(xc[:, None, :] - cl_[None]).sum(-1, dtype=jnp.int32)
-            return dist.min(axis=1)
-
-        return jax.lax.map(per_chunk, cb_.reshape(-1, 128, cb_.shape[-1]))
-
-    sync(stripe192(cb, cl))
-    t_stripe = diff_time(lambda: stripe192(cb, cl))
-    log(f"D. D=192 stripe min (no topk): {t_stripe:.3f} s")
-
-    # D2: with the per-segment top_k(cap) as in coarse
-    @jax.jit
-    def stripe192_topk(cb_, cl_):
-        nseg = lp // 128
-
-        def per_chunk(xc):
-            dist = jnp.abs(xc[:, None, :] - cl_[None]).sum(-1, dtype=jnp.int32)
-            seg = dist.reshape(128, nseg, 128)
-            nd, ni = jax.lax.top_k(-seg, _AD_CAP)
-            return nd.reshape(128, nseg * _AD_CAP)
-
-        return jax.lax.map(per_chunk, cb_.reshape(-1, 128, cb_.shape[-1]))
-
-    sync(stripe192_topk(cb, cl))
-    t_stripek = diff_time(lambda: stripe192_topk(cb, cl))
-    log(f"D2. D=192 stripe + seg top_k({_AD_CAP}): {t_stripek:.3f} s")
-
-    # B: rescore
     vals, cols, s_min = _ad_coarse_jit(
         bf, lf, d=d, g=g, chan=True, bc=128, cap=_AD_CAP, real_l=l
     )
     sync(vals)
 
-    def rescore():
-        dd, rr, ok = _ad_rescore_jit(
-            bf, vals, cols, s_min, lf, perm_pad,
-            d=d, bc=64, m=_AD_M, k=k, real_l=l,
-        )
-        return dd
+    # B0: the raw DMA row-distance kernel at flagship shape
+    m = _AD_M
+    cand = jax.random.randint(
+        jax.random.PRNGKey(5), (b, m), 0, l, dtype=jnp.int32
+    )
+    sync(cand)
+    mc = _rows_dma_mc(m, d)
+    log(f"mc = {mc}")
 
-    sync(rescore())
-    t_rescore = diff_time(rescore)
-    log(f"B. _ad_rescore_jit (m={_AD_M}): {t_rescore:.3f} s")
+    def rows_dma():
+        return _l1_rows_dma(blocks, cand, libp, mc=mc)
+
+    sync(rows_dma())
+    t_rows = diff_time(rows_dma)
     log(
-        f"sum A+B = {t_coarse + t_rescore:.3f} s "
-        f"(bench measured 3.66 s end-to-end incl host gaps)"
+        f"B0. _l1_rows_dma [{b}x{m}] rows of {d}B: {t_rows:.3f} s "
+        f"({t_rows / (b * m) * 1e9:.1f} ns/row)"
     )
 
-    # E: composite + match re-check (bench phases, small repetition)
-    del vals, cols, s_min, cl, cb, lib, libp, blocks, tex, bn
+    # B: full rescore, DMA vs gather
+    for use_dma in (True, False):
+        def rescore():
+            dd, rr, ok = _ad_rescore_jit(
+                bf, vals, cols, s_min, lf,
+                d=d, bc=64, m=m, k=k, real_l=l, use_dma=use_dma,
+            )
+            return dd
+
+        sync(rescore())
+        t_rescore = diff_time(rescore)
+        log(f"B. _ad_rescore_jit use_dma={use_dma}: {t_rescore:.3f} s")
+        if use_dma:
+            t_dma_rescore = t_rescore
+
+    # certification check on this data
+    dd, rr, ok = _ad_rescore_jit(
+        bf, vals, cols, s_min, lf, d=d, bc=64, m=m, k=k, real_l=l,
+        use_dma=True,
+    )
+    cert = int(np.asarray(jax.device_get(ok)).sum())
+    log(f"certified: {cert}/{b}")
+    log(f"adaptive total (A + B_dma): {t_coarse + t_dma_rescore:.3f} s")
+
+    # E: composite band variance probe — 3 independent timings
+    del vals, cols, s_min, lib, libp, blocks, tex, bn, cand, dd, rr, ok
     import importlib
 
     bench = importlib.import_module("bench")
@@ -161,9 +143,6 @@ def main():
     sync(aug3)
     items = bench.match_phase(tiles3, src_packed)
     sync(items)
-    t_match = diff_time(lambda: bench.match_phase(tiles3, src_packed))
-    log(f"E. match phase: {t_match*1e3:.1f} ms")
-    sync(bench._compose_band(items[:32], aug3))
 
     def bands():
         out = None
@@ -173,8 +152,9 @@ def main():
         return out
 
     sync(bands())
-    t_band = diff_time(bands) / 4
-    log(f"E. composite band: {t_band*1e3:.2f} ms ({128*t_band+t_match:.3f} s total)")
+    for rep in range(3):
+        t_band = diff_time(bands) / 4
+        log(f"E. composite band (probe {rep}): {t_band*1e3:.2f} ms")
     log("done")
 
 
