@@ -140,3 +140,32 @@ def test_preprocess_rounding():
     out = preprocess_source(img2, 1, 4)
     # 99 % 4 = 3 > 2 -> 100
     assert out.shape == (64, 100, 3)
+
+
+def test_matcher_hybrid_and_l2_produce_valid_output(scene):
+    """--matcher hybrid and --metric l2 are performance additions; at
+    small scale the hybrid candidate set covers the library, so output
+    must equal the exact default."""
+    a, b, c = scene / "a.png", scene / "b.png", scene / "c.png"
+    common = ["-s", "8", str(scene / "src.png"), "mosaic", str(scene / "tiles"), "-m", "2"]
+    assert main(["-o", str(a)] + common) == 0
+    assert main(["-o", str(b)] + common + ["--matcher", "hybrid"]) == 0
+    assert main(["-o", str(c)] + common + ["--metric", "l2"]) == 0
+    ia = np.asarray(Image.open(a).convert("RGB"))
+    ib = np.asarray(Image.open(b).convert("RGB"))
+    ic = np.asarray(Image.open(c).convert("RGB"))
+    assert (ia == ib).all()  # small library -> hybrid routes to exact
+    assert ic.shape == ia.shape  # l2 picks may differ; shape contract only
+
+
+def test_matcher_hybrid_no_repeat(scene):
+    # downsample so blocks (<= 12) fit the 2*12-tile no-repeat bound
+    out = scene / "hnr.png"
+    rc = main(
+        ["-s", "8", "-o", str(out), str(scene / "src.png"),
+         "mosaic", str(scene / "tiles"), "-m", "2", "--no-repeat",
+         "--matcher", "hybrid", "--downsample", "2"]
+    )
+    assert rc == 0
+    im = Image.open(out)
+    assert im.format == "PNG" and im.size[0] > 0
