@@ -537,3 +537,32 @@ def test_l1_topk_adaptive_small_cases_route_to_twolevel(rng):
     d_a, r_a = l1_topk_adaptive(blocks, lib, 110)
     np.testing.assert_array_equal(d_a, np.asarray(d_o))
     np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+def test_l1_topk_routes_large_through_adaptive(rng, monkeypatch):
+    """Above the matrix budget l1_topk routes through the adaptive
+    certified scorer; results must stay bit-identical to the oracle."""
+    from emosaic_tpu.ops import distance
+
+    lib = rng.integers(0, 256, size=(900, 48), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(33, 48), dtype=np.uint8)
+    d_ref, r_ref = distance.l1_topk_stripes(blocks, lib, 7)
+    monkeypatch.setattr(distance, "_TOPK_MATRIX_BUDGET", 100)
+    d_a, r_a = distance.l1_topk(blocks, lib, 7)
+    np.testing.assert_array_equal(d_a, np.asarray(d_ref))
+    np.testing.assert_array_equal(r_a, np.asarray(r_ref))
+
+
+def test_adaptive_k1_argmin_tie_break(rng):
+    """The k=1 adaptive route (repeat-mode argmin at scale) must keep the
+    lowest-row tie-break even with duplicated library rows."""
+    from emosaic_tpu.ops.distance import l1_argmin_xla, l1_topk_adaptive
+
+    base = rng.integers(0, 256, size=(1500, 48), dtype=np.uint8)
+    lib = base.copy()
+    lib[1200:1250] = lib[100:150]  # exact duplicates -> ties
+    blocks = lib[rng.integers(0, 1500, size=40)]
+    da, ra = l1_topk_adaptive(blocks, lib, 1, m=32, cap=4)
+    dx, rx = l1_argmin_xla(blocks, lib)
+    np.testing.assert_array_equal(da[:, 0], np.asarray(dx))
+    np.testing.assert_array_equal(ra[:, 0], np.asarray(rx))
