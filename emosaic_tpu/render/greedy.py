@@ -165,10 +165,16 @@ def greedy_global_assign(
     return chosen_row, chosen_dist
 
 
-def make_numpy_refill(blocks: np.ndarray, lib: np.ndarray, k: int = 10) -> RefillFn:
-    """Exact masked re-query on host (refills are rare and tiny).
+def make_numpy_refill(blocks: np.ndarray, lib: np.ndarray, k: int = 256) -> RefillFn:
+    """Exact masked re-query on host.
 
     blocks: [B, D] uint8 queries; lib: [L, D] uint8 library.
+
+    The batch size k is a pure perf knob (the reference re-fetches 10,
+    rendering.rs:383-385): extras pass through the same used-row check at
+    pop time, so the consumed candidate sequence — and therefore the
+    assignment — is identical for any k. Larger batches amortize the
+    masked scan under cluster contention (see native/emosaic_native.cpp).
     """
     lib_i = lib.astype(np.int32)
 

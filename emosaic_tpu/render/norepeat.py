@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import numpy as np
 
@@ -75,6 +76,7 @@ def render_nto1_no_repeat(
     num_tiles = len(tile_set)
     b, l = blocks.shape[0], lib.shape[0]
 
+    t0 = time.perf_counter()
     if mesh is not None:
         # multi-chip scoring: blocks shard over "data", library over
         # "model", per-shard top-k lists merged over ICI — bit-identical
@@ -108,13 +110,16 @@ def render_nto1_no_repeat(
         k = min(_TRUNCATED_K, l)
         cd, cr = l1_topk_adaptive(blocks, lib, k)
         cd, cr = np.asarray(cd), np.asarray(cr)
+    log(f"   scoring ({scorer}): {time.perf_counter() - t0:.2f}s")
     from emosaic_tpu import native
 
+    t0 = time.perf_counter()
     if native.available():
         rows, dists = native.greedy_global(cd, cr, blocks, lib, num_tiles)
     else:
         refill = make_numpy_refill(blocks, lib)
         rows, dists = greedy_global_assign(cd, cr, l, num_tiles, refill)
+    log(f"   assignment: {time.perf_counter() - t0:.2f}s")
 
     items = np.asarray(rows_to_items(rows, num_tiles))
     items = np.where(rows < 0, 0, items)
@@ -131,9 +136,11 @@ def render_nto1_no_repeat(
 
     image = None
     if compose:
+        t0 = time.perf_counter()
         if stack is None:
             stack = tile_set.image_stack(tile_size)
         image = np.asarray(compose_mosaic(items_grid, stack))
+        log(f"   compose: {time.perf_counter() - t0:.2f}s")
     return RenderOutcome(
         image=image, stats=stats, tile_set=tile_set, items=items_grid
     )
