@@ -70,3 +70,34 @@ def test_trim_bounds_matches_python(rng):
     allwhite = np.full((8, 8, 3), 255, dtype=np.uint8)
     with pytest.raises(ValueError):
         native.trim_bounds(allwhite)
+
+
+@pytest.mark.parametrize("d", [96, 37])  # SIMD main loop only / odd tail
+def test_greedy_global_clustered_contention(rng, d):
+    """Heavy cluster contention drives the refill path hard (SIMD L1 +
+    coarse sum-bound with strict tie handling); native must stay
+    bit-identical to the Python engine, including with duplicated rows."""
+    t, b, k = 120, 200, 6
+    centers = rng.integers(0, 256, size=(5, d))
+    pal = np.clip(
+        centers[rng.integers(0, 5, t)] + rng.normal(0, 6, (t, d)), 0, 255
+    ).astype(np.uint8)
+    pal[50] = pal[10]  # exact duplicates -> (dist, row) ties in refills
+    pal[90] = pal[10]
+    lib = np.concatenate([pal, pal[:, ::-1]])
+    blocks = np.clip(
+        pal[rng.integers(0, t, b)] + rng.normal(0, 4, (b, d)), 0, 255
+    ).astype(np.uint8)
+    dist = np.abs(
+        blocks.astype(np.int32)[:, None, :] - lib.astype(np.int32)[None, :, :]
+    ).sum(2, dtype=np.int32)
+    order = np.argsort(dist, axis=1, kind="stable")
+    cr = order[:, :k].astype(np.int32)
+    cd = np.take_along_axis(dist, cr, axis=1).astype(np.int32)
+    refill = make_numpy_refill(blocks, lib)
+    r_py, d_py = greedy_global_assign(cd, cr, 2 * t, t, refill)
+    r_c, d_c = native.greedy_global(cd, cr, blocks, lib, t)
+    assert (r_c == r_py).all()
+    assert (d_c == d_py).all()
+    assigned = r_c[r_c >= 0]
+    assert len(np.unique(assigned)) == len(assigned)  # no repeats
