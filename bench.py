@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from emosaic_tpu.ops.composite import _compose_rows_2d
-from emosaic_tpu.ops.lut import _build_l1_lut_jit
+from emosaic_tpu.ops.lut import _build_l1_lut_jit, _lut_match_packed_jit
 
 _T0 = time.time()
 
@@ -69,15 +69,12 @@ def match_phase(tiles3, src_packed):
     # flip of a 1x1 palette is the identity; the library is [pal; pal]
     lib = jnp.concatenate([pal, pal], axis=0)
     lut = _build_l1_lut_jit(lib.astype(jnp.int32))
-    # 8-wide row gather + fused lane select: the gather engine is
-    # per-index bound, so one 32B row fetch per query beats one element
-    # fetch (144 -> 84 ms, tools/tpu_r2_experiments2.py)
-    idx = src_packed.reshape(-1)
-    rows8 = lut.reshape(-1, 8)[idx >> 3]
-    lane = (idx & 7)[:, None]
-    j = jnp.arange(8, dtype=jnp.int32)[None, :]
-    key = jnp.where(j == lane, rows8, 0).sum(axis=1, dtype=jnp.int32)
-    rows = key & ((1 << 21) - 1)
+    # the production packed-LUT match (ops/lut.py): 8-wide row gather +
+    # fused lane select — the gather engine is per-index bound, so one
+    # 32B row fetch per query beats one element fetch (144 -> 84 ms,
+    # tools/tpu_r2_experiments2.py). Reused here so the benchmark always
+    # measures exactly what the CLI ships.
+    _, rows = _lut_match_packed_jit(src_packed.reshape(-1), lut)
     items = jnp.where(rows < NUM_TILES, rows + 1, -(rows - NUM_TILES + 1))
     return items.astype(jnp.int32).reshape(SRC, SRC)
 

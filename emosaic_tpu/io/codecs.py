@@ -171,6 +171,11 @@ class StreamingPNGWriter:
         prev = self._prev_row
         self._prev_row = rows[-1].copy() if self._ftype == 2 else None
         if self._pool is not None:
+            if rows.base is not None:
+                # never hand a view of the caller's band to a worker: the
+                # caller may legally reuse its buffer once write_band
+                # returns, while the thread compresses later
+                rows = rows.copy()
             fut = self._pool.submit(
                 _compress_segment, rows, prev, self._level, self._ftype
             )
@@ -229,6 +234,9 @@ class StreamingPNGWriter:
         self._buf.append(band.reshape(band.shape[0], self._rowbytes))
         self._buf_rows += band.shape[0]
         self._flush_buffer(final=False)
+        # rows retained past this call must not alias the caller's band
+        # (callers may reuse their buffer between write_band calls)
+        self._buf = [a if a.base is None else a.copy() for a in self._buf]
 
     def close(self) -> None:
         if self._f.closed:

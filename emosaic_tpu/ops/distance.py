@@ -12,8 +12,10 @@ with the Manhattan metric, rendering.rs:7) with dense batched device search:
   correctness oracle and the fallback for very high N modes.
 - `l1_argmin`: VMEM-tiled Pallas kernel (grid over block-tiles x lib-tiles,
   per-tile running argmin folded on host side over the small lib-tile axis).
-- `l1_topk`: chunked running top-k for `--randomize` (rendering.rs:168-185)
-  and no-repeat candidate lists (rendering.rs:307-321).
+- `l1_topk`: exact top-k candidate lists for `--randomize`
+  (rendering.rs:168-185) and no-repeat scoring (rendering.rs:307-321) —
+  dense matrix + host argpartition at small B*L, certified adaptive /
+  two-level device scorers at scale.
 
 Distances are exact int32 (the reference matches on integer FixedU32<U0>
 coordinates, tiles.rs:9). Tie-breaking is defined as *lowest library row
@@ -462,12 +464,7 @@ def l1_topk_stripes(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
     )
     out_d = np.asarray(jax.device_get(dists))[:b]
     out_r = np.asarray(jax.device_get(rows))[:b]
-    if kk < k:
-        out_d = np.concatenate(
-            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
-        )
-        out_r = np.concatenate([out_r, np.zeros((b, k - kk), np.int32)], axis=1)
-    return out_d, out_r
+    return _pad_topk(out_d, out_r, b, k, kk)
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +568,11 @@ def l1_topk_hybrid(
         return l1_topk_stripes(blocks, lib, k)  # small library: exact
     kp = min(k_pre or max(2 * k, 64), l)
     kk = min(k, kp)
-    bc = max(8, min(1024, (2**26) // max(1, l * 4)))
+    # power-of-two chunk so the rescore chunk bc2 (also a power of two)
+    # always divides the padded block count — an arbitrary bc makes
+    # _l1_rescore_jit's reshape(nb, bc2, ...) fail for most library sizes
+    raw = (2**26) // max(1, l * 4)
+    bc = max(8, min(1024, 1 << (max(1, raw).bit_length() - 1)))
     bp = -(-b // bc) * bc
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
     cand = _mxu_prefilter_jit(
@@ -581,7 +582,7 @@ def l1_topk_hybrid(
         bc=bc,
         k_pre=kp,
     )
-    bc2 = max(8, min(256, bp))
+    bc2 = min(256, bc)
     dists, rows = _l1_rescore_jit(
         jnp.asarray(blocks_p.reshape(-1)),
         cand,
@@ -594,12 +595,7 @@ def l1_topk_hybrid(
     )
     out_d = np.asarray(jax.device_get(dists))[:b]
     out_r = np.asarray(jax.device_get(rows))[:b]
-    if kk < k:
-        out_d = np.concatenate(
-            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
-        )
-        out_r = np.concatenate([out_r, np.zeros((b, k - kk), np.int32)], axis=1)
-    return out_d, out_r
+    return _pad_topk(out_d, out_r, b, k, kk)
 
 
 def l1_argmin_hybrid(blocks, lib, *, k_pre: int = 64):
@@ -722,55 +718,40 @@ def l2_argmin(blocks, lib) -> tuple[jax.Array, jax.Array]:
 
 
 # ---------------------------------------------------------------------------
-# Chunked running top-k (for --randomize and no-repeat candidate lists)
+# Top-k dispatch (for --randomize and no-repeat candidate lists).
+# The old chunked running-scan kernel was deleted after being superseded
+# end-to-end: dense matrix + host argpartition below the matrix budget,
+# the adaptive/two-level certified scorers above it (both 20x+ faster at
+# scale than the running scan, tools/tpu_r2_experiments.py B1).
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("d", "k", "bc", "lc", "real_l"))
-def _l1_topk_jit(blocks_flat, lib_flat, *, d: int, k: int, bc: int, lc: int, real_l: int):
-    blocks = blocks_flat.reshape(-1, d)
-    lib = lib_flat.reshape(-1, d)
-    bp = blocks.shape[0]
-    lp = lib.shape[0]
-    nl = lp // lc
-    lib_chunks = lib.reshape(nl, lc, d)
-
-    def per_block_chunk(bchunk):
-        bi = bchunk.astype(jnp.int32)
-
-        def scan_lib(carry, inp):
-            top_d, top_r = carry  # [bc, k]
-            offset, lchunk = inp
-            li = lchunk.astype(jnp.int32)
-            dist = jnp.abs(bi[:, None, :] - li[None, :, :]).sum(
-                axis=-1, dtype=jnp.int32
-            )
-            col = offset + jnp.arange(lc, dtype=jnp.int32)[None, :]
-            dist = jnp.where(col < real_l, dist, I32_MAX)
-            cand_d = jnp.concatenate([top_d, dist], axis=1)
-            cand_r = jnp.concatenate(
-                [top_r, jnp.broadcast_to(col, dist.shape)], axis=1
-            )
-            neg, idx = jax.lax.top_k(-cand_d, k)
-            return (-neg, jnp.take_along_axis(cand_r, idx, axis=1)), None
-
-        init = (
-            jnp.full((bc, k), I32_MAX, dtype=jnp.int32),
-            jnp.zeros((bc, k), dtype=jnp.int32),
+def _pad_topk(out_d, out_r, b: int, k: int, kk: int):
+    """Shared top-k padding convention: when k exceeds the available rows
+    (kk), trailing entries carry I32_MAX distances and row 0."""
+    if kk < k:
+        out_d = np.concatenate(
+            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
         )
-        offsets = jnp.arange(nl, dtype=jnp.int32) * lc
-        (top_d, top_r), _ = jax.lax.scan(scan_lib, init, (offsets, lib_chunks))
-        return top_d, top_r
-
-    nb = bp // bc
-    dists, rows = jax.lax.map(
-        per_block_chunk, blocks.reshape(nb, bc, d)
-    )
-    return dists.reshape(bp, k), rows.reshape(bp, k)
+        out_r = np.concatenate(
+            [out_r, np.zeros((b, k - kk), np.int32)], axis=1
+        )
+    return out_d, out_r
 
 
-#: below this many distance-matrix entries, computing the dense [B, L]
-#: matrix + a host partial sort beats the device running-top-k scan
+def _stripe_fallback(out_d, out_r, bad, blocks, lib, kk: int):
+    """Shared uncertified-row fallback: exact stripe recompute for `bad`
+    rows, merged into (copies of) the outputs."""
+    if bad.size:
+        out_d = out_d.copy()  # device_get buffers are read-only
+        out_r = out_r.copy()
+        fd, fr = l1_topk_stripes(blocks[bad], lib, kk)
+        out_d[bad] = fd
+        out_r[bad] = fr
+    return out_d, out_r
+
+
+#: dense-matrix + host-argpartition path while B * L stays under this
 _TOPK_MATRIX_BUDGET = 2 * 10**8
 
 
@@ -810,36 +791,8 @@ def l1_topk(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
     order = np.argsort(pk, axis=1)
     out_r = np.take_along_axis(part, order, axis=1).astype(np.int32)
     out_d = (np.take_along_axis(pk, order, axis=1) // l).astype(np.int32)
-    if kk < k:
-        pad_d = np.full((b, k - kk), I32_MAX, dtype=np.int32)
-        pad_r = np.zeros((b, k - kk), dtype=np.int32)
-        out_d = np.concatenate([out_d, pad_d], axis=1)
-        out_r = np.concatenate([out_r, pad_r], axis=1)
-    return out_d, out_r
+    return _pad_topk(out_d, out_r, b, k, kk)
 
-
-def _l1_topk_scan(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Chunked device running top-k (memory-safe for any B/L)."""
-    blocks = np.asarray(blocks, dtype=np.uint8)
-    lib = np.asarray(lib, dtype=np.uint8)
-    b, d = blocks.shape
-    l = lib.shape[0]
-    bc, lc = _chunk_sizes(d, vmem_budget=32 * 2**20)
-    bc = min(bc, max(8, 1 << (b - 1).bit_length()))
-    bp = -(-b // bc) * bc
-    lp = -(-l // lc) * lc
-    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
-    lib_p = np.pad(lib, ((0, lp - l), (0, 0)))
-    dists, rows = _l1_topk_jit(
-        jnp.asarray(blocks_p.reshape(-1)),
-        jnp.asarray(lib_p.reshape(-1)),
-        d=d,
-        k=k,
-        bc=bc,
-        lc=lc,
-        real_l=l,
-    )
-    return np.asarray(dists)[:b], np.asarray(rows)[:b]
 
 # ---------------------------------------------------------------------------
 # Two-level exact top-k (fast no-repeat scoring at production scale)
@@ -945,18 +898,8 @@ def l1_topk_twolevel(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
     out_d = np.asarray(jax.device_get(dists))[:b]
     out_r = np.asarray(jax.device_get(rows))[:b]
     bad = np.flatnonzero(~np.asarray(jax.device_get(ok))[:b])
-    if bad.size:
-        out_d = out_d.copy()  # device_get buffers are read-only
-        out_r = out_r.copy()
-        fd, fr = l1_topk_stripes(blocks[bad], lib, kk)
-        out_d[bad] = fd
-        out_r[bad] = fr
-    if kk < k:
-        out_d = np.concatenate(
-            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
-        )
-        out_r = np.concatenate([out_r, np.zeros((b, k - kk), np.int32)], axis=1)
-    return out_d, out_r
+    out_d, out_r = _stripe_fallback(out_d, out_r, bad, blocks, lib, kk)
+    return _pad_topk(out_d, out_r, b, k, kk)
 
 
 # ---------------------------------------------------------------------------
@@ -1326,15 +1269,5 @@ def l1_topk_adaptive(
     out_d = np.asarray(jax.device_get(dists))[:b]
     out_r = np.asarray(jax.device_get(rows))[:b]
     bad = np.flatnonzero(~np.asarray(jax.device_get(ok))[:b])
-    if bad.size:
-        out_d = out_d.copy()
-        out_r = out_r.copy()
-        fd, fr = l1_topk_stripes(blocks[bad], lib, kk)
-        out_d[bad] = fd
-        out_r[bad] = fr
-    if kk < k:
-        out_d = np.concatenate(
-            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
-        )
-        out_r = np.concatenate([out_r, np.zeros((b, k - kk), np.int32)], axis=1)
-    return out_d, out_r
+    out_d, out_r = _stripe_fallback(out_d, out_r, bad, blocks, lib, kk)
+    return _pad_topk(out_d, out_r, b, k, kk)

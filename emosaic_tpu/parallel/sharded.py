@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from emosaic_tpu.ops.analysis import _analyse_batch_jit
-from emosaic_tpu.ops.distance import I32_MAX
+from emosaic_tpu.ops.distance import I32_MAX, _pad_topk
 
 
 def _pad_rows_with_first(x: jax.Array, multiple: int) -> jax.Array:
@@ -291,12 +291,7 @@ def sharded_l1_topk(
     dist, rows = run(blocks_p, lib_p)
     out_d = np.asarray(jax.device_get(dist))[:b]
     out_r = np.asarray(jax.device_get(rows))[:b]
-    if kk < k:
-        out_d = np.concatenate(
-            [out_d, np.full((b, k - kk), I32_MAX, np.int32)], axis=1
-        )
-        out_r = np.concatenate([out_r, np.zeros((b, k - kk), np.int32)], axis=1)
-    return out_d, out_r
+    return _pad_topk(out_d, out_r, b, k, kk)
 
 
 def sharded_mosaic_step(

@@ -77,7 +77,19 @@ def render_nto1_no_repeat(
     b, l = blocks.shape[0], lib.shape[0]
 
     t0 = time.perf_counter()
-    if mesh is not None:
+    if scorer == "hybrid" and b * l > _EXACT_BUDGET:
+        # NOTE: precedence matches render/matched.py — an explicit
+        # `--matcher hybrid` wins over `--mesh` (the mesh applies to the
+        # exact scorers only; --mesh help documents this)
+        scorer_used = "hybrid"
+    elif mesh is not None:
+        scorer_used = "sharded-exact"
+    elif b * l <= _EXACT_BUDGET:
+        scorer_used = "exact-full"
+    else:
+        scorer_used = "adaptive-exact"
+
+    if scorer_used == "sharded-exact":
         # multi-chip scoring: blocks shard over "data", library over
         # "model", per-shard top-k lists merged over ICI — bit-identical
         # candidate lists (tests/test_sharding.py). Truncation to K does
@@ -87,14 +99,14 @@ def render_nto1_no_repeat(
 
         k = min(_TRUNCATED_K, l)
         cd, cr = sharded_l1_topk(blocks, lib, k, mesh)
-    elif scorer == "hybrid" and b * l > _EXACT_BUDGET:
+    elif scorer_used == "hybrid":
         # MXU L2-prefilter + exact-L1 rescore (approximate candidate set,
         # exact distances; ~3.5x faster scoring at flagship scale — see
         # ops/distance.py hybrid section). Assignment still refills
         # exactly, so only candidate-set membership is approximate.
         k = min(_TRUNCATED_K, l)
         cd, cr = l1_topk_hybrid(blocks, lib, k, k_pre=min(2 * k, l))
-    elif b * l <= _EXACT_BUDGET:
+    elif scorer_used == "exact-full":
         # exact mode: the full sorted candidate list per block (what the
         # reference's 100k-NN fetch amounts to under its tile cap) — dense
         # matrix on device, stable argsort on host (a running device top-k
@@ -110,7 +122,7 @@ def render_nto1_no_repeat(
         k = min(_TRUNCATED_K, l)
         cd, cr = l1_topk_adaptive(blocks, lib, k)
         cd, cr = np.asarray(cd), np.asarray(cr)
-    log(f"   scoring ({scorer}): {time.perf_counter() - t0:.2f}s")
+    log(f"   scoring ({scorer_used}): {time.perf_counter() - t0:.2f}s")
     from emosaic_tpu import native
 
     t0 = time.perf_counter()

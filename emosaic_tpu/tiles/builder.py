@@ -7,6 +7,7 @@ on device (`ops.analysis.analyse_batch`) instead of per-tile scalar loops.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 from pathlib import Path
@@ -28,22 +29,46 @@ from emosaic_tpu.tiles.tileset import TileSet
 _ANALYSE_BATCH_BYTES = 256 * 2**20
 
 
-def _prep_pool():
-    """Process pool for CPU-bound tile prep (the reference parallelizes
-    this with rayon, main.rs:760-766). Spawn context: workers import only
-    the jax-free prep module, never touching the parent's TPU client.
-    Returns None on single-core hosts (pool overhead loses there)."""
-    workers = int(os.environ.get("EMOSAIC_PREP_WORKERS", "0")) or (
-        os.cpu_count() or 1
+def _prep_workers() -> int:
+    """Worker count for CPU-bound tile prep (the reference parallelizes
+    this with rayon, main.rs:760-766). Capped: prep saturates disk/JPEG
+    decode well before 32 processes, and each spawn pays a fresh
+    interpreter. 0/1 disables the pool (single-core hosts lose to pool
+    overhead)."""
+    return int(os.environ.get("EMOSAIC_PREP_WORKERS", "0")) or min(
+        16, os.cpu_count() or 1
     )
-    if workers <= 1:
-        return None
+
+
+@contextlib.contextmanager
+def _prep_pool(workers: int):
+    """Spawn-context process pool whose workers stay jax-free.
+
+    Spawn workers re-import the `emosaic_tpu` package to unpickle
+    `prep_worker`, and the package __init__ imports jax for the
+    compilation-cache setup. Spawned children inherit the parent's
+    *current* environment, so EMOSAIC_NO_COMPILE_CACHE=1 (honored by
+    __init__) and JAX_PLATFORMS=cpu are set for the pool's lifetime —
+    workers never import jax or touch the parent's TPU client; prep
+    itself is PIL/numpy only."""
     import concurrent.futures
     import multiprocessing
 
-    return concurrent.futures.ProcessPoolExecutor(
-        max_workers=workers, mp_context=multiprocessing.get_context("spawn")
-    )
+    guard = {"EMOSAIC_NO_COMPILE_CACHE": "1", "JAX_PLATFORMS": "cpu"}
+    saved = {k: os.environ.get(k) for k in guard}
+    os.environ.update(guard)
+    try:
+        with concurrent.futures.ProcessPoolExecutor(
+            max_workers=workers,
+            mp_context=multiprocessing.get_context("spawn"),
+        ) as pool:
+            yield pool
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def generate_tile_set(
@@ -96,13 +121,13 @@ def generate_tile_set(
         if progress is not None:
             progress(i + 1, len(image_paths))
 
-    pool = _prep_pool()
-    if pool is None:
+    workers = _prep_workers()
+    if workers <= 1:
         for i, path in enumerate(image_paths):
             p, img, date, err = prep_worker((path, tile_size, crop))
             consume(i, p, img, date, err)
     else:
-        with pool:
+        with _prep_pool(workers) as pool:
             # map preserves discovery order (1-based idx, main.rs:786-794);
             # chunksize bounds pickling overhead for large libraries
             results = pool.map(

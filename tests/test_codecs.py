@@ -56,6 +56,24 @@ def test_output_bytes_deterministic_across_workers_and_bands(tmp_path, rng):
     assert all(o == outs[0] for o in outs[1:])
 
 
+@pytest.mark.parametrize("workers", [1, 4])
+def test_caller_may_reuse_band_buffer(tmp_path, rng, workers):
+    """The writer must not keep views of the caller's band: a caller that
+    refills one preallocated buffer per band must still get the exact
+    pixels it wrote at each call."""
+    h, w, bh = 64, 333, 8
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    path = tmp_path / f"reuse_{workers}.png"
+    buf = np.empty((bh, w, 3), np.uint8)
+    with StreamingPNGWriter(path, w, h, workers=workers) as wtr:
+        for y in range(0, h, bh):
+            buf[:] = img[y : y + bh]
+            wtr.write_band(buf)
+            buf[:] = 0xEE  # clobber immediately after the call returns
+    back = np.asarray(Image.open(path).convert("RGB"))
+    assert (back == img).all()
+
+
 def test_adler32_combine_matches_zlib(rng):
     import zlib
 

@@ -281,8 +281,9 @@ def test_compose_host_row_chunking(rng, monkeypatch):
     assert (chunked[3 * ts : 4 * ts, :ts] == 0).all()  # item 0 -> black
 
 
-def test_l1_topk_scan_path_matches_matrix(rng, monkeypatch):
-    # force the chunked device scan and check against the matrix path
+def test_l1_topk_above_budget_matches_matrix(rng, monkeypatch):
+    # force the above-budget route (adaptive/two-level dispatch) and check
+    # it against the dense matrix path
     from emosaic_tpu.ops import distance as dist_mod
 
     pal = rng.integers(0, 256, size=(30, 4, 3), dtype=np.uint8)
@@ -566,3 +567,19 @@ def test_adaptive_k1_argmin_tie_break(rng):
     dx, rx = l1_argmin_xla(blocks, lib)
     np.testing.assert_array_equal(da[:, 0], np.asarray(dx))
     np.testing.assert_array_equal(ra[:, 0], np.asarray(rx))
+
+
+@pytest.mark.parametrize("l", [17000, 20000])
+def test_l1_topk_hybrid_arbitrary_library_sizes(rng, l):
+    """Regression: non-power-of-two prefilter chunks (l just above 16384)
+    crashed the rescore reshape; the chunk is now a power of two."""
+    from emosaic_tpu.ops.distance import l1_topk_hybrid
+
+    lib = rng.integers(0, 256, size=(l, 12), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(9, 12), dtype=np.uint8)
+    d, r = l1_topk_hybrid(blocks, lib, 2)
+    ref = np.abs(
+        blocks.astype(np.int64) - lib[r[:, 0]].astype(np.int64)
+    ).sum(-1)
+    assert (d[:, 0] == ref).all()
+    assert (d[:, 0] <= d[:, 1]).all()
