@@ -1230,12 +1230,20 @@ def l1_topk_adaptive(
     kk = min(k, l)
     lp = -(-l // _TL_SEG) * _TL_SEG
     nseg = lp // _TL_SEG
+    use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
+    dma_ok = use_dma and d % 1024 == 0
     if (
         g is None
         or b == 0
         or kk > m // 2
         or m + 1 > nseg * cap
         or l <= 2 * m
+        # without the DMA shortlist kernel the rescore is an XLA row
+        # gather (~87 ns/row, D-independent per index): at production
+        # scale and mid/high D that loses to the direct two-level scorer
+        # (e.g. mode 16, D=768) — small shapes keep exercising the
+        # adaptive path (CI parity on the gather route)
+        or (not dma_ok and d > 256 and b * l > 10**7)
     ):
         return l1_topk_twolevel(blocks, lib, k)
     lib_pad = np.zeros((lp, d), np.uint8)
@@ -1246,7 +1254,6 @@ def l1_topk_adaptive(
     bf = jnp.asarray(blocks_p.reshape(-1))
     lf = jnp.asarray(lib_pad.reshape(-1))
     bc2 = max(8, min(64, bp))
-    use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
 
     def run(flat_blocks):
         vals, cols, s_min = _ad_coarse_jit(
