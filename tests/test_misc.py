@@ -48,3 +48,30 @@ def test_make_mesh():
 def test_main_module_entry(tmp_path, monkeypatch):
     # `python -m emosaic_tpu` surface exists
     import emosaic_tpu.__main__  # noqa: F401
+
+
+def test_profile_flag_writes_trace(tmp_path, monkeypatch, rng):
+    """--profile DIR captures a jax.profiler trace of the run."""
+    import numpy as np
+    from PIL import Image
+
+    from emosaic_tpu.cli import main
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    monkeypatch.chdir(tmp_path)
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tiles / f"t{i}.jpg", quality=95)
+    src = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    Image.fromarray(src).save(tmp_path / "s.png")
+    prof = tmp_path / "prof"
+    rc = main(
+        ["-s", "8", "-o", str(tmp_path / "o.png"), "--profile", str(prof),
+         str(tmp_path / "s.png"), "mosaic", str(tiles), "-m", "1"]
+    )
+    assert rc == 0
+    # jax.profiler writes plugins/profile/<ts>/*.trace.json.gz (or .pb)
+    traces = list(prof.rglob("*"))
+    assert any(p.is_file() for p in traces), traces
