@@ -16,7 +16,7 @@ import numpy as np
 
 from emosaic_tpu.errors import ImageError
 from emosaic_tpu.io.discovery import find_images
-from emosaic_tpu.io.prep import prep_worker, prepare_tile_with_date
+from emosaic_tpu.io.prep import prep_worker
 from emosaic_tpu.ops.analysis import analyse_batch
 from emosaic_tpu.tiles.cache import (
     analysis_cache_path,
