@@ -583,3 +583,61 @@ def test_l1_topk_hybrid_arbitrary_library_sizes(rng, l):
     ).sum(-1)
     assert (d[:, 0] == ref).all()
     assert (d[:, 0] <= d[:, 1]).all()
+
+
+def test_l1_topk_adaptive_stride_aligned_cluster_stays_exact(rng):
+    """Adversarial layout for the STRIDED segmentation: a tight cluster
+    placed at exactly the segment stride lands entirely in ONE segment,
+    overflowing its cap — the per-row certificate must detect it and the
+    fallback keep results bit-exact."""
+    from emosaic_tpu.ops.distance import _TL_SEG, l1_topk_adaptive
+
+    d, cap, m, k = 48, 4, 32, 8
+    l = 4 * _TL_SEG * 4  # lp = l, nseg = l // _TL_SEG... stride = nseg
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    lp = -(-l // _TL_SEG) * _TL_SEG
+    nseg = lp // _TL_SEG
+    q = rng.integers(0, 256, size=(1, d), dtype=np.uint8)
+    # 12 near-duplicates of q at rows {7, 7+nseg, 7+2*nseg, ...}:
+    # all map to segment 7 under col = k*nseg + s
+    for i in range(12):
+        r = 7 + i * nseg
+        lib[r] = np.clip(q[0].astype(np.int32) + (i % 3) - 1, 0, 255)
+    blocks = np.vstack([q, rng.integers(0, 256, size=(7, d), dtype=np.uint8)])
+    d_a, r_a = l1_topk_adaptive(blocks, lib, k, m=m, cap=cap)
+    d_o, r_o = l1_topk(blocks, lib, k)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+@pytest.mark.parametrize(
+    "seed,dist_kind,b,l,d,k,m,cap",
+    [
+        (0, "clustered", 24, 900, 48, 8, 32, 4),
+        (1, "uniform", 16, 700, 12, 5, 16, 4),
+        (2, "clustered", 9, 1200, 96, 16, 48, 4),
+        (3, "dupes", 20, 800, 24, 24, 64, 8),  # k at m boundary regions
+    ],
+)
+def test_l1_topk_adaptive_fuzz(seed, dist_kind, b, l, d, k, m, cap):
+    """Adaptive scorer across data distributions and odd shapes — must be
+    bit-identical to the stripe oracle regardless of which internal route
+    (certified / fallback / gate-reroute) fires."""
+    from emosaic_tpu.ops.distance import l1_topk_adaptive, l1_topk_stripes
+
+    r = np.random.default_rng(seed)
+    if dist_kind == "uniform":
+        lib = r.integers(0, 256, size=(l, d), dtype=np.uint8)
+    else:
+        centers = r.integers(0, 256, size=(8, d))
+        lib = np.clip(
+            centers[r.integers(0, 8, l)] + r.normal(0, 9, (l, d)), 0, 255
+        ).astype(np.uint8)
+        if dist_kind == "dupes":
+            lib[l // 2 :] = lib[: l - l // 2]  # massive tie pressure
+    blocks = lib[r.integers(0, l, b)].copy()
+    blocks[0] = lib[l // 3]  # exact hit
+    d_o, r_o = l1_topk_stripes(blocks, lib, k)
+    d_a, r_a = l1_topk_adaptive(blocks, lib, k, m=m, cap=cap)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
