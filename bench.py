@@ -119,18 +119,20 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
-#: last verified on-chip measurement (2026-08-17, commit dcf7419), reported
+#: last verified on-chip measurement (2026-08-17, commit 820d359+), reported
 #: only if the device claim wedges (the axon tunnel sometimes hangs a fresh
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 42670.6,
-    "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match 96ms + "
-    "composite 128x2.4ms = 0.403s; target 2.0s | no-repeat flagship "
-    "mode32 16k blocks x 32767 tiles: score 3.76s (uniform-random worst "
-    "case) / 1.18s (clusterable data, adaptive certified 16384/16384) + "
-    "assign 0.03s) [CACHED measurement — live run hit a device-claim hang]",
-    "vs_baseline": 4.97,
+    "value": 34582.6,
+    "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match 95ms + "
+    "composite 128x3.1ms = 0.497s; target 2.0s | composite-band DMA "
+    "jitter spans 2.4-3.9ms run-to-run (best full run: 0.403s, 4.97x) | "
+    "no-repeat flagship mode32 16k blocks x 32767 tiles: score 3.76s "
+    "(uniform-random worst case) / 0.83s (clusterable data, adaptive "
+    "certified 16384/16384) + assign 0.02s) [CACHED measurement — live "
+    "run hit a device-claim hang]",
+    "vs_baseline": 4.03,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
 

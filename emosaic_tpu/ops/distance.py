@@ -942,8 +942,13 @@ _AD_GROUPS = (16, 8, 4)
 #: library rows whose coarse bound undercuts the k-th true distance,
 #: lambda ~ 3 per segment and P[>=16] ~ 1e-7)
 _AD_CAP = 16
-#: candidates rescored at full D per block
-_AD_M = 2048
+#: candidates rescored at full D per block. The on-chip sweep
+#: (tools/tpu_r5_m_sweep.py, flagship shape, clustered data) certifies
+#: 100% at every m down to 768 with cap=16; m=1024 is the floor that
+#: still serves k=512 (the kk > m//2 gate) and cuts the DMA rescore from
+#: 0.76 s to 0.42 s. Exactness never depends on m — uncertified rows
+#: take the stripe fallback.
+_AD_M = 1024
 
 
 def _ad_project(x, d: int, g: int, chan: bool):
