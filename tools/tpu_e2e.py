@@ -30,7 +30,9 @@ def build_scene(root: Path):
     tiles.mkdir(parents=True, exist_ok=True)
     for i in range(150):
         base = rng.integers(0, 256, size=3)
-        img = np.clip(base + rng.normal(0, 25, (48, 48, 3)), 0, 255).astype(
+        # 144^2 so the high-N cases (tile_size 64/128) don't reject every
+        # image (prep refuses images smaller than tile_size, utils.rs:99-106)
+        img = np.clip(base + rng.normal(0, 25, (144, 144, 3)), 0, 255).astype(
             np.uint8
         )
         Image.fromarray(img).save(tiles / f"t{i:03d}.jpg", quality=90)
@@ -90,6 +92,13 @@ def main() -> int:
          lambda: Image.open(out("hy.png")).size == (48 * 8, 48 * 8)),
         ("mode16-stripes", ["-s", "16", "-o", out("m16.png"), src, "mosaic", tiles, "-m", "16", "--downsample", "1"],
          lambda: Image.open(out("m16.png")).size == (6 * 16, 6 * 16)),
+        # high-N tail: D=12288 / D=49152 search spaces (d-chunked kernels);
+        # source 96^2 -> dims round to 64/128 multiples, 1 block each at
+        # mode 128 (the reference's max mode, main.rs:411-413)
+        ("mode64", ["-s", "64", "-o", out("m64.png"), src, "mosaic", tiles, "-m", "64"],
+         lambda: Image.open(out("m64.png")).size[0] >= 64),
+        ("mode128", ["-s", "128", "-o", out("m128.png"), src, "mosaic", tiles, "-m", "128"],
+         lambda: Image.open(out("m128.png")).size[0] >= 128),
     ]
     passed = failed = 0
     for name, argv, check in cases:
