@@ -612,17 +612,21 @@ def test_l1_topk_adaptive_stride_aligned_cluster_stays_exact(rng):
 
 @pytest.mark.parametrize(
     "seed,dist_kind,b,l,d,k,m,cap",
+    # shapes chosen to PASS the adaptive entry gates (m+1 <= nseg*cap,
+    # l > 2m, valid channel grouping g) — asserted below, so the fuzz
+    # really exercises the coarse/rescore/certificate machinery
     [
-        (0, "clustered", 24, 900, 48, 8, 32, 4),
-        (1, "uniform", 16, 700, 12, 5, 16, 4),
-        (2, "clustered", 9, 1200, 96, 16, 48, 4),
-        (3, "dupes", 20, 800, 24, 24, 64, 8),  # k at m boundary regions
+        (0, "clustered", 24, 2200, 48, 8, 64, 8),
+        (1, "uniform", 16, 2048, 96, 5, 64, 8),
+        (2, "clustered", 9, 3000, 96, 16, 96, 8),
+        (3, "dupes", 20, 2500, 24, 32, 64, 8),  # k at m/2 boundary
     ],
 )
 def test_l1_topk_adaptive_fuzz(seed, dist_kind, b, l, d, k, m, cap):
     """Adaptive scorer across data distributions and odd shapes — must be
-    bit-identical to the stripe oracle regardless of which internal route
-    (certified / fallback / gate-reroute) fires."""
+    bit-identical to the stripe oracle whichever internal route
+    (certified / per-row fallback / sample-gate reroute) fires."""
+    from emosaic_tpu.ops import distance as dist_mod
     from emosaic_tpu.ops.distance import l1_topk_adaptive, l1_topk_stripes
 
     r = np.random.default_rng(seed)
@@ -638,6 +642,18 @@ def test_l1_topk_adaptive_fuzz(seed, dist_kind, b, l, d, k, m, cap):
     blocks = lib[r.integers(0, l, b)].copy()
     blocks[0] = lib[l // 3]  # exact hit
     d_o, r_o = l1_topk_stripes(blocks, lib, k)
-    d_a, r_a = l1_topk_adaptive(blocks, lib, k, m=m, cap=cap)
+    coarse_calls = []
+    orig_coarse = dist_mod._ad_coarse_jit
+
+    def spy(*a, **kw):
+        coarse_calls.append(1)
+        return orig_coarse(*a, **kw)
+
+    dist_mod._ad_coarse_jit = spy
+    try:
+        d_a, r_a = l1_topk_adaptive(blocks, lib, k, m=m, cap=cap)
+    finally:
+        dist_mod._ad_coarse_jit = orig_coarse
+    assert coarse_calls, "shapes rerouted at the entry gate — fuzz is dead"
     np.testing.assert_array_equal(d_a, np.asarray(d_o))
     np.testing.assert_array_equal(r_a, np.asarray(r_o))

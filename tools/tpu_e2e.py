@@ -95,10 +95,12 @@ def main() -> int:
         # high-N tail: D=12288 / D=49152 search spaces (d-chunked kernels);
         # source 96^2 -> dims round to 64/128 multiples, 1 block each at
         # mode 128 (the reference's max mode, main.rs:411-413)
+        # 96 rounds down to 64 (rem 32, not > dim/2) -> 1x1 blocks @ ts 64
         ("mode64", ["-s", "64", "-o", out("m64.png"), src, "mosaic", tiles, "-m", "64"],
-         lambda: Image.open(out("m64.png")).size[0] >= 64),
+         lambda: Image.open(out("m64.png")).size == (64, 64)),
+        # 96 rounds UP to 128 (rem 96 > 64) -> 1x1 blocks @ ts 128
         ("mode128", ["-s", "128", "-o", out("m128.png"), src, "mosaic", tiles, "-m", "128"],
-         lambda: Image.open(out("m128.png")).size[0] >= 128),
+         lambda: Image.open(out("m128.png")).size == (128, 128)),
     ]
     passed = failed = 0
     for name, argv, check in cases:
