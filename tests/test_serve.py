@@ -1,0 +1,121 @@
+"""Resident mosaic service: HTTP round trips match the direct renderers."""
+
+import io
+import json
+import threading
+import urllib.request
+from http.server import HTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from emosaic_tpu.serve import MosaicService, _make_handler
+
+
+@pytest.fixture
+def scene(tmp_path, rng, monkeypatch):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for i in range(10):
+        base = rng.integers(0, 256, size=3)
+        arr = np.clip(base + rng.normal(0, 25, (24, 24, 3)), 0, 255).astype(
+            np.uint8
+        )
+        Image.fromarray(arr).save(tiles / f"t{i}.jpg", quality=92)
+    src = rng.integers(0, 256, size=(9, 12, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, "PNG")
+    return tiles, buf.getvalue(), src
+
+
+def _quiet(*a):
+    pass
+
+
+def test_service_matches_cli_renderer(scene):
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    png = svc.render_bytes(src_bytes)
+    got = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+
+    from emosaic_tpu.render import render_nto1
+
+    ref = render_nto1(src, svc.tile_set, 8, stack=svc.stack, log=_quiet)
+    assert (got == np.asarray(ref.image)).all()
+
+
+def test_service_rejects_random_mode(scene):
+    tiles, _, _ = scene
+    with pytest.raises(ValueError, match="random"):
+        MosaicService(tiles, "random", 8, log=_quiet)
+
+
+@pytest.fixture
+def server(scene):
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    httpd = HTTPServer(("127.0.0.1", 0), _make_handler(svc))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, svc, src_bytes, src
+    httpd.shutdown()
+
+
+def test_healthz(server):
+    base, svc, _, _ = server
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+        info = json.loads(r.read())
+    assert info == {
+        "status": "ok",
+        "tiles": len(svc.tile_set),
+        "mode": "1",
+        "tile_size": 8,
+    }
+
+
+def test_http_mosaic_round_trip(server):
+    base, svc, src_bytes, src = server
+    req = urllib.request.Request(
+        f"{base}/mosaic?tint=0.5", data=src_bytes, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        got = np.asarray(Image.open(io.BytesIO(r.read())).convert("RGB"))
+    ref = np.asarray(
+        Image.open(io.BytesIO(svc.render_bytes(src_bytes, tint=0.5))).convert(
+            "RGB"
+        )
+    )
+    assert (got == ref).all()
+    assert got.shape == (9 * 8, 12 * 8, 3)
+
+
+def test_http_no_repeat_and_errors(server):
+    base, svc, src_bytes, _ = server
+    # no-repeat needs blocks <= 2*tiles: 9x12 blocks=108 > 20 -> 400
+    # (ValueError -> client error) with the insufficient-tiles message,
+    # and the service stays alive
+    req = urllib.request.Request(
+        f"{base}/mosaic?no_repeat=1", data=src_bytes, method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=120)
+    assert e.value.code == 400
+    assert "Insufficient tiles" in json.loads(e.value.read())["error"]
+
+    # empty body -> 400
+    req = urllib.request.Request(f"{base}/mosaic", data=b"", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+    # unknown path -> 404; service still healthy afterwards
+    req = urllib.request.Request(f"{base}/nope", data=b"x", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 404
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
