@@ -282,6 +282,13 @@ def build_parser() -> argparse.ArgumentParser:
         "exact-L1 matchers; lut/hybrid/l2 matchers stay single-device",
     )
     m.add_argument(
+        "--stats-json",
+        metavar="PATH",
+        default=None,
+        help="also write the run statistics as JSON (totals, top-10 used, "
+        "worst-10 matches, config snapshot) for pipeline consumers",
+    )
+    m.add_argument(
         "--png-filter",
         choices=("none", "sub", "up"),
         default="sub",
@@ -616,6 +623,18 @@ def run_mosaic(args, timer=None) -> None:
             log("📊 Statistics file saved (shows tile matching quality)")
         except OSError as e:
             log(f"⚠️  Failed to save statistics image to {stats_path}: {e}")
+        if args.stats_json:
+            import json
+
+            try:
+                Path(args.stats_json).write_text(
+                    json.dumps(
+                        stats.to_dict(tile_set_out, config), indent=1
+                    )
+                )
+                log(f"📊 Statistics JSON saved to {args.stats_json}")
+            except OSError as e:  # non-fatal, like the image save
+                log(f"⚠️  Failed to save statistics JSON: {e}")
 
     if stats is not None and (args.html or args.web):
         from emosaic_tpu.web import generate_html_with_options

@@ -193,6 +193,49 @@ class RenderStats:
                 f"(distance: {int(dists[j])})"
             )
 
+    def to_dict(self, tile_set, config=None) -> dict:
+        """Machine-readable summary: the same aggregates `summarise`
+        prints (stats.rs:87-139) plus the config snapshot — for
+        `--stats-json` pipeline consumers (no reference counterpart;
+        the reference only writes human-oriented stderr/HTML)."""
+        import dataclasses
+
+        xs, ys, items, dists, _ = self._get_arrays()
+        out: dict = {"total_tiles": int(len(xs))}
+        if len(xs):
+            idx0 = np.abs(items) - 1
+            counts = np.bincount(idx0, minlength=len(tile_set))
+            used = np.nonzero(counts)[0]
+            order = sorted(
+                used,
+                key=lambda i: (-counts[i], str(tile_set.get_path(int(i) + 1))),
+            )
+            worst = np.lexsort((ys, xs, -dists))[:10]
+            out.update(
+                unique_images=int(len(used)),
+                average_distance=float(dists.sum() / len(xs)),
+                max_distance=int(dists.max()),
+                top_used=[
+                    {
+                        "path": str(tile_set.get_path(int(i) + 1)),
+                        "count": int(counts[i]),
+                    }
+                    for i in order[:10]
+                ],
+                worst_matches=[
+                    {
+                        "path": str(tile_set.get_path(int(idx0[j]) + 1)),
+                        "distance": int(dists[j]),
+                        "x": int(xs[j]),
+                        "y": int(ys[j]),
+                    }
+                    for j in worst
+                ],
+            )
+        if config is not None:
+            out["config"] = dataclasses.asdict(config)
+        return out
+
     def render(self, tile_size: int) -> np.ndarray:
         """Grayscale heatmap, 1 px per placement, distance normalized to the
         max (stats.rs:154-195). Returns [h, w, 3] uint8."""

@@ -65,3 +65,38 @@ def test_render_zero_tile_size_raises():
     s.push_tile(0, 0, Tile(idx=1), 100)
     with pytest.raises(ValueError, match="greater than 0"):
         s.render(0)
+
+
+def test_stats_json_cli(tmp_path, rng, monkeypatch):
+    """--stats-json writes the machine-readable summary matching the
+    stderr aggregates."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from emosaic_tpu.cli import main
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    monkeypatch.chdir(tmp_path)
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tiles / f"t{i}.jpg", quality=95)
+    src = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    Image.fromarray(src).save(tmp_path / "s.png")
+    sj = tmp_path / "stats.json"
+    rc = main(
+        ["-s", "8", "-o", str(tmp_path / "o.png"), str(tmp_path / "s.png"),
+         "mosaic", str(tiles), "-m", "1", "--stats-json", str(sj)]
+    )
+    assert rc == 0
+    data = json.loads(sj.read_text())
+    assert data["total_tiles"] == 6 * 8
+    assert 1 <= data["unique_images"] <= 6
+    assert data["average_distance"] >= 0
+    assert len(data["top_used"]) <= 10 and data["top_used"][0]["count"] >= 1
+    assert len(data["worst_matches"]) <= 10
+    assert data["worst_matches"][0]["distance"] == data["max_distance"]
+    assert data["config"]["tile_size"] == 8
