@@ -40,9 +40,13 @@ from emosaic_tpu.ops.composite import _compose_rows_2d
 from emosaic_tpu.ops.lut import _build_l1_lut_jit, _lut_match_packed_jit
 
 _T0 = time.time()
+#: activity-based watchdog clock; the initial credit covers the device
+#: CLAIM (silent, queues behind other processes — observed 13+ min)
+_LAST_ACTIVITY = [time.time() + 900]
 
 
 def _progress(msg: str) -> None:
+    _LAST_ACTIVITY[0] = time.time()
     print(f"[bench {time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
@@ -138,18 +142,26 @@ _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
 
 
 def _arm_watchdog():
+    """Activity-based: fires only after _WATCHDOG_SECS with NO progress
+    line (a fixed from-start deadline once killed a healthy run whose
+    device *claim* took 13 minutes — claims queue behind other processes
+    in this env)."""
     import threading
 
     done = threading.Event()
 
     def fire():
-        if not done.wait(_WATCHDOG_SECS):
-            _progress(
-                f"device did not respond within {_WATCHDOG_SECS}s; "
-                "reporting cached measurement"
-            )
-            print(json.dumps(_LAST_GOOD), flush=True)
-            os._exit(0)
+        while not done.wait(10):
+            idle = time.time() - _LAST_ACTIVITY[0]
+            if idle > _WATCHDOG_SECS:
+                print(
+                    f"[bench] no progress for {idle:.0f}s; reporting cached "
+                    "measurement",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                print(json.dumps(_LAST_GOOD), flush=True)
+                os._exit(0)
 
     threading.Thread(target=fire, daemon=True).start()
     return done
@@ -297,8 +309,8 @@ def norepeat_adaptive_phase() -> tuple[float, int]:
 
     def run():
         vals, cols, s_min = _ad_coarse_jit(
-            bf, lf, d=d, g=16, chan=True, bc=128, cap=_AD_CAP, real_l=l
-        )
+            bf, lf, d=d, g=32, chan=True, bc=128, cap=_AD_CAP, real_l=l
+        )  # g matches the production _AD_GROUPS preference
         return _ad_rescore_jit(
             bf, vals, cols, s_min, lf,
             d=d, bc=64, m=_AD_M, k=k, real_l=l, use_dma=use_dma,

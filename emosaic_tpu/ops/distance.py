@@ -936,8 +936,14 @@ def l1_topk_twolevel(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
 # direct two-level scorer, wasting only the coarse pass (~8%).
 # ---------------------------------------------------------------------------
 
-#: coarse group width (largest divisor of D from this list is used)
-_AD_GROUPS = (16, 8, 4)
+#: coarse group width preference (first divisor of nc from this list is
+#: used). On-chip sweep (tools/tpu_r5_m_sweep.py): at flagship shape the
+#: coarse pass costs 0.346/0.238/0.173 s for g=16/32/64 with 100%
+#: certification on clustered data at every g; 32 is the balanced
+#: default (30% cheaper coarse than 16, twice the bound margin of 64 —
+#: looser groups cancel more texture, and an uninformative bound costs a
+#: rerouted run, not correctness).
+_AD_GROUPS = (32, 16, 8, 4)
 #: coarse survivors per 128-column segment (Poisson headroom: with ~1.5k
 #: library rows whose coarse bound undercuts the k-th true distance,
 #: lambda ~ 3 per segment and P[>=16] ~ 1e-7)

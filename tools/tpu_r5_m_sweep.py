@@ -58,20 +58,20 @@ def main():
     bf, lf = blocks.reshape(-1), libp.reshape(-1)
     log("inputs ready")
 
-    for cap in (16, 8):
+    for g, cap in ((16, 16), (32, 16), (64, 16), (32, 24)):
         vals, cols, s_min = _ad_coarse_jit(
-            bf, lf, d=d, g=16, chan=True, bc=128, cap=cap, real_l=l
+            bf, lf, d=d, g=g, chan=True, bc=128, cap=cap, real_l=l
         )
         sync(vals)
 
         def coarse():
             v, c, s = _ad_coarse_jit(
-                bf, lf, d=d, g=16, chan=True, bc=128, cap=cap, real_l=l
+                bf, lf, d=d, g=g, chan=True, bc=128, cap=cap, real_l=l
             )
             return v
 
         t_coarse = diff_time(coarse)
-        for m in (2048, 1536, 1024, 768):
+        for m in (1024,):
             if m + 1 > (lp // 128) * cap:
                 continue
 
@@ -90,7 +90,7 @@ def main():
             )
             cert = int(np.asarray(jax.device_get(ok)).sum())
             log(
-                f"cap={cap:2d} m={m:4d}: coarse {t_coarse:.3f}s rescore "
+                f"g={g:2d} cap={cap:2d} m={m:4d}: coarse {t_coarse:.3f}s rescore "
                 f"{t_re:.3f}s total {t_coarse + t_re:.3f}s certified "
                 f"{cert}/{b} ({cert / b:.1%})"
             )
