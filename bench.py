@@ -128,15 +128,15 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 34582.6,
+    "value": 31223.6,
     "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match 95ms + "
-    "composite 128x3.1ms = 0.497s; target 2.0s | composite-band DMA "
+    "composite 128x3.6ms = 0.550s; target 2.0s | composite-band DMA "
     "jitter spans 2.4-3.9ms run-to-run (best full run: 0.403s, 4.97x) | "
-    "no-repeat flagship mode32 16k blocks x 32767 tiles: score 3.76s "
-    "(uniform-random worst case) / 0.83s (clusterable data, adaptive "
+    "no-repeat flagship mode32 16k blocks x 32767 tiles: score 3.75s "
+    "(uniform-random worst case) / 0.73s (clusterable data, adaptive "
     "certified 16384/16384) + assign 0.02s) [CACHED measurement — live "
     "run hit a device-claim hang]",
-    "vs_baseline": 4.03,
+    "vs_baseline": 3.63,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
 
