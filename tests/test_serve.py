@@ -119,3 +119,20 @@ def test_http_no_repeat_and_errors(server):
     assert e.value.code == 404
     with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
+
+
+def test_http_randomize_seed_deterministic(server):
+    base, svc, src_bytes, _ = server
+
+    def fetch(seed):
+        req = urllib.request.Request(
+            f"{base}/mosaic?randomize=50&seed={seed}",
+            data=src_bytes,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return np.asarray(Image.open(io.BytesIO(r.read())).convert("RGB"))
+
+    a, b, c = fetch(7), fetch(7), fetch(8)
+    assert (a == b).all()  # same seed -> identical
+    assert a.shape == c.shape
