@@ -139,6 +139,23 @@ def validate_output_path(path: Path) -> None:
 # ---------------------------------------------------------------------------
 
 
+class _ExtendExtensions(argparse.Action):
+    """clap `Vec<String>` append semantics (main.rs:100-104).
+
+    The reference accepts one value per `--extensions` occurrence and
+    accumulates across occurrences; argparse `nargs="*"` would make the
+    last occurrence win. This action supports both spellings:
+    `--extensions jpg png` and `--extensions jpg --extensions png`
+    accumulate identically, and any occurrence replaces the default.
+    """
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        prior = getattr(namespace, self.dest, None)
+        if prior is None or prior is self.default:
+            prior = []
+        setattr(namespace, self.dest, list(prior) + list(values))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="emosaic-tpu",
@@ -214,8 +231,10 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument(
         "--extensions",
         nargs="*",
+        action=_ExtendExtensions,
         default=["jpg", "jpeg"],
-        help="Extensions of image files in the tiles dir (case-sensitive)",
+        help="Extensions of image files in the tiles dir (case-sensitive); "
+        "repeatable — occurrences accumulate (clap parity)",
     )
     m.add_argument(
         "--greedy",

@@ -137,8 +137,9 @@ class StreamingPNGWriter:
         try:
             self._ftype = _FILTERS[filter_type]
         except KeyError:
+            names = sorted(k for k in _FILTERS if isinstance(k, str))
             raise ValueError(
-                f"filter_type must be one of {sorted(set(_FILTERS))}, "
+                f"filter_type must be one of {names} (or 0/1/2), "
                 f"got {filter_type!r}"
             ) from None
         if compress_level == 0:

@@ -291,12 +291,16 @@ def _l1_argmin_pallas_jit(
     return min_out[:, 0], arg_out[:, 0]
 
 
-def l1_argmin(blocks, lib, *, force_xla: bool = False) -> tuple[jax.Array, jax.Array]:
+def l1_argmin(blocks, lib, *, force_xla: bool = False):
     """Exact L1 nearest library row per block (Pallas fast path).
 
     Same contract as `l1_argmin_xla` (the oracle + non-TPU fallback).
     Supports every mode's feature dim (up to 3N = 49152 for mode 128) via
     the d-chunked grid axis.
+
+    Returns (dist [B], row [B]) as int32 arrays — device (jax) arrays on
+    most routes, numpy on the adaptive route (it finishes with host-side
+    fallback stitching); callers np.asarray the result.
     """
     blocks = np.asarray(blocks, dtype=np.uint8)
     lib = np.asarray(lib, dtype=np.uint8)

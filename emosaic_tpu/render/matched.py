@@ -95,16 +95,17 @@ def match_blocks(
     if hybrid and blocks.shape[1] > 3:
         dist, row = l1_argmin_hybrid(blocks, lib)
         return np.asarray(dist), np.asarray(row)
-    if mesh is not None and use_lut != "always":
+    b, d = blocks.shape
+    lut_ok = d == 3 and lib.shape[0] <= MAX_ROWS
+    lut_auto = use_lut == "auto" and lut_ok and b >= _LUT_MIN_BLOCKS
+    if mesh is not None and use_lut != "always" and not lut_auto:
+        # mode-1 runs keep the packed-LUT fast path even under --mesh
+        # (results are bit-identical either way; the LUT is faster)
         from emosaic_tpu.parallel import sharded_l1_argmin
 
         dist, row = sharded_l1_argmin(blocks, lib, mesh)
         return np.asarray(dist), np.asarray(row)
-    b, d = blocks.shape
-    lut_ok = d == 3 and lib.shape[0] <= MAX_ROWS
-    if use_lut == "always" or (
-        use_lut == "auto" and lut_ok and b >= _LUT_MIN_BLOCKS
-    ):
+    if use_lut == "always" or lut_auto:
         if not lut_ok:
             raise ValueError("LUT path requires mode 1 and a small-enough library")
         lut = build_l1_lut(lib)

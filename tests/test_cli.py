@@ -169,3 +169,28 @@ def test_matcher_hybrid_no_repeat(scene):
     assert rc == 0
     im = Image.open(out)
     assert im.format == "PNG" and im.size[0] > 0
+
+
+def test_extensions_append_semantics():
+    """clap Vec<String> parity (main.rs:100-104): occurrences accumulate."""
+    from emosaic_tpu.cli import build_parser
+
+    p = build_parser()
+    base = ["x.png", "mosaic", "tiles"]
+    assert p.parse_args(base).extensions == ["jpg", "jpeg"]
+    assert p.parse_args(
+        base + ["--extensions", "png"]
+    ).extensions == ["png"]
+    assert p.parse_args(
+        base + ["--extensions", "png", "gif"]
+    ).extensions == ["png", "gif"]
+    assert p.parse_args(
+        base + ["--extensions", "png", "--extensions", "gif"]
+    ).extensions == ["png", "gif"]
+
+
+def test_codecs_invalid_filter_message(tmp_path):
+    from emosaic_tpu.io.codecs import StreamingPNGWriter
+
+    with pytest.raises(ValueError, match="filter_type must be one of"):
+        StreamingPNGWriter(tmp_path / "x.png", 4, 4, filter_type="bogus")
