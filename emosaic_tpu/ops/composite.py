@@ -289,12 +289,67 @@ def iter_bands_host(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("alpha_255", "out_h", "y0"))
-def _tint_blend_2d(band2d, src2d, *, alpha_255: int, out_h: int, y0: int):
+def tint_scalars(alpha_255: int) -> np.ndarray:
+    """The per-call f32 scalars of image-0.25.2's `Rgba::blend` (color.rs),
+    computed host-side with numpy f32 (IEEE single, one rounding per op —
+    the same semantics as Rust f32 expression evaluation).
+
+    Returns [max_t, fg_a, 1-fg_a, alpha_final] as float32. With an opaque
+    background (bg_a = 1.0, main.rs:464 converts RGB8 -> RGBA8) the crate's
+    `alpha_final = bg_a + fg_a - bg_a*fg_a` is exactly 1.0 for 224 of the
+    256 alphas and 1-2^-24 for the rest (alpha % 4 == 0, alpha >= 128) —
+    the division below is therefore load-bearing and kept.
+    """
+    mt = np.float32(255.0)
+    one = np.float32(1.0)
+    fg_a = np.float32(np.float32(alpha_255) / mt)
+    af = np.float32(np.float32(one + fg_a) - np.float32(one * fg_a))
+    return np.array([mt, fg_a, np.float32(one - fg_a), af], np.float32)
+
+
+def ref_tint_blend_u8(bg_u8, fg_u8, alpha_255: int) -> np.ndarray:
+    """Scalar port of the reference tint compositing, bit-exact oracle.
+
+    main.rs:447-478: overlay alpha = (255*opacity) as u8 (truncating),
+    then imageops::overlay -> Rgba::blend per pixel (image-0.25.2
+    src/color.rs `impl Blend for Rgba`): normalize to f32, src-over
+    compositing with premultiplied channels, unmultiply by alpha_final,
+    then `NumCast::from(255*out)` which TRUNCATES (num-traits float->u8
+    goes through trunc + range check + `as` cast). Background is opaque.
+
+    Every numpy op below rounds to f32 exactly once, in the crate's
+    evaluation order; the device kernel `_tint_blend_2d` is CI-verified
+    bit-equal to this for all 256 alphas x 65536 channel pairs
+    (tests/test_ops.py).
+    """
+    mt, fg_a, inv, af = tint_scalars(alpha_255)
+    one = np.float32(1.0)
+    bg_r = np.float32(np.asarray(bg_u8, np.uint8).astype(np.float32) / mt)
+    fg_r = np.float32(np.asarray(fg_u8, np.uint8).astype(np.float32) / mt)
+    t = np.float32(
+        np.float32(fg_r * fg_a) + np.float32(np.float32(bg_r * one) * inv)
+    )
+    u = np.float32(t / af)
+    return np.trunc(np.float32(mt * u)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "y0"))
+def _tint_blend_2d(band2d, src2d, scal, *, out_h: int, y0: int):
     """band2d [bh, ow*3] u8, src2d [sh, sw*3] u8 -> blended [bh, ow*3] u8.
 
     Nearest-neighbor upscale sampling at output-pixel centers, like
-    image::imageops::resize(FilterType::Nearest) (main.rs:456-461).
+    image::imageops::resize(FilterType::Nearest) (main.rs:456-461), then
+    the `Rgba::blend` arithmetic of `ref_tint_blend_u8` op-for-op in f32.
+
+    Bit-exactness notes (each defeats a real compiler transformation that
+    CI caught producing ~0.26% off-by-one pixels):
+    - the f32 scalars travel as a jit *operand* (`scal`): as compile-time
+      constants XLA strength-reduces x/255.0 into x*(1/255.0), which is
+      not correctly rounded;
+    - both products are passed through abs(-x) (bit-identity for the
+      non-negative values here) + an optimization barrier so codegen
+      cannot contract mul+add into an FMA, which would skip the product's
+      f32 rounding.
     """
     bh, ow3 = band2d.shape
     ow = ow3 // 3
@@ -306,10 +361,15 @@ def _tint_blend_2d(band2d, src2d, *, alpha_255: int, out_h: int, y0: int):
     )
     xi = jnp.clip(((jnp.arange(ow) + 0.5) * (sw / ow)).astype(jnp.int32), 0, sw - 1)
     xi3 = (xi[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)  # [ow*3]
-    up = src2d[yi][:, xi3].astype(jnp.float32)
-    a = alpha_255 / 255.0
-    out = up * a + band2d.astype(jnp.float32) * (1.0 - a)
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    up = src2d[yi][:, xi3]
+    mt, fg_a, inv, af = scal[0], scal[1], scal[2], scal[3]
+    fg_r = up.astype(jnp.float32) / mt
+    bg_r = band2d.astype(jnp.float32) / mt
+    prod_fg = jnp.abs(-(fg_r * fg_a))
+    prod_bg = jnp.abs(-((bg_r * jnp.float32(1.0)) * inv))
+    prod_fg, prod_bg = jax.lax.optimization_barrier((prod_fg, prod_bg))
+    out_r = (prod_fg + prod_bg) / af
+    return jnp.clip(jnp.trunc(mt * out_r), 0, 255).astype(jnp.uint8)
 
 
 def tint_blend_band(band, src, y0: int, out_h: int, tint_opacity: float):
@@ -318,13 +378,15 @@ def tint_blend_band(band, src, y0: int, out_h: int, tint_opacity: float):
     alpha = int(255.0 * float(tint_opacity))
     band = np.asarray(band, dtype=np.uint8)
     if alpha <= 0:
+        # pure optimization: the blend with fg_a = 0 is the identity
+        # (CI-verified bit-equal for all 65536 channel pairs at alpha 0)
         return band
     bh, ow = band.shape[0], band.shape[1]
     src = np.asarray(src, dtype=np.uint8)
     out = _tint_blend_2d(
         jnp.asarray(band.reshape(bh, ow * 3)),
         jnp.asarray(src.reshape(src.shape[0], -1)),
-        alpha_255=alpha,
+        jnp.asarray(tint_scalars(alpha)),
         out_h=out_h,
         y0=y0,
     )
@@ -336,9 +398,10 @@ def tint_blend(mosaic, src, tint_opacity: float) -> np.ndarray:
 
     Mirrors main.rs:447-465: overlay alpha is floor(255 * tint_opacity)
     (the reference's `as u8` cast truncates), source is nearest-upscaled to
-    the output size, then standard alpha compositing over an opaque
-    background. Rounding is round-to-nearest (float blend like the image
-    crate's Rgba::blend); parity is within 1 LSB.
+    the output size, then `Rgba::blend` src-over compositing over an opaque
+    background — bit-exact vs `ref_tint_blend_u8` (the scalar port of the
+    image-0.25.2 float path, truncating final cast), CI-verified for all
+    256 alphas x 65536 channel pairs.
     """
     mosaic = np.asarray(mosaic, dtype=np.uint8)
     return tint_blend_band(mosaic, src, 0, mosaic.shape[0], tint_opacity)

@@ -235,10 +235,35 @@ def test_tint_blend():
     mosaic = np.zeros((4, 4, 3), dtype=np.uint8)
     src = np.full((2, 2, 3), 200, dtype=np.uint8)
     out = np.asarray(tint_blend(mosaic, src, 0.5))
-    # alpha = floor(255*0.5) = 127 -> 200*127/255 = 99.6 -> 100
-    assert (out == 100).all()
+    # alpha = floor(255*0.5) = 127 -> 200*127/255 = 99.6, and the
+    # reference's NumCast f32->u8 cast TRUNCATES (main.rs:447-478 +
+    # image-0.25.2 color.rs) -> 99, not round-to-nearest's 100
+    assert (out == 99).all()
     # zero opacity is a no-op
     assert (np.asarray(tint_blend(mosaic, src, 0.0)) == mosaic).all()
+
+
+def test_tint_blend_bit_exact_exhaustive():
+    """Device tint == scalar port of the reference blend, for ALL
+    256 alphas x 65536 (mosaic, source) channel pairs (VERDICT r2 #5)."""
+    from emosaic_tpu.ops.composite import ref_tint_blend_u8, tint_blend
+
+    m = np.broadcast_to(
+        np.arange(256, dtype=np.uint8)[:, None, None], (256, 256, 3)
+    )
+    s = np.broadcast_to(
+        np.arange(256, dtype=np.uint8)[None, :, None], (256, 256, 3)
+    )
+    for alpha in range(256):
+        ref = ref_tint_blend_u8(m, s, alpha)
+        # floor(255 * (alpha+0.5)/255) == alpha exactly, avoiding f64
+        # round-down for opacities that should map to integer alpha
+        got = np.asarray(tint_blend(m, s, (alpha + 0.5) / 255.0))
+        if alpha == 0:
+            ref = m  # tint_blend's alpha<=0 early return (identity; also
+            # check the oracle agrees, making the early return pure perf)
+            assert (ref_tint_blend_u8(m, s, 0) == m).all()
+        assert (got == ref).all(), f"alpha={alpha}: {(got != ref).sum()} diffs"
 
 
 # ---------------------------------------------------------------------------
