@@ -128,15 +128,19 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 31223.6,
-    "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match 95ms + "
-    "composite 128x3.6ms = 0.550s; target 2.0s | composite-band DMA "
-    "jitter spans 2.4-3.9ms run-to-run (best full run: 0.403s, 4.97x) | "
-    "no-repeat flagship mode32 16k blocks x 32767 tiles: score 3.75s "
-    "(uniform-random worst case) / 0.73s (clusterable data, adaptive "
-    "certified 16384/16384) + assign 0.02s) [CACHED measurement — live "
-    "run hit a device-claim hang]",
-    "vs_baseline": 3.63,
+    "value": 33703.4,
+    "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match+composite "
+    "0.510s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
+    "fields) [CACHED measurement from 2026-08-17 — live run hit a "
+    "device-claim hang]",
+    "vs_baseline": 3.92,
+    "match_s": 0.0959,
+    "composite_band_ms": 3.23,
+    "total_s": 0.510,
+    "score_worst_s": 3.74,
+    "score_adaptive_s": 0.72,
+    "assign_s": 0.02,
+    "certified": 16384,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
 
@@ -407,19 +411,25 @@ def main() -> int:
     total = t_match + N_BANDS * t_band
     out_mp = (SRC * TILE_SIZE) ** 2 / 1e6  # 17179.87 MP
     target_s = 2.0
+    # first-class fields (VERDICT r2 #6): the driver and future rounds
+    # diff these mechanically; metric/value/unit/vs_baseline keep their
+    # round-1 meaning (gigapixel headline vs the 2 s target)
     print(
         json.dumps(
             {
                 "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
                 "value": round(out_mp / total, 1),
                 "unit": f"MP/s (4096^2 src, {NUM_TILES} tiles, ts={TILE_SIZE},"
-                f" mode 1; match {t_match * 1e3:.0f}ms + composite "
-                f"{N_BANDS}x{t_band * 1e3:.1f}ms = {total:.3f}s; target "
-                f"{target_s}s | no-repeat flagship mode32 16k blocks x "
-                f"32767 tiles: score {score_s:.2f}s (uniform-random worst "
-                f"case) / {ad_score_s:.2f}s (clusterable data, adaptive "
-                f"certified {ad_cert}/16384) + assign {assign_s:.2f}s)",
+                f" mode 1; match+composite {total:.3f}s vs {target_s}s "
+                "target; no-repeat flagship in the score_*/assign_s fields)",
                 "vs_baseline": round(target_s / total, 2),
+                "match_s": round(t_match, 4),
+                "composite_band_ms": round(t_band * 1e3, 3),
+                "total_s": round(total, 4),
+                "score_worst_s": round(score_s, 3),
+                "score_adaptive_s": round(ad_score_s, 3),
+                "assign_s": round(assign_s, 3),
+                "certified": ad_cert,
             }
         )
     )
