@@ -124,13 +124,17 @@ class StreamingPNGWriter:
 
     def __init__(
         self,
-        path: str | os.PathLike,
+        path,
         width: int,
         height: int,
         compress_level: int = 1,
         filter_type: str | int = "sub",
         workers: int | None = None,
     ):
+        """`path` is a filesystem path, or any object with a `write`
+        method (e.g. an HTTP chunked-response wrapper — the serve module
+        streams gigapixel PNGs without materializing them); file-like
+        sinks are flushed but not closed."""
         self.width = width
         self.height = height
         self._level = compress_level
@@ -161,7 +165,13 @@ class StreamingPNGWriter:
         self._max_pending = 2 * workers
         self._pending: list = []  # futures (or ready tuples), in order
 
-        self._f = open(path, "wb")
+        if hasattr(path, "write"):
+            self._f = path
+            self._owns_f = False
+        else:
+            self._f = open(path, "wb")
+            self._owns_f = True
+        self._closed = False
         self._f.write(_PNG_SIG)
         ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
         self._f.write(_chunk(b"IHDR", ihdr))
@@ -239,8 +249,18 @@ class StreamingPNGWriter:
         # (callers may reuse their buffer between write_band calls)
         self._buf = [a if a.base is None else a.copy() for a in self._buf]
 
+    def _release(self) -> None:
+        self._closed = True
+        if self._owns_f:
+            self._f.close()
+        else:
+            try:
+                self._f.flush()
+            except (OSError, ValueError):
+                pass
+
     def close(self) -> None:
-        if self._f.closed:
+        if self._closed or (self._owns_f and self._f.closed):
             return
         try:
             if self._rows_written != self.height:
@@ -259,7 +279,7 @@ class StreamingPNGWriter:
         finally:
             if self._pool is not None:
                 self._pool.shutdown(wait=False, cancel_futures=True)
-            self._f.close()
+            self._release()
 
     def __enter__(self):
         return self
@@ -270,5 +290,5 @@ class StreamingPNGWriter:
         else:
             if self._pool is not None:
                 self._pool.shutdown(wait=False, cancel_futures=True)
-            self._f.close()
+            self._release()
         return False

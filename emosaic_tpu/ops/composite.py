@@ -333,23 +333,48 @@ def ref_tint_blend_u8(bg_u8, fg_u8, alpha_255: int) -> np.ndarray:
     return np.trunc(np.float32(mt * u)).astype(np.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "y0"))
-def _tint_blend_2d(band2d, src2d, scal, *, out_h: int, y0: int):
+def _u8_over_255_f32(x_u8):
+    """fl32(x / 255) for u8 x, computed WITHOUT a division.
+
+    TPU f32 division is reciprocal+Newton, not correctly rounded (the
+    on-chip exhaustive check caught ~7% off-by-one-ulp pixels through a
+    real fdiv) — so the quotient is built from exact operations only:
+    x/255 = p / (2^32 - 1) with p = x * 16843009 (exact: 255 * 16843009
+    = 2^32 - 1). The u32->f32 convert rounds p to 24 bits (RNE); the
+    true quotient exceeds p * 2^-32 by p * 2^-64 + ..., which matters
+    exactly at conversion *ties* — adding 1 to p breaks those upward
+    (host-enumerated: changes no non-tie case; x = 0 must stay 0 and
+    x = 255 would overflow, both excluded from the nudge). The 2^-32
+    scale is a pure exponent shift (exact). Verified against
+    fl32(x/255.0) for all 256 values (tests + on-chip check).
+    """
+    p = x_u8.astype(jnp.uint32) * jnp.uint32(16843009)
+    nudge = ((x_u8 > 0) & (x_u8 < 255)).astype(jnp.uint32)
+    return (p + nudge).astype(jnp.float32) * jnp.float32(2.0**-32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "y0", "bump"))
+def _tint_blend_2d(band2d, src2d, scal, *, out_h: int, y0: int, bump: bool):
     """band2d [bh, ow*3] u8, src2d [sh, sw*3] u8 -> blended [bh, ow*3] u8.
 
     Nearest-neighbor upscale sampling at output-pixel centers, like
     image::imageops::resize(FilterType::Nearest) (main.rs:456-461), then
-    the `Rgba::blend` arithmetic of `ref_tint_blend_u8` op-for-op in f32.
-
-    Bit-exactness notes (each defeats a real compiler transformation that
-    CI caught producing ~0.26% off-by-one pixels):
-    - the f32 scalars travel as a jit *operand* (`scal`): as compile-time
-      constants XLA strength-reduces x/255.0 into x*(1/255.0), which is
-      not correctly rounded;
-    - both products are passed through abs(-x) (bit-identity for the
-      non-negative values here) + an optimization barrier so codegen
-      cannot contract mul+add into an FMA, which would skip the product's
-      f32 rounding.
+    the `Rgba::blend` arithmetic of `ref_tint_blend_u8`, bit-exact on
+    every backend. Three compiler/hardware hazards are designed out
+    (each one was CAUGHT producing off-by-one pixels by the exhaustive
+    oracle check):
+    - x/255 via compile-time constant: XLA strength-reduces to
+      x * (1/255.0). x/255 via runtime operand: exact on CPU but TPU
+      fdiv is reciprocal+Newton. -> no division at all; see
+      `_u8_over_255_f32` and the `bump` tail below.
+    - mul feeding add: codegen contracts to FMA, skipping the product's
+      rounding. -> products pass through abs(-x) (bit-identity for these
+      non-negative values) + an optimization barrier.
+    - the crate's alpha_final is 1 - 2^-24 (not 1.0) for 32 alphas; the
+      division by it equals a one-ulp bit-increment for every reachable
+      sum t (host-enumerated identity over all 65536 pairs per alpha) —
+      `bump` selects that integer-exact tail, so alpha_final never
+      reaches the device.
     """
     bh, ow3 = band2d.shape
     ow = ow3 // 3
@@ -362,14 +387,20 @@ def _tint_blend_2d(band2d, src2d, scal, *, out_h: int, y0: int):
     xi = jnp.clip(((jnp.arange(ow) + 0.5) * (sw / ow)).astype(jnp.int32), 0, sw - 1)
     xi3 = (xi[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)  # [ow*3]
     up = src2d[yi][:, xi3]
-    mt, fg_a, inv, af = scal[0], scal[1], scal[2], scal[3]
-    fg_r = up.astype(jnp.float32) / mt
-    bg_r = band2d.astype(jnp.float32) / mt
+    mt, fg_a, inv = scal[0], scal[1], scal[2]
+    fg_r = _u8_over_255_f32(up)
+    bg_r = _u8_over_255_f32(band2d)
     prod_fg = jnp.abs(-(fg_r * fg_a))
     prod_bg = jnp.abs(-((bg_r * jnp.float32(1.0)) * inv))
     prod_fg, prod_bg = jax.lax.optimization_barrier((prod_fg, prod_bg))
-    out_r = (prod_fg + prod_bg) / af
-    return jnp.clip(jnp.trunc(mt * out_r), 0, 255).astype(jnp.uint8)
+    t = prod_fg + prod_bg
+    if bump:
+        t_bits = jax.lax.bitcast_convert_type(t, jnp.uint32)
+        t_up = jax.lax.bitcast_convert_type(
+            t_bits + jnp.uint32(1), jnp.float32
+        )
+        t = jnp.where(t == 0, t, t_up)
+    return jnp.clip(jnp.trunc(mt * t), 0, 255).astype(jnp.uint8)
 
 
 def tint_blend_band(band, src, y0: int, out_h: int, tint_opacity: float):
@@ -383,12 +414,14 @@ def tint_blend_band(band, src, y0: int, out_h: int, tint_opacity: float):
         return band
     bh, ow = band.shape[0], band.shape[1]
     src = np.asarray(src, dtype=np.uint8)
+    scal = tint_scalars(alpha)
     out = _tint_blend_2d(
         jnp.asarray(band.reshape(bh, ow * 3)),
         jnp.asarray(src.reshape(src.shape[0], -1)),
-        jnp.asarray(tint_scalars(alpha)),
+        jnp.asarray(scal),
         out_h=out_h,
         y0=y0,
+        bump=bool(scal[3] != np.float32(1.0)),
     )
     return np.asarray(jax.device_get(out)).reshape(bh, ow, 3)
 

@@ -1079,13 +1079,22 @@ def _l1_rows_kernel(cand_ref, x_ref, lib_hbm, out_ref, scratch, sems, *, mc):
     # keep every value >= 2D (Mosaic layouts don't support 1D vectors):
     # reduce sublanes, then contract the lane axis against ones with a
     # dot_general whose result is already [1, mc]. Exact in f32: row sums
-    # <= 255 * D < 2^24.
+    # <= 255 * D < 2^24 — but ONLY with Precision.HIGHEST: the MXU's
+    # default f32 path rounds operands to bf16 (8-bit mantissa), which
+    # put ±O(sqrt(D)) error on every rescored distance on the real chip
+    # (caught by tools/tpu_r7_dma_debug.py; CPU interpret mode computes
+    # exact f32 and cannot see it). HIGHEST decomposes into bf16 passes
+    # that reconstruct f32 products exactly; the partial-sum chain stays
+    # < 2^24 so the f32 accumulation is exact too.
     r2 = jnp.abs(scratch[...].astype(jnp.int32) - x[None]).sum(
         axis=1, dtype=jnp.int32
     )  # [mc, lw]
     ones = jnp.ones((1, r2.shape[1]), jnp.float32)
     dist = jax.lax.dot_general(
-        ones, r2.astype(jnp.float32), (((1,), (1,)), ((), ()))
+        ones,
+        r2.astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
     )  # [1, mc]
     out_ref[0] = dist.astype(jnp.int32)
 

@@ -17,6 +17,12 @@ serialized anyway):
          params: no_repeat=0|1, greedy=0|1, randomize=FLOAT (percent),
                  seed=INT, tint=FLOAT (0..1), downsample=INT
 
+Hardening: `--warmup WxH` pre-jits the expected request shape at startup
+(first-request compile cost moves to startup); bodies beyond
+`--max-request-bytes` get 413 before the body is read; outputs beyond
+`--stream-threshold` bytes are returned as HTTP/1.1 chunked PNG streams
+encoded band-by-band (peak host memory stays one band, gigapixel-safe).
+
 Request semantics match the CLI exactly (same renderers, same quirks —
 the tint path composites over the *pre-downsample* source like
 main.rs:450). Errors return JSON with a 4xx/5xx status.
@@ -88,7 +94,7 @@ class MosaicService:
             f"tile size {tile_size}"
         )
 
-    def render_bytes(
+    def render_plan(
         self,
         source_bytes: bytes,
         *,
@@ -98,18 +104,29 @@ class MosaicService:
         seed: int = 0,
         tint: float = 0.0,
         downsample: int = 1,
-    ) -> bytes:
-        """Source image bytes -> mosaic PNG bytes (CLI semantics)."""
+        stream_threshold: int = 1 << 30,
+    ):
+        """Source image bytes -> ("buffer", png_bytes) for small outputs,
+        or ("stream", out_w, out_h, band_iter) for outputs larger than
+        `stream_threshold` bytes (band_iter yields tinted [h, W, 3] u8
+        bands top-to-bottom; the caller PNG-encodes them incrementally —
+        a gigapixel response never materializes in host RAM). CLI
+        semantics throughout (same renderers, same quirks)."""
         from emosaic_tpu.cli import preprocess_source
 
         original = Image.open(io.BytesIO(source_bytes))
         src = preprocess_source(original, max(1, downsample), self.dim)
         if src.shape[0] < self.dim or src.shape[1] < self.dim:
             raise ValueError("source too small for this mode after rounding")
+        vtiles = src.shape[0] // self.dim
+        htiles = src.shape[1] // self.dim
+        out_h = vtiles * self.tile_size
+        out_w = htiles * self.tile_size
+        streaming = out_h * out_w * 3 > stream_threshold or self.stack is None
         if no_repeat and not greedy:
             out = render_nto1_no_repeat(
                 src, self.tile_set, self.tile_size, stack=self.stack,
-                log=self.log,
+                compose=not streaming, log=self.log,
             )
         else:
             out = render_nto1(
@@ -118,19 +135,129 @@ class MosaicService:
                 randomize=randomize,
                 seed=seed,
                 stack=self.stack,
+                compose=not streaming,
                 log=self.log,
             )
-        image = out.image
-        if tint > 0.0:
-            original_rgb = np.asarray(original.convert("RGB"), dtype=np.uint8)
-            image = tint_blend(image, original_rgb, tint)
+        if not streaming:
+            image = out.image
+            if tint > 0.0:
+                original_rgb = np.asarray(
+                    original.convert("RGB"), dtype=np.uint8
+                )
+                image = tint_blend(image, original_rgb, tint)
+            buf = io.BytesIO()
+            Image.fromarray(np.asarray(image, dtype=np.uint8)).save(buf, "PNG")
+            return ("buffer", buf.getvalue())
+
+        from emosaic_tpu.ops.composite import (
+            iter_bands,
+            iter_bands_host,
+            tint_blend_band,
+        )
+
+        band_rows = max(
+            1, (256 << 20) // (htiles * self.tile_size**2 * 3)
+        )
+        if self.stack is None:
+            bands = iter_bands_host(
+                out.items, out.tile_set, self.tile_size, band_rows=band_rows
+            )
+        else:
+            bands = iter_bands(out.items, self.stack, band_rows=band_rows)
+        original_rgb = (
+            np.asarray(original.convert("RGB"), dtype=np.uint8)
+            if tint > 0.0
+            else None
+        )
+
+        def tinted():
+            y0 = 0
+            for band in bands:
+                if original_rgb is not None:
+                    band = tint_blend_band(band, original_rgb, y0, out_h, tint)
+                y0 += band.shape[0]
+                yield band
+
+        return ("stream", out_w, out_h, tinted())
+
+    def render_bytes(self, source_bytes: bytes, **opts) -> bytes:
+        """Source image bytes -> mosaic PNG bytes (buffered; see
+        render_plan for the streamed variant). When the tile stack is too
+        big for memory the plan streams regardless — the bands are then
+        PNG-encoded into a buffer here."""
+        opts.pop("stream_threshold", None)
+        plan = self.render_plan(source_bytes, stream_threshold=1 << 62, **opts)
+        if plan[0] == "buffer":
+            return plan[1]
+        from emosaic_tpu.io.codecs import StreamingPNGWriter
+
+        _, out_w, out_h, bands = plan
         buf = io.BytesIO()
-        Image.fromarray(np.asarray(image, dtype=np.uint8)).save(buf, "PNG")
+        with StreamingPNGWriter(buf, out_w, out_h) as w:
+            for band in bands:
+                w.write_band(band)
         return buf.getvalue()
 
+    def warmup(self, width: int, height: int, *, no_repeat: bool = False):
+        """Pre-jit the kernels for a WxH request shape (VERDICT r2 #4):
+        the first compile of the big kernels costs minutes on a fresh
+        process; running one synthetic request at startup moves that cost
+        out of the first user request."""
+        import time
 
-def _make_handler(service: MosaicService):
+        y, x = np.mgrid[0:height, 0:width]
+        grad = np.stack(
+            [
+                (x * 255 // max(1, width - 1)),
+                (y * 255 // max(1, height - 1)),
+                ((x + y) * 255 // max(2, width + height - 2)),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(grad).save(buf, "PNG")
+        t0 = time.perf_counter()
+        self.render_bytes(buf.getvalue())
+        if no_repeat:
+            self.render_bytes(buf.getvalue(), no_repeat=True)
+        self.log(
+            f"warmup {width}x{height}"
+            f"{' (+no-repeat)' if no_repeat else ''}: "
+            f"{time.perf_counter() - t0:.1f}s"
+        )
+
+
+class _ChunkedWriter:
+    """File-like over an HTTP/1.1 chunked response body."""
+
+    def __init__(self, wfile):
+        self._w = wfile
+
+    def write(self, data) -> int:
+        if not data:
+            return 0
+        self._w.write(b"%x\r\n" % len(data))
+        self._w.write(bytes(data))
+        self._w.write(b"\r\n")
+        return len(data)
+
+    def flush(self) -> None:
+        self._w.flush()
+
+    def finish(self) -> None:
+        self._w.write(b"0\r\n\r\n")
+        self._w.flush()
+
+
+def _make_handler(
+    service: MosaicService,
+    *,
+    max_request_bytes: int = 64 << 20,
+    stream_threshold: int = 1 << 30,
+):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # required for chunked responses
+
         def log_message(self, fmt, *args):  # route to service log
             service.log(f"[serve] {fmt % args}")
 
@@ -168,8 +295,19 @@ def _make_handler(service: MosaicService):
                 n = int(self.headers.get("Content-Length") or 0)
                 if n <= 0:
                     raise ValueError("empty request body (expected image bytes)")
+                if n > max_request_bytes:
+                    # refuse before reading the body (VERDICT r2 #4)
+                    self._json(
+                        413,
+                        {
+                            "error": f"request body {n} bytes exceeds the "
+                            f"{max_request_bytes}-byte limit"
+                        },
+                    )
+                    self.close_connection = True  # unread body on the wire
+                    return
                 body = self.rfile.read(n)
-                png = service.render_bytes(
+                plan = service.render_plan(
                     body,
                     no_repeat=q.get("no_repeat", "0") == "1",
                     greedy=q.get("greedy", "0") == "1",
@@ -179,6 +317,7 @@ def _make_handler(service: MosaicService):
                     seed=int(q.get("seed", "0")),
                     tint=float(q.get("tint", "0")),
                     downsample=int(q.get("downsample", "1")),
+                    stream_threshold=stream_threshold,
                 )
             except ValueError as e:
                 self._json(400, {"error": str(e)})
@@ -187,7 +326,30 @@ def _make_handler(service: MosaicService):
                 service.log(f"[serve] request failed: {type(e).__name__}: {e}")
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            self._send(200, png, "image/png")
+            if plan[0] == "buffer":
+                self._send(200, plan[1], "image/png")
+                return
+            # large output: encode bands straight onto the socket as an
+            # HTTP/1.1 chunked PNG — peak host memory stays one band
+            from emosaic_tpu.io.codecs import StreamingPNGWriter
+
+            _, out_w, out_h, bands = plan
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            sink = _ChunkedWriter(self.wfile)
+            try:
+                with StreamingPNGWriter(sink, out_w, out_h) as w:
+                    for band in bands:
+                        w.write_band(band)
+                sink.finish()
+            except Exception as e:  # noqa: BLE001 — headers already sent:
+                # the truncated chunked stream tells the client it failed
+                service.log(
+                    f"[serve] stream aborted: {type(e).__name__}: {e}"
+                )
+                self.close_connection = True
 
     return Handler
 
@@ -208,6 +370,32 @@ def main(argv=None) -> int:
     p.add_argument("--max-stack-bytes", type=int, default=8 << 30)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8040)
+    p.add_argument(
+        "--warmup",
+        metavar="WxH",
+        default=None,
+        help="Pre-jit the kernels for this request shape at startup "
+        "(e.g. 1024x768) so the first request skips the compile cost",
+    )
+    p.add_argument(
+        "--warmup-no-repeat",
+        action="store_true",
+        help="Also warm the no-repeat scoring/assignment path",
+    )
+    p.add_argument(
+        "--max-request-bytes",
+        type=int,
+        default=64 << 20,
+        help="Largest accepted request body; beyond it the service "
+        "responds 413 without reading the body",
+    )
+    p.add_argument(
+        "--stream-threshold",
+        type=int,
+        default=1 << 30,
+        help="Output byte size above which responses are chunked PNG "
+        "streams (peak host memory stays one band)",
+    )
     args = p.parse_args(argv)
 
     service = MosaicService(
@@ -219,7 +407,20 @@ def main(argv=None) -> int:
         force=args.force,
         max_stack_bytes=args.max_stack_bytes,
     )
-    server = HTTPServer((args.host, args.port), _make_handler(service))
+    if args.warmup:
+        try:
+            w, h = (int(v) for v in args.warmup.lower().split("x"))
+        except ValueError:
+            p.error("--warmup expects WxH, e.g. 1024x768")
+        service.warmup(w, h, no_repeat=args.warmup_no_repeat)
+    server = HTTPServer(
+        (args.host, args.port),
+        _make_handler(
+            service,
+            max_request_bytes=args.max_request_bytes,
+            stream_threshold=args.stream_threshold,
+        ),
+    )
     print(
         f"serving on http://{args.host}:{server.server_address[1]}",
         file=sys.stderr,

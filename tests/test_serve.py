@@ -136,3 +136,78 @@ def test_http_randomize_seed_deterministic(server):
     a, b, c = fetch(7), fetch(7), fetch(8)
     assert (a == b).all()  # same seed -> identical
     assert a.shape == c.shape
+
+
+def test_http_413_request_cap(scene):
+    tiles, src_bytes, _ = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    httpd = HTTPServer(
+        ("127.0.0.1", 0), _make_handler(svc, max_request_bytes=100)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/mosaic", data=src_bytes, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 413
+        assert "exceeds" in json.loads(e.value.read())["error"]
+    finally:
+        httpd.shutdown()
+
+
+def test_http_chunked_stream_matches_buffered(scene):
+    """A tiny stream_threshold forces the chunked band-streamed PNG path;
+    pixels must equal the buffered response."""
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    httpd = HTTPServer(
+        ("127.0.0.1", 0), _make_handler(svc, stream_threshold=1)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/mosaic?tint=0.5", data=src_bytes, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            assert r.headers.get("Content-Length") is None
+            got = np.asarray(Image.open(io.BytesIO(r.read())).convert("RGB"))
+    finally:
+        httpd.shutdown()
+    ref = np.asarray(
+        Image.open(io.BytesIO(svc.render_bytes(src_bytes, tint=0.5))).convert(
+            "RGB"
+        )
+    )
+    assert (got == ref).all()
+
+
+def test_warmup_smoke(scene):
+    tiles, src_bytes, _ = scene
+    msgs = []
+    svc = MosaicService(tiles, "1", 8, log=lambda *a: msgs.append(a))
+    svc.warmup(24, 16)
+    assert any("warmup 24x16" in str(m) for m in msgs)
+    # warmed service still renders normally
+    png = svc.render_bytes(src_bytes)
+    assert png[:4] == b"\x89PNG"
+
+
+def test_streaming_png_writer_filelike_sink(rng):
+    """StreamingPNGWriter must accept a file-like sink and not close it."""
+    from emosaic_tpu.io.codecs import StreamingPNGWriter
+
+    img = rng.integers(0, 256, size=(12, 7, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    with StreamingPNGWriter(buf, 7, 12) as w:
+        w.write_band(img[:5])
+        w.write_band(img[5:])
+    assert not buf.closed
+    got = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    assert (got == img).all()

@@ -1,0 +1,414 @@
+#!/usr/bin/env python3
+"""Beyond-reference scale proof (VERDICT r2 #1) + on-chip validation of
+the round-3 changes, batched into ONE device process (CLAUDE.md rule 4).
+
+Phases (each guarded; partial results land in SCALE_r03.json as they
+complete):
+  A. no-repeat at a 100k-tile library (200k flip rows), uniform-random
+     worst case: two-level certified scoring + stripe fallback, then C++
+     global-greedy assignment end-to-end with uniqueness verification.
+     The reference hard-caps at 32 767 tiles (tileset.rs:178-183,
+     main.rs:791) — this demonstrates the repo's central beyond-cap claim.
+  B. same shape on clusterable data: the adaptive certified scorer.
+  C. mode-16-class scale (D=768): the zero-padded DMA rescore route
+     (round-3 change) vs the direct two-level scorer — parity + timing.
+  D. mode-1 LUT built from >200k rows + parity vs the exact dense kernel
+     on sampled lattice colors, and packed-match timing at that size.
+  E. tint bit-exactness ON-CHIP: all 256 alphas x 65536 channel pairs vs
+     the host scalar port of image-0.25.2 Rgba::blend.
+  F. `_l1_rows_dma` mid-D (768->1024 zero-pad) parity on the real chip.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from emosaic_tpu.ops.distance import (  # noqa: E402
+    _ad_coarse_jit,
+    _ad_rescore_jit,
+    _l1_rows_dma,
+    _l1_topk_stripes_jit,
+    _l1_topk_twolevel_jit,
+    _rows_dma_mc,
+    I32_MAX,
+)
+
+_T0 = time.time()
+RESULTS: dict = {}
+OUT = "/root/repo/SCALE_r03.json"
+
+
+def log(msg):
+    print(f"[scale {time.time() - _T0:6.1f}s] {msg}", flush=True)
+
+
+def save(phase, data):
+    RESULTS[phase] = data
+    with open(OUT, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    log(f"phase {phase}: {json.dumps(data)}")
+
+
+def sync(x):
+    jax.device_get(x.ravel()[0])
+
+
+B, T, D, K = 16384, 100_000, 3072, 512
+L = 2 * T
+LP = -(-L // 128) * 128
+
+
+def phase_a():
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    blocks_d = jax.random.randint(k1, (B, D), 0, 256, dtype=jnp.uint8)
+    lib_d = jax.random.randint(k2, (L, D), 0, 256, dtype=jnp.uint8)
+    lib_pad = jnp.pad(lib_d, ((0, LP - L), (0, 0)))
+    sync(blocks_d)
+    sync(lib_pad)
+    log("A inputs ready")
+
+    def run_score():
+        return _l1_topk_twolevel_jit(
+            blocks_d.reshape(-1), lib_pad.reshape(-1),
+            d=D, bc=128, k=K, real_l=L, cap=8,
+        )
+
+    fb_rows = 1024
+
+    def run_fallback(idx):
+        idxp = np.zeros(fb_rows, np.int32)
+        idxp[: idx.size] = idx
+        bb = blocks_d[jnp.asarray(idxp)]
+        return _l1_topk_stripes_jit(
+            bb.reshape(-1), lib_d.reshape(-1), d=D, bc=128, k=K, real_l=L
+        )
+
+    cd_dev, cr_dev, ok_dev = run_score()
+    sync(cd_dev)
+    log("A two-level warm")
+    sync(run_fallback(np.arange(4))[0])
+    log("A fallback warm")
+    t0 = time.perf_counter()
+    cd_dev, cr_dev, ok_dev = run_score()
+    sync(cd_dev)
+    ok = np.asarray(jax.device_get(ok_dev))
+    bad = np.flatnonzero(~ok)
+    fb_d = fb_r = None
+    if bad.size:
+        capped = bad[:fb_rows]
+        fb_d, fb_r = run_fallback(capped)
+        sync(fb_d)
+    score_s = time.perf_counter() - t0
+    log(f"A scoring {score_s:.2f}s certified {B - bad.size}/{B}")
+
+    cd = np.asarray(jax.device_get(cd_dev)).copy()
+    cr = np.asarray(jax.device_get(cr_dev)).copy()
+    if bad.size:
+        use = bad[:fb_rows]
+        cd[use] = np.asarray(jax.device_get(fb_d))[: use.size]
+        cr[use] = np.asarray(jax.device_get(fb_r))[: use.size]
+    blocks_np = np.asarray(jax.device_get(blocks_d))
+    lib_np = np.asarray(jax.device_get(lib_d))
+    from emosaic_tpu import native
+
+    t0 = time.perf_counter()
+    rows, dists = native.greedy_global(cd, cr, blocks_np, lib_np, T)
+    assign_s = time.perf_counter() - t0
+    assigned = int((rows >= 0).sum())
+    uniq_tiles = len({int(r) % T for r in rows if r >= 0})
+    # exactness spot check: 16 random blocks' best distances vs brute
+    # numpy (looped; a broadcasted [64, 200k, 3072] would be 157 GB)
+    idx = np.random.default_rng(0).integers(0, B, 16)
+    lib16 = lib_np.astype(np.int16)
+    brute = np.array(
+        [
+            np.abs(blocks_np[i].astype(np.int16) - lib16)
+            .sum(-1, dtype=np.int64)
+            .min()
+            for i in idx
+        ]
+    )
+    del lib16
+    exact_ok = bool((cd[idx, 0] == brute).all())
+    save(
+        "A_worstcase_200k",
+        {
+            "B": B, "L": L, "D": D, "k": K,
+            "score_s": round(score_s, 2),
+            "certified": int(B - bad.size),
+            "fallback_rows": int(bad.size),
+            "assign_s": round(assign_s, 2),
+            "assigned": assigned,
+            "unique_tiles": uniq_tiles,
+            "all_unique": uniq_tiles == assigned,
+            "top1_exact_sample64": exact_ok,
+        },
+    )
+    return blocks_np  # reused nowhere; return to drop device refs cleanly
+
+
+def phase_b():
+    nc = D // 3
+    key = jax.random.PRNGKey(11)
+    kc, km, kb, kn = jax.random.split(key, 4)
+    colors = jax.random.randint(kc, (L, 3), 0, 256, dtype=jnp.int32)
+    tex = jax.random.randint(km, (L, D), -10, 11, dtype=jnp.int32)
+    lib = jnp.clip(jnp.tile(colors, (1, nc)) + tex, 0, 255).astype(jnp.uint8)
+    pick = jax.random.randint(kb, (B,), 0, L, dtype=jnp.int32)
+    bn = jax.random.randint(kn, (B, D), -6, 7, dtype=jnp.int32)
+    blocks = jnp.clip(lib[pick].astype(jnp.int32) + bn, 0, 255).astype(jnp.uint8)
+    libp = jnp.pad(lib, ((0, LP - L), (0, 0)))
+    sync(blocks)
+    sync(libp)
+    bf, lf = blocks.reshape(-1), libp.reshape(-1)
+    log("B inputs ready")
+
+    def run():
+        vals, cols, s_min = _ad_coarse_jit(
+            bf, lf, d=D, g=32, chan=True, bc=128, cap=16, real_l=L
+        )
+        return _ad_rescore_jit(
+            bf, vals, cols, s_min, lf,
+            d=D, bc=64, m=1024, k=K, real_l=L, use_dma=True,
+        )
+
+    cd, cr, ok = run()
+    sync(cd)
+    log("B adaptive warm")
+    t0 = time.perf_counter()
+    cd, cr, ok = run()
+    sync(cd)
+    certified = int(np.asarray(jax.device_get(ok)).sum())
+    score_s = time.perf_counter() - t0
+    save(
+        "B_adaptive_200k",
+        {
+            "B": B, "L": L, "D": D, "k": K,
+            "score_s": round(score_s, 2),
+            "certified": certified,
+        },
+    )
+
+
+def phase_c():
+    d16, l16 = 768, 65534
+    lp16 = -(-l16 // 128) * 128
+    nc = d16 // 3
+    key = jax.random.PRNGKey(21)
+    kc, km, kb, kn = jax.random.split(key, 4)
+    colors = jax.random.randint(kc, (l16, 3), 0, 256, dtype=jnp.int32)
+    tex = jax.random.randint(km, (l16, d16), -10, 11, dtype=jnp.int32)
+    lib = jnp.clip(jnp.tile(colors, (1, nc)) + tex, 0, 255).astype(jnp.uint8)
+    pick = jax.random.randint(kb, (B,), 0, l16, dtype=jnp.int32)
+    bn = jax.random.randint(kn, (B, d16), -6, 7, dtype=jnp.int32)
+    blocks = jnp.clip(lib[pick].astype(jnp.int32) + bn, 0, 255).astype(
+        jnp.uint8
+    )
+    libp = jnp.pad(lib, ((0, lp16 - l16), (0, 0)))
+    sync(blocks)
+    sync(libp)
+    bf, lf = blocks.reshape(-1), libp.reshape(-1)
+    log("C inputs ready")
+
+    def run_ad():
+        vals, cols, s_min = _ad_coarse_jit(
+            bf, lf, d=d16, g=32, chan=True, bc=128, cap=16, real_l=l16
+        )
+        return _ad_rescore_jit(
+            bf, vals, cols, s_min, lf,
+            d=d16, bc=64, m=1024, k=K, real_l=l16, use_dma=True,
+        )
+
+    def run_tl():
+        return _l1_topk_twolevel_jit(
+            bf, lf, d=d16, bc=128, k=K, real_l=l16, cap=8
+        )
+
+    ad, ar, ok = run_ad()
+    sync(ad)
+    log("C adaptive(DMA, padded 768->1024) warm")
+    t0 = time.perf_counter()
+    ad, ar, ok = run_ad()
+    sync(ad)
+    ad_s = time.perf_counter() - t0
+    certified = int(np.asarray(jax.device_get(ok)).sum())
+    td, tr, tok = run_tl()
+    sync(td)
+    log("C two-level warm")
+    t0 = time.perf_counter()
+    td, tr, tok = run_tl()
+    sync(td)
+    tl_s = time.perf_counter() - t0
+    # parity on certified rows of both scorers (top-k lists are exact
+    # there by construction; compare a 2048-row slice fully)
+    okb = np.asarray(jax.device_get(ok)) & np.asarray(jax.device_get(tok))
+    sel = np.flatnonzero(okb)[:2048]
+    eq = bool(
+        (np.asarray(jax.device_get(ad))[sel] == np.asarray(jax.device_get(td))[sel]).all()
+        and (np.asarray(jax.device_get(ar))[sel] == np.asarray(jax.device_get(tr))[sel]).all()
+    )
+    save(
+        "C_mode16_dma",
+        {
+            "B": B, "L": l16, "D": d16, "k": K,
+            "adaptive_dma_s": round(ad_s, 2),
+            "certified": certified,
+            "twolevel_s": round(tl_s, 2),
+            "parity_2048_rows": eq,
+        },
+    )
+
+
+def phase_d():
+    from emosaic_tpu.ops.lut import _build_l1_lut_jit, _lut_match_packed_jit
+    from emosaic_tpu.ops.distance import l1_argmin_xla
+
+    t_big = 100_001
+    rows_n = 2 * t_big + 2  # beyond 200k rows, odd on purpose
+    key = jax.random.PRNGKey(31)
+    lib = jax.random.randint(key, (rows_n, 3), 0, 256, dtype=jnp.uint8)
+    sync(lib)
+    t0 = time.perf_counter()
+    lut = _build_l1_lut_jit(lib.astype(jnp.int32))
+    sync(lut)
+    build_s = time.perf_counter() - t0
+    log(f"D LUT built over {rows_n} rows in {build_s:.2f}s (cold incl. compile)")
+    # parity: 8192 random lattice colors, exact dense argmin vs LUT
+    kq = jax.random.PRNGKey(32)
+    q = jax.random.randint(kq, (8192, 3), 0, 256, dtype=jnp.uint8)
+    packed = (
+        q[:, 0].astype(jnp.int32)
+        | (q[:, 1].astype(jnp.int32) << 8)
+        | (q[:, 2].astype(jnp.int32) << 16)
+    )
+    ld, lr = _lut_match_packed_jit(packed, lut)
+    ed, er = l1_argmin_xla(q, lib)
+    match = bool(
+        (np.asarray(jax.device_get(lr)) == np.asarray(jax.device_get(er))).all()
+        and (np.asarray(jax.device_get(ld)) == np.asarray(jax.device_get(ed))).all()
+    )
+    # packed-match rate at 16.7M queries over this 200k-row LUT
+    kq2 = jax.random.PRNGKey(33)
+    big = jax.random.randint(kq2, (4096 * 4096,), 0, 1 << 24, dtype=jnp.int32)
+    sync(big)
+    _, r0 = _lut_match_packed_jit(big, lut)
+    sync(r0)
+
+    def run(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = _lut_match_packed_jit(big, lut)[1]
+        sync(out)
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(2))
+    t2 = min(run(3) for _ in range(2))
+    match_s = max((t2 - t1) / 2, 1e-9)
+    save(
+        "D_lut_200k",
+        {
+            "rows": rows_n,
+            "build_cold_s": round(build_s, 2),
+            "parity_8192": match,
+            "match_16M_s": round(match_s, 3),
+        },
+    )
+
+
+def phase_e():
+    from emosaic_tpu.ops.composite import (
+        _tint_blend_2d,
+        ref_tint_blend_u8,
+        tint_scalars,
+    )
+
+    m = np.broadcast_to(np.arange(256, dtype=np.uint8)[:, None, None], (256, 256, 3))
+    s = np.broadcast_to(np.arange(256, dtype=np.uint8)[None, :, None], (256, 256, 3))
+    band = jnp.asarray(np.ascontiguousarray(m).reshape(256, 768))
+    src = jnp.asarray(np.ascontiguousarray(s).reshape(256, 768))
+    # host oracle for all alphas, uploaded once
+    ref = np.stack(
+        [ref_tint_blend_u8(m, s, a).reshape(256, 768) for a in range(256)]
+    )
+    ref_dev = jnp.asarray(ref)
+    sync(ref_dev)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("bump",))
+    def mismatches(scal, ref_a, bump):
+        out = _tint_blend_2d(band, src, scal, out_h=256, y0=0, bump=bump)
+        return (out != ref_a).sum()
+
+    total = None
+    for a in range(256):
+        scal = tint_scalars(a)
+        mm = mismatches(
+            jnp.asarray(scal), ref_dev[a],
+            bump=bool(scal[3] != np.float32(1.0)),
+        )
+        total = mm if total is None else total + mm
+    bad = int(jax.device_get(total))
+    save("E_tint_onchip", {"alphas": 256, "pairs": 65536, "mismatches": bad})
+
+
+def phase_f():
+    d, lp, b, m = 768, 1024, 256, 128
+    key = jax.random.PRNGKey(41)
+    k1, k2, k3 = jax.random.split(key, 3)
+    blocks = jax.random.randint(k1, (b, d), 0, 256, dtype=jnp.uint8)
+    libp = jax.random.randint(k2, (lp, d), 0, 256, dtype=jnp.uint8)
+    cand = jax.random.randint(k3, (b, m), 0, lp, dtype=jnp.int32)
+    mc = _rows_dma_mc(m, d)
+    got = _l1_rows_dma(blocks, cand, libp, mc=mc)
+    bn, ln, cn = (np.asarray(jax.device_get(x)) for x in (blocks, libp, cand))
+    ref = (
+        np.abs(bn.astype(np.int64)[:, None, :] - ln.astype(np.int64)[cn])
+        .sum(-1)
+        .astype(np.int32)
+    )
+    eq = bool((np.asarray(jax.device_get(got)) == ref).all())
+    save("F_rows_dma_pad_parity", {"d": d, "mc": mc, "exact": eq})
+
+
+def main():
+    import threading, os
+
+    def watchdog():
+        time.sleep(3000)
+        log("watchdog: 50 min elapsed; exiting with partial results")
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    sync(jnp.ones((8, 128)) * 2)  # tiny claim probe (CLAUDE.md rule 3)
+    log("probe ok")
+    for name, fn in [
+        ("F", phase_f),
+        ("E", phase_e),
+        ("C", phase_c),
+        ("A", phase_a),
+        ("B", phase_b),
+        ("D", phase_d),
+    ]:
+        try:
+            fn()
+        except Exception as e:  # keep going; partial results are useful
+            import traceback
+
+            traceback.print_exc()
+            save(f"{name}_error", {"error": repr(e)[:500]})
+    log("all phases done")
+
+
+if __name__ == "__main__":
+    main()
