@@ -184,7 +184,6 @@ def generate_mosaic_widget_with_options(
             f"""
         <div class="tile-region" style="left: {lp:.2f}%; top: {tp:.2f}%; width: {wp:.2f}%; height: {hp:.2f}%;"
              data-click-url="{_esc(click_url)}"
-             data-web="{'true' if web_compatible else 'false'}"
              data-tile-image="{_esc(tooltip_url)}"
              data-distance-info="{_esc(distance_info)}"
              data-date-info="{_esc(date_info)}"
@@ -205,8 +204,10 @@ def generate_mosaic_widget_with_options(
         f"""
         </div>
 
-        <!-- Year Filter (positioned dynamically) -->
-        <div id="year-filter-container" class="year-filter-container image-positioned">
+        <!-- Year filter: a fixed bottom pill here (the reference's
+             .image-positioned absolute box, widget.rs:399, is a recorded
+             styling deviation; the id stays as the stable DOM handle) -->
+        <div id="year-filter-container" class="year-filter-container">
             <label for="year-slider" class="year-filter-label">Year:</label>
             <div class="year-slider-wrapper">
                 <input type="range" id="year-slider" class="year-slider"
