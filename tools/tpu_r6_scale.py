@@ -392,6 +392,13 @@ def main():
     log(f"device: {dev.platform} {dev.device_kind}")
     sync(jnp.ones((8, 128)) * 2)  # tiny claim probe (CLAUDE.md rule 3)
     log("probe ok")
+    # preserve prior phases when re-running a subset (EMOSAIC_SCALE_PHASES)
+    sel = os.environ.get("EMOSAIC_SCALE_PHASES", "FECABD")
+    try:
+        with open(OUT) as f:
+            RESULTS.update(json.load(f))
+    except (OSError, ValueError):
+        pass
     for name, fn in [
         ("F", phase_f),
         ("E", phase_e),
@@ -400,6 +407,8 @@ def main():
         ("B", phase_b),
         ("D", phase_d),
     ]:
+        if name not in sel:
+            continue
         try:
             fn()
         except Exception as e:  # keep going; partial results are useful
