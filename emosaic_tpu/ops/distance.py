@@ -337,13 +337,11 @@ def _l1_argmin_stripes_jit(blocks_flat, lib_flat, *, d: int, bc: int, real_l: in
     col = jnp.arange(lib.shape[0], dtype=jnp.int32)
     invalid = col >= real_l
     ct = lib.astype(jnp.int32).sum(axis=1)
+    f32 = _stripe_f32_ok(lib.size)
+    lib_w = lib.astype(jnp.float32) if f32 else lib
 
     def per_chunk(xc):
-        s = (
-            jnp.minimum(xc[:, None, :], lib[None])
-            .astype(jnp.int32)
-            .sum(-1, dtype=jnp.int32)
-        )
+        s = _min_sum_stripe(xc, lib_w, f32)
         score = ct[None, :] - 2 * s
         score = jnp.where(invalid[None, :], _TL_BIG, score)
         row = jnp.argmin(score, axis=1).astype(jnp.int32)
@@ -421,6 +419,37 @@ _PALLAS_MAX_D = 256
 _ADAPTIVE_ARGMIN_ELEMS = 4 * 10**11
 _STRIPE_BC = 128
 
+#: run the stripe reduction in f32 when the one-time f32 library copy
+#: fits this budget: the v5e VPU runs f32 min/add lanes ~1.5x its i32
+#: lanes (measured 7.2 vs 4.75 T lane-ops/s, tools/tpu_r8b_alu.py;
+#: full stripe 1.54 vs 0.99 T elem/s, tools/tpu_r8_stripe16.py F).
+#: Exact: operands are u8-valued, every partial sum < 2^24. i16/i8
+#: accumulation measured SLOWER (no narrow-int lane packing on v5e) —
+#: that closes STATUS limitation 2's "attack the remaining 2x".
+_STRIPE_F32_MAX_BYTES = 3 << 30
+
+
+def _stripe_f32_ok(lib_elems: int) -> bool:
+    return lib_elems * 4 <= _STRIPE_F32_MAX_BYTES
+
+
+def _min_sum_stripe(xc, lib_w, f32: bool):
+    """sum_d min(x, t) for one block chunk against the whole library
+    (the stripe inner loop; XLA fuses it — [bc, L, D] never exists).
+    When f32=True, `lib_w` must be the f32 library copy (materialized
+    once outside the chunk loop)."""
+    if f32:
+        return (
+            jnp.minimum(xc.astype(jnp.float32)[:, None, :], lib_w[None])
+            .sum(-1, dtype=jnp.float32)
+            .astype(jnp.int32)
+        )
+    return (
+        jnp.minimum(xc[:, None, :], lib_w[None])
+        .astype(jnp.int32)
+        .sum(-1, dtype=jnp.int32)
+    )
+
 
 @functools.partial(jax.jit, static_argnames=("d", "bc", "k", "real_l"))
 def _l1_topk_stripes_jit(blocks_flat, lib_flat, *, d, bc, k, real_l):
@@ -428,14 +457,22 @@ def _l1_topk_stripes_jit(blocks_flat, lib_flat, *, d, bc, k, real_l):
     lib = lib_flat.reshape(-1, d)
     col = jnp.arange(lib.shape[0], dtype=jnp.int32)
     invalid = col >= real_l
+    # min-identity form (see _l1_argmin_stripes_jit): score ordering ==
+    # distance ordering per row (cx is a per-block constant), so top_k on
+    # the score keeps the lowest-column tie rule and the true distance is
+    # recovered as score + cx
+    ct = lib.astype(jnp.int32).sum(axis=1)
+    f32 = _stripe_f32_ok(lib.size)
+    lib_w = lib.astype(jnp.float32) if f32 else lib
 
     def per_chunk(xc):
-        dist = jnp.abs(
-            xc.astype(jnp.int32)[:, None, :] - lib.astype(jnp.int32)[None]
-        ).sum(-1, dtype=jnp.int32)  # fused: [bc, L] never holds [bc, L, D]
-        dist = jnp.where(invalid[None, :], I32_MAX, dist)
-        nd, ni = jax.lax.top_k(-dist, k)  # ties -> lowest column index
-        return -nd, ni
+        s = _min_sum_stripe(xc, lib_w, f32)
+        score = ct[None, :] - 2 * s
+        score = jnp.where(invalid[None, :], _TL_BIG, score)
+        nd, ni = jax.lax.top_k(-score, k)  # ties -> lowest column index
+        cx = xc.astype(jnp.int32).sum(-1)
+        dist = jnp.where(-nd >= _TL_BIG, I32_MAX, -nd + cx[:, None])
+        return dist, ni
 
     nb = blocks.shape[0] // bc
     dists, rows = jax.lax.map(per_chunk, blocks.reshape(nb, bc, d))
@@ -844,13 +881,11 @@ def _l1_topk_twolevel_jit(
     # (ties included), and the stripe drops one VPU op per element
     # (measured ~5% at D=3072, tools/tpu_r3_experiments2.py D1).
     ct = lib.astype(jnp.int32).sum(axis=1)
+    f32 = _stripe_f32_ok(lib.size)
+    lib_w = lib.astype(jnp.float32) if f32 else lib
 
     def per_chunk(xc):
-        s = (
-            jnp.minimum(xc[:, None, :], lib[None])
-            .astype(jnp.int32)
-            .sum(-1, dtype=jnp.int32)
-        )  # fused stripe: [bc, L]
+        s = _min_sum_stripe(xc, lib_w, f32)  # fused stripe: [bc, L]
         score = ct[None, :] - 2 * s
         score = jnp.where(invalid[None, :], _TL_BIG, score)
         seg = score.reshape(bc, nseg, _TL_SEG)
@@ -1015,11 +1050,19 @@ def _ad_coarse_jit(blocks_flat, lib_pad_flat, *, d, g, chan, bc, cap, real_l):
     col = jnp.arange(lp, dtype=jnp.int32)
     invalid = col >= real_l
     cl = _ad_project(libp, d, g, chan)
+    # f32 abs-diff stripe over the projected values (exact: group sums
+    # <= g*255 and row sums < 2^24; ~1.5x the i32 lane rate, see
+    # _STRIPE_F32_MAX_BYTES note) — the projected library is small
+    clf = cl.astype(jnp.float32)
     seg_base = jnp.arange(nseg, dtype=jnp.int32)[None, :, None]
 
     def per_chunk(xc):
-        cb = _ad_project(xc, d, g, chan)
-        dist = jnp.abs(cb[:, None, :] - cl[None]).sum(-1, dtype=jnp.int32)
+        cb = _ad_project(xc, d, g, chan).astype(jnp.float32)
+        dist = (
+            jnp.abs(cb[:, None, :] - clf[None])
+            .sum(-1, dtype=jnp.float32)
+            .astype(jnp.int32)
+        )
         dist = jnp.where(invalid[None, :], _TL_BIG, dist)
         # [bc, w, nseg] -> [bc, nseg, w]: element [i, s, k] = col k*nseg+s
         seg = jnp.swapaxes(dist.reshape(bc, w, nseg), 1, 2)
