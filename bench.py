@@ -128,18 +128,18 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 33703.4,
+    "value": 41772.3,
     "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match+composite "
-    "0.510s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
+    "0.411s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
     "fields) [CACHED measurement from 2026-08-17 — live run hit a "
     "device-claim hang]",
-    "vs_baseline": 3.92,
-    "match_s": 0.0959,
-    "composite_band_ms": 3.23,
-    "total_s": 0.510,
-    "score_worst_s": 3.74,
-    "score_adaptive_s": 0.72,
-    "assign_s": 0.02,
+    "vs_baseline": 4.86,
+    "match_s": 0.0948,
+    "composite_band_ms": 2.472,
+    "total_s": 0.4113,
+    "score_worst_s": 2.703,
+    "score_adaptive_s": 0.659,
+    "assign_s": 0.114,
     "certified": 16384,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
