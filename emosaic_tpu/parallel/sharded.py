@@ -31,7 +31,22 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from emosaic_tpu.ops.analysis import _analyse_batch_jit
-from emosaic_tpu.ops.distance import I32_MAX, _pad_topk
+from emosaic_tpu.ops.distance import I32_MAX, _pad_topk, _stripe_f32_ok
+
+
+def _absdiff_stripe(bc, lib_w, f32: bool):
+    """Per-shard |x-t| stripe; f32 lanes run ~1.5x i32 on v5e (see
+    ops.distance._STRIPE_F32_MAX_BYTES) and are exact here (u8-valued
+    operands, row sums < 2^24) — results are bit-identical either way."""
+    if f32:
+        return (
+            jnp.abs(bc.astype(jnp.float32)[:, None, :] - lib_w[None])
+            .sum(axis=-1, dtype=jnp.float32)
+            .astype(jnp.int32)
+        )
+    return jnp.abs(bc.astype(jnp.int32)[:, None, :] - lib_w[None]).sum(
+        axis=-1, dtype=jnp.int32
+    )
 
 
 def _pad_rows_with_first(x: jax.Array, multiple: int) -> jax.Array:
@@ -52,15 +67,14 @@ def _local_l1_argmin(blocks: jax.Array, lib: jax.Array):
     """
     b, d = blocks.shape
     l = lib.shape[0]
-    li = lib.astype(jnp.int32)
+    f32 = _stripe_f32_ok(lib.size)
+    li = lib.astype(jnp.float32 if f32 else jnp.int32)
     chunk = max(1, min(b, (2**24) // max(1, l * d)))
     bp = -(-b // chunk) * chunk
     blocks_p = jnp.pad(blocks, ((0, bp - b), (0, 0)))
 
     def per_chunk(bc):
-        dist = jnp.abs(bc.astype(jnp.int32)[:, None, :] - li[None, :, :]).sum(
-            axis=-1, dtype=jnp.int32
-        )
+        dist = _absdiff_stripe(bc, li, f32)
         arg = jnp.argmin(dist, axis=1).astype(jnp.int32)
         return jnp.take_along_axis(dist, arg[:, None], axis=1)[:, 0], arg
 
@@ -208,7 +222,8 @@ def _local_l1_topk(blocks, lib, k: int, row_offset, real_l: int, ls: int):
     lax.top_k prefers lower indices on ties, which are lower global rows.
     """
     b, d = blocks.shape
-    li = lib.astype(jnp.int32)
+    f32 = _stripe_f32_ok(lib.size)
+    li = lib.astype(jnp.float32 if f32 else jnp.int32)
     col = jnp.arange(ls, dtype=jnp.int32)
     invalid = (row_offset + col) >= real_l
     chunk = max(1, min(b, (2**24) // max(1, ls)))
@@ -216,9 +231,7 @@ def _local_l1_topk(blocks, lib, k: int, row_offset, real_l: int, ls: int):
     blocks_p = jnp.pad(blocks, ((0, bp - b), (0, 0)))
 
     def per_chunk(bc):
-        dist = jnp.abs(bc.astype(jnp.int32)[:, None, :] - li[None]).sum(
-            axis=-1, dtype=jnp.int32
-        )
+        dist = _absdiff_stripe(bc, li, f32)
         dist = jnp.where(invalid[None, :], I32_MAX, dist)
         nd, ni = jax.lax.top_k(-dist, k)
         return -nd, row_offset + ni
