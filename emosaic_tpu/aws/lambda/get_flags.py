@@ -2,15 +2,21 @@
 
 Route: POST /tiles/flags with body {"tileHashes": [...]}; at most 100
 hashes per request (get_flags.py:27-28). Returns {"flags": {hash: bool}}.
+
+Shares the daily-quota enforcement with toggle_flag (the reference's
+UsagePlan quota, api-gateway.yaml:166-168, applies to the whole API).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 
 MAX_HASHES = 100
+DAILY_QUOTA = int(os.environ.get("DAILY_QUOTA", "1000"))
 _TABLE = None
+_RATE_TABLE = None
 
 
 def _table():
@@ -21,6 +27,35 @@ def _table():
         env = os.environ.get("ENVIRONMENT", "prod")
         _TABLE = boto3.resource("dynamodb").Table(f"{env}-tile-flags")
     return _TABLE
+
+
+def _rate_table():
+    global _RATE_TABLE
+    if _RATE_TABLE is None:
+        import boto3
+
+        env = os.environ.get("ENVIRONMENT", "prod")
+        _RATE_TABLE = boto3.resource("dynamodb").Table(f"{env}-rate-limits")
+    return _RATE_TABLE
+
+
+def _check_daily_quota(event: dict) -> bool:
+    headers = {k.lower(): v for k, v in (event.get("headers") or {}).items()}
+    ctx = event.get("requestContext", {})
+    identity = ctx.get("identity", {}) or ctx.get("http", {})
+    scope = headers.get("x-api-key") or identity.get("sourceIp", "unknown")
+    now = int(time.time())
+    day = time.strftime("%Y%m%d", time.gmtime(now))
+    resp = _rate_table().update_item(
+        Key={"key": f"quota#{scope}#{day}"},
+        UpdateExpression=(
+            "ADD #n :one SET expiresAt = if_not_exists(expiresAt, :exp)"
+        ),
+        ExpressionAttributeNames={"#n": "n"},
+        ExpressionAttributeValues={":one": 1, ":exp": now + 2 * 86400},
+        ReturnValues="UPDATED_NEW",
+    )
+    return int(resp["Attributes"]["n"]) <= DAILY_QUOTA
 
 
 def _response(status: int, body: dict) -> dict:
@@ -48,6 +83,11 @@ def handler(event, context):
         body = json.loads(event.get("body") or "{}")
     except json.JSONDecodeError:
         return _response(400, {"error": "invalid JSON body"})
+
+    if not _check_daily_quota(event):
+        return _response(
+            429, {"error": f"daily quota exceeded ({DAILY_QUOTA}/day)"}
+        )
 
     hashes = body.get("tileHashes")
     if not isinstance(hashes, list) or not hashes:

@@ -8,6 +8,13 @@ Storage: DynamoDB flag table (`{env}-tile-flags`, key tileHash) plus an IP
 rate-limit table (`{env}-rate-limits`, TTL'd) enforcing 10 flags/min/IP —
 the same envelope as the reference (toggle_flag.py:35-40,
 aws-backend/README.md:145-149).
+
+Quota: the reference's API Gateway UsagePlan grants 1000 requests/day
+with 10 RPS / 20 burst (api-gateway.yaml:157-168). The HTTP API v2
+stage throttle covers the rate side; the DAILY quota is enforced here —
+an atomic per-day DynamoDB counter scoped by `x-api-key` (falling back
+to client IP when no key is sent, which is what the reference widget
+does), TTL'd two days out.
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ import os
 import time
 
 RATE_LIMIT_PER_MINUTE = 10
+DAILY_QUOTA = int(os.environ.get("DAILY_QUOTA", "1000"))
 _TABLE = None
 _RATE_TABLE = None
 
@@ -52,6 +60,27 @@ def _client_ip(event: dict) -> str:
     return identity.get("sourceIp", "unknown")
 
 
+def _quota_scope(event: dict) -> str:
+    headers = {k.lower(): v for k, v in (event.get("headers") or {}).items()}
+    return headers.get("x-api-key") or _client_ip(event)
+
+
+def check_daily_quota(rate_table, scope: str, quota: int) -> bool:
+    """Atomic per-day counter (UsagePlan Quota parity: Limit 1000/DAY)."""
+    now = int(time.time())
+    day = time.strftime("%Y%m%d", time.gmtime(now))
+    resp = rate_table.update_item(
+        Key={"key": f"quota#{scope}#{day}"},
+        UpdateExpression=(
+            "ADD #n :one SET expiresAt = if_not_exists(expiresAt, :exp)"
+        ),
+        ExpressionAttributeNames={"#n": "n"},
+        ExpressionAttributeValues={":one": 1, ":exp": now + 2 * 86400},
+        ReturnValues="UPDATED_NEW",
+    )
+    return int(resp["Attributes"]["n"]) <= quota
+
+
 def _check_rate_limit(rate_table, ip: str) -> bool:
     """Sliding one-minute window per IP, entries expired via DynamoDB TTL."""
     now = int(time.time())
@@ -82,6 +111,10 @@ def handler(event, context):
 
     table, rate_table = _tables()
     ip = _client_ip(event)
+    if not check_daily_quota(rate_table, _quota_scope(event), DAILY_QUOTA):
+        return _response(
+            429, {"error": f"daily quota exceeded ({DAILY_QUOTA}/day)"}
+        )
     if not _check_rate_limit(rate_table, ip):
         return _response(
             429, {"error": f"rate limit exceeded ({RATE_LIMIT_PER_MINUTE}/min)"}

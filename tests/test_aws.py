@@ -30,6 +30,16 @@ class FakeTable:
     def delete_item(self, Key):
         self.items.pop(Key[self.key], None)
 
+    def update_item(self, Key, UpdateExpression, ExpressionAttributeNames,
+                    ExpressionAttributeValues, ReturnValues):
+        # supports the quota counter's "ADD #n :one SET expiresAt =
+        # if_not_exists(expiresAt, :exp)" expression
+        assert "ADD #n :one" in UpdateExpression
+        item = self.items.setdefault(Key[self.key], dict(Key))
+        item["n"] = int(item.get("n", 0)) + ExpressionAttributeValues[":one"]
+        item.setdefault("expiresAt", ExpressionAttributeValues[":exp"])
+        return {"Attributes": {"n": item["n"]}}
+
     def scan(self, **kwargs):
         vals = list(self.items.values())
         limit = kwargs.get("Limit", len(vals))
@@ -168,3 +178,39 @@ def test_admin_pagination_and_summary(backend):
     body2 = json.loads(r2["body"])
     assert body2["count"] == 2
     assert body["summary"]["uniqueFlaggers"] >= 1
+
+
+def test_daily_quota_per_api_key(backend):
+    """UsagePlan quota parity (api-gateway.yaml:166-168: 1000/day): the
+    Lambdas enforce a per-day counter scoped by x-api-key / client IP."""
+    mods, _, rates = backend
+    tf = mods["toggle_flag"]
+    tf.DAILY_QUOTA = 3  # shrink for the test
+
+    def ev(i, key=None, ip="1.2.3.4"):
+        e = _event("POST", f"qq{i:02d}", ip=ip)
+        if key:
+            e["headers"] = {"X-Api-Key": key}
+        return e
+
+    codes = [tf.handler(ev(i, key="alpha"), None)["statusCode"] for i in range(5)]
+    assert codes == [200, 200, 200, 429, 429]
+    body = json.loads(tf.handler(ev(9, key="alpha"), None)["body"])
+    assert "daily quota" in body["error"]
+    # a different key has its own budget
+    assert tf.handler(ev(6, key="beta"), None)["statusCode"] == 200
+    # no key -> scoped by client IP
+    assert tf.handler(ev(7, ip="9.9.9.9"), None)["statusCode"] == 200
+    # counters carry a TTL for DynamoDB expiry
+    qkeys = [k for k in rates.items if k.startswith("quota#")]
+    assert qkeys and all("expiresAt" in rates.items[k] for k in qkeys)
+
+
+def test_daily_quota_covers_read_path(backend):
+    mods, flags, rates = backend
+    gf = mods["get_flags"]
+    gf.DAILY_QUOTA = 2
+    ev = _event("POST", body={"tileHashes": ["abc123"]})
+    assert gf.handler(ev, None)["statusCode"] == 200
+    assert gf.handler(ev, None)["statusCode"] == 200
+    assert gf.handler(ev, None)["statusCode"] == 429
