@@ -1312,6 +1312,13 @@ def l1_topk_adaptive(
     kk = min(k, l)
     lp = -(-l // _TL_SEG) * _TL_SEG
     nseg = lp // _TL_SEG
+    # beyond ~1024 segments the expected top-k survivors per segment drop
+    # below 0.5, so cap=8 keeps the certificate (200k-row sweep: coarse
+    # 1.01 -> 0.94 s, rescore 0.78 -> 0.54 s, 9/16384 rows fall back —
+    # tools/tpu_r10_ad200k.py); smaller libraries keep the safer cap=16
+    # chosen by the r2 sweeps
+    if nseg > 1024:
+        cap = min(cap, 8)
     use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
     if (
         g is None

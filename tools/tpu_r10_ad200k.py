@@ -123,9 +123,9 @@ def main():
     log("inputs ready")
 
     results = {}
-    for g in (32, 64):
-        co = lambda g=g: _ad_coarse_jit(
-            bf, lf, d=D, g=g, chan=True, bc=128, cap=16, real_l=L
+    for g, cap in ((32, 16), (32, 8), (64, 8)):
+        co = lambda g=g, cap=cap: _ad_coarse_jit(
+            bf, lf, d=D, g=g, chan=True, bc=128, cap=cap, real_l=L
         )
         t_co = timed(co)
         vals, cols, s_min = co()
@@ -137,12 +137,12 @@ def main():
         t_re = timed(re_prod)
         cd, cr, ok = re_prod()
         cert = int(np.asarray(jax.device_get(ok)).sum())
-        log(f"g={g}: coarse {t_co:.2f}s + rescore(sort-select) {t_re:.2f}s"
-            f" = {t_co + t_re:.2f}s, certified {cert}/{B}")
-        results[g] = (cd, cr, ok, vals, cols, s_min, t_co)
+        log(f"g={g} cap={cap}: coarse {t_co:.2f}s + rescore(sort-select) "
+            f"{t_re:.2f}s = {t_co + t_re:.2f}s, certified {cert}/{B}")
+        results[(g, cap)] = (cd, cr, ok, vals, cols, s_min, t_co)
 
-    # top_k-select variant on the g=32 coarse outputs
-    cd0, cr0, ok0, vals, cols, s_min, t_co = results[32]
+    # top_k-select variant on the production (g=32, cap=16) coarse outputs
+    cd0, cr0, ok0, vals, cols, s_min, t_co = results[(32, 16)]
     re_tk = lambda: _rescore_topk_select(
         bf, vals, cols, s_min, lf, d=D, bc=64, m=M, k=K, real_l=L
     )
