@@ -682,3 +682,30 @@ def test_l1_topk_adaptive_fuzz(seed, dist_kind, b, l, d, k, m, cap):
     assert coarse_calls, "shapes rerouted at the entry gate — fuzz is dead"
     np.testing.assert_array_equal(d_a, np.asarray(d_o))
     np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+def test_l1_topk_adaptive_large_nseg_cap_reduction(rng):
+    """Libraries beyond 1024 segments (131072+ rows) reduce cap to 8
+    (round-3 perf heuristic); results must stay exactly the l1_topk
+    contract. Small d keeps the CPU cost sane at L=140k."""
+    from emosaic_tpu.ops.distance import l1_topk_adaptive
+
+    d, l, k = 48, 140_000, 4
+    # clustered: repeated bases + jitter, in discovery-order runs
+    bases = rng.integers(0, 256, size=(200, d))
+    lib = np.clip(
+        np.repeat(bases, l // 200, axis=0)
+        + rng.integers(-5, 6, size=(l, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks = np.clip(
+        lib[rng.integers(0, l, size=6)].astype(np.int32)
+        + rng.integers(-3, 4, size=(6, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    d_o, r_o = l1_topk(blocks, lib, k)
+    d_a, r_a = l1_topk_adaptive(blocks, lib, k, m=32)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
