@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 MAX_HASHES = 100
 DAILY_QUOTA = int(os.environ.get("DAILY_QUOTA", "1000"))
@@ -40,22 +39,16 @@ def _rate_table():
 
 
 def _check_daily_quota(event: dict) -> bool:
-    headers = {k.lower(): v for k, v in (event.get("headers") or {}).items()}
-    ctx = event.get("requestContext", {})
-    identity = ctx.get("identity", {}) or ctx.get("http", {})
-    scope = headers.get("x-api-key") or identity.get("sourceIp", "unknown")
-    now = int(time.time())
-    day = time.strftime("%Y%m%d", time.gmtime(now))
-    resp = _rate_table().update_item(
-        Key={"key": f"quota#{scope}#{day}"},
-        UpdateExpression=(
-            "ADD #n :one SET expiresAt = if_not_exists(expiresAt, :exp)"
-        ),
-        ExpressionAttributeNames={"#n": "n"},
-        ExpressionAttributeValues={":one": 1, ":exp": now + 2 * 86400},
-        ReturnValues="UPDATED_NEW",
+    # both handlers deploy from the same zip (flag-backend.yaml shares
+    # one LambdaCodeKey), so the enforcement logic lives once in
+    # toggle_flag — a divergent copy here would silently split the
+    # quota semantics across routes. Lazy import: test harnesses load
+    # these files standalone and register toggle_flag first.
+    import toggle_flag
+
+    return toggle_flag.check_daily_quota(
+        _rate_table(), toggle_flag.quota_scope(event), DAILY_QUOTA
     )
-    return int(resp["Attributes"]["n"]) <= DAILY_QUOTA
 
 
 def _response(status: int, body: dict) -> dict:

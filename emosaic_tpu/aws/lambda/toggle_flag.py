@@ -25,6 +25,13 @@ import time
 
 RATE_LIMIT_PER_MINUTE = 10
 DAILY_QUOTA = int(os.environ.get("DAILY_QUOTA", "1000"))
+#: registered API keys (comma-separated env, mirroring the reference's
+#: gateway-registered keys): an UNREGISTERED x-api-key must NOT become a
+#: quota scope — a spoofer minting random keys would get a fresh daily
+#: budget per request, bypassing the per-IP fallback entirely
+API_KEYS = frozenset(
+    k for k in os.environ.get("API_KEYS", "").split(",") if k
+)
 _TABLE = None
 _RATE_TABLE = None
 
@@ -60,9 +67,14 @@ def _client_ip(event: dict) -> str:
     return identity.get("sourceIp", "unknown")
 
 
-def _quota_scope(event: dict) -> str:
+def quota_scope(event: dict, api_keys=None) -> str:
+    """Quota scope: a REGISTERED x-api-key, else the client IP."""
+    keys = API_KEYS if api_keys is None else api_keys
     headers = {k.lower(): v for k, v in (event.get("headers") or {}).items()}
-    return headers.get("x-api-key") or _client_ip(event)
+    key = headers.get("x-api-key")
+    if key and key in keys:
+        return key
+    return _client_ip(event)
 
 
 def check_daily_quota(rate_table, scope: str, quota: int) -> bool:
@@ -111,7 +123,7 @@ def handler(event, context):
 
     table, rate_table = _tables()
     ip = _client_ip(event)
-    if not check_daily_quota(rate_table, _quota_scope(event), DAILY_QUOTA):
+    if not check_daily_quota(rate_table, quota_scope(event), DAILY_QUOTA):
         return _response(
             429, {"error": f"daily quota exceeded ({DAILY_QUOTA}/day)"}
         )

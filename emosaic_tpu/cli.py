@@ -586,24 +586,12 @@ def run_mosaic(args, timer=None) -> None:
     if streaming:
         # gigapixel path: bands composed on device, streamed into one PNG
         from emosaic_tpu.io.codecs import StreamingPNGWriter
-        from emosaic_tpu.ops.composite import (
-            iter_bands,
-            iter_bands_host,
-            tint_blend_band,
-        )
+        from emosaic_tpu.ops.composite import stream_tinted_bands
 
         nby, nbx = items.shape
         out_w = nbx * args.tile_size
         out_h = nby * args.tile_size
-        band_rows = max(1, (256 << 20) // (nbx * args.tile_size**2 * 3))
-        if stack is None:
-            bands = iter_bands_host(
-                items, tile_set_out, args.tile_size, band_rows=band_rows
-            )
-        else:
-            bands = iter_bands(items, stack, band_rows=band_rows)
         log(f"📝 Streaming {out_w}x{out_h} output to {out_path}")
-        y0 = 0
         with timer.phase("stream compose+encode"), StreamingPNGWriter(
             out_path,
             out_w,
@@ -612,13 +600,15 @@ def run_mosaic(args, timer=None) -> None:
             filter_type=args.png_filter,
             workers=args.png_workers,
         ) as w:
-            for band in bands:
-                if args.tint_opacity > 0.0:
-                    band = tint_blend_band(
-                        band, original_rgb, y0, out_h, args.tint_opacity
-                    )
+            for band in stream_tinted_bands(
+                items,
+                tile_set_out,
+                stack,
+                args.tile_size,
+                original_rgb=original_rgb,
+                tint_opacity=args.tint_opacity,
+            ):
                 w.write_band(band)
-                y0 += band.shape[0]
         if args.tint_opacity > 0.0:
             return  # tint path skips stats/HTML (main.rs:477 quirk)
     elif args.tint_opacity > 0.0:

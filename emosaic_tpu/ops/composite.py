@@ -353,16 +353,33 @@ def _u8_over_255_f32(x_u8):
     return (p + nudge).astype(jnp.float32) * jnp.float32(2.0**-32)
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "y0", "bump"))
-def _tint_blend_2d(band2d, src2d, scal, *, out_h: int, y0: int, bump: bool):
+def _tint_sample_indices(bh, ow, sh, sw, out_h, y0):
+    """Host-side nearest-neighbor sample grid at output-pixel centers,
+    like image::imageops::resize(FilterType::Nearest) (main.rs:456-461).
+    Computed in f64 on the host and passed to the jit as operands so a
+    streamed render's per-band y0 does not trigger a recompile per band
+    (the kernel compiles once per band *shape*)."""
+    yi = np.clip(
+        ((np.arange(y0, y0 + bh) + 0.5) * (sh / out_h)).astype(np.int32),
+        0,
+        sh - 1,
+    )
+    xi = np.clip(
+        ((np.arange(ow) + 0.5) * (sw / ow)).astype(np.int32), 0, sw - 1
+    )
+    xi3 = (xi[:, None] * 3 + np.arange(3)[None, :]).reshape(-1)
+    return yi.astype(np.int32), xi3.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bump",))
+def _tint_blend_2d(band2d, src2d, scal, yi, xi3, *, bump: bool):
     """band2d [bh, ow*3] u8, src2d [sh, sw*3] u8 -> blended [bh, ow*3] u8.
 
-    Nearest-neighbor upscale sampling at output-pixel centers, like
-    image::imageops::resize(FilterType::Nearest) (main.rs:456-461), then
-    the `Rgba::blend` arithmetic of `ref_tint_blend_u8`, bit-exact on
-    every backend. Three compiler/hardware hazards are designed out
-    (each one was CAUGHT producing off-by-one pixels by the exhaustive
-    oracle check):
+    (yi, xi3) are the host-computed nearest-sample indices
+    (`_tint_sample_indices`), then the `Rgba::blend` arithmetic of
+    `ref_tint_blend_u8` runs bit-exact on every backend. Three
+    compiler/hardware hazards are designed out (each one was CAUGHT
+    producing off-by-one pixels by the exhaustive oracle check):
     - x/255 via compile-time constant: XLA strength-reduces to
       x * (1/255.0). x/255 via runtime operand: exact on CPU but TPU
       fdiv is reciprocal+Newton. -> no division at all; see
@@ -376,16 +393,6 @@ def _tint_blend_2d(band2d, src2d, scal, *, out_h: int, y0: int, bump: bool):
       `bump` selects that integer-exact tail, so alpha_final never
       reaches the device.
     """
-    bh, ow3 = band2d.shape
-    ow = ow3 // 3
-    sh, sw = src2d.shape[0], src2d.shape[1] // 3
-    yi = jnp.clip(
-        ((jnp.arange(y0, y0 + bh) + 0.5) * (sh / out_h)).astype(jnp.int32),
-        0,
-        sh - 1,
-    )
-    xi = jnp.clip(((jnp.arange(ow) + 0.5) * (sw / ow)).astype(jnp.int32), 0, sw - 1)
-    xi3 = (xi[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)  # [ow*3]
     up = src2d[yi][:, xi3]
     mt, fg_a, inv = scal[0], scal[1], scal[2]
     fg_r = _u8_over_255_f32(up)
@@ -415,15 +422,53 @@ def tint_blend_band(band, src, y0: int, out_h: int, tint_opacity: float):
     bh, ow = band.shape[0], band.shape[1]
     src = np.asarray(src, dtype=np.uint8)
     scal = tint_scalars(alpha)
+    yi, xi3 = _tint_sample_indices(
+        bh, ow, src.shape[0], src.shape[1], out_h, y0
+    )
     out = _tint_blend_2d(
         jnp.asarray(band.reshape(bh, ow * 3)),
         jnp.asarray(src.reshape(src.shape[0], -1)),
         jnp.asarray(scal),
-        out_h=out_h,
-        y0=y0,
+        jnp.asarray(yi),
+        jnp.asarray(xi3),
         bump=bool(scal[3] != np.float32(1.0)),
     )
     return np.asarray(jax.device_get(out)).reshape(bh, ow, 3)
+
+
+def stream_tinted_bands(
+    items,
+    tile_set,
+    stack,
+    tile_size: int,
+    *,
+    original_rgb=None,
+    tint_opacity: float = 0.0,
+    band_budget: int = 256 << 20,
+):
+    """Compose the mosaic as bands — device path when `stack` is given,
+    host-LRU path otherwise — tint-blending each band when requested.
+    Yields [h, W, 3] u8 bands top to bottom.
+
+    The single source of truth for the gigapixel streaming pipeline:
+    the CLI's banded PNG path and serve's chunked responses both use it
+    (they are contract-bound to be pixel-identical).
+    """
+    items = np.asarray(items, dtype=np.int32)
+    nby, nbx = items.shape
+    out_h = nby * tile_size
+    band_rows = max(1, band_budget // (nbx * tile_size**2 * 3))
+    if stack is None:
+        bands = iter_bands_host(items, tile_set, tile_size, band_rows=band_rows)
+    else:
+        bands = iter_bands(items, stack, band_rows=band_rows)
+    tinting = original_rgb is not None and tint_opacity > 0.0
+    y0 = 0
+    for band in bands:
+        if tinting:
+            band = tint_blend_band(band, original_rgb, y0, out_h, tint_opacity)
+        y0 += band.shape[0]
+        yield band
 
 
 def tint_blend(mosaic, src, tint_opacity: float) -> np.ndarray:

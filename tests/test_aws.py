@@ -84,6 +84,9 @@ def backend(monkeypatch):
     for name in ("toggle_flag", "get_flags", "admin_get_all_flags"):
         spec = importlib.util.spec_from_file_location(name, LAMBDA_DIR / f"{name}.py")
         mod = importlib.util.module_from_spec(spec)
+        # register before exec: get_flags lazily imports toggle_flag
+        # (shared quota enforcement), like the shared deploy zip provides
+        monkeypatch.setitem(sys.modules, name, mod)
         spec.loader.exec_module(mod)
         mod._TABLE = None  # reset lazy singletons per test
         if hasattr(mod, "_RATE_TABLE"):
@@ -186,6 +189,7 @@ def test_daily_quota_per_api_key(backend):
     mods, _, rates = backend
     tf = mods["toggle_flag"]
     tf.DAILY_QUOTA = 3  # shrink for the test
+    tf.API_KEYS = frozenset({"alpha", "beta"})  # registered keys
 
     def ev(i, key=None, ip="1.2.3.4"):
         e = _event("POST", f"qq{i:02d}", ip=ip)
@@ -201,6 +205,16 @@ def test_daily_quota_per_api_key(backend):
     assert tf.handler(ev(6, key="beta"), None)["statusCode"] == 200
     # no key -> scoped by client IP
     assert tf.handler(ev(7, ip="9.9.9.9"), None)["statusCode"] == 200
+    # an UNREGISTERED key must NOT mint a fresh scope (spoof bypass):
+    # it falls back to the client IP, which the 'alpha' calls above
+    # never consumed — but repeated random keys share that IP budget
+    ip_codes = [
+        tf.handler(
+            {**ev(20 + i), "headers": {"X-Api-Key": f"spoof{i}"}}, None
+        )["statusCode"]
+        for i in range(5)
+    ]
+    assert ip_codes == [200, 200, 200, 429, 429]
     # counters carry a TTL for DynamoDB expiry
     qkeys = [k for k in rates.items if k.startswith("quota#")]
     assert qkeys and all("expiresAt" in rates.items[k] for k in qkeys)

@@ -160,6 +160,9 @@ def real_render(tmp_path_factory):
     from emosaic_tpu.cli import main
 
     tmp = tmp_path_factory.mktemp("realwidget")
+    # module-scoped fixture: monkeypatch is function-scoped, so restore
+    # the env var manually instead of leaking it into later test modules
+    prior = os.environ.get("XDG_CACHE_HOME")
     os.environ["XDG_CACHE_HOME"] = str(tmp / "xdg")
     rng = np.random.default_rng(5)
     tiles = tmp / "tiles"
@@ -181,8 +184,12 @@ def real_render(tmp_path_factory):
         )
     finally:
         os.chdir(cwd)
+        if prior is None:
+            os.environ.pop("XDG_CACHE_HOME", None)
+        else:
+            os.environ["XDG_CACHE_HOME"] = prior
     assert rc == 0
-    return tmp
+    yield tmp
 
 
 @pytest.fixture(scope="module")

@@ -171,8 +171,9 @@ def phase_b():
     log("B inputs ready")
 
     def run():
+        # cap=8 mirrors l1_topk_adaptive's large-nseg rule (nseg=1563)
         vals, cols, s_min = _ad_coarse_jit(
-            bf, lf, d=D, g=32, chan=True, bc=128, cap=16, real_l=L
+            bf, lf, d=D, g=32, chan=True, bc=128, cap=8, real_l=L
         )
         return _ad_rescore_jit(
             bf, vals, cols, s_min, lf,
@@ -326,6 +327,7 @@ def phase_d():
 def phase_e():
     from emosaic_tpu.ops.composite import (
         _tint_blend_2d,
+        _tint_sample_indices,
         ref_tint_blend_u8,
         tint_scalars,
     )
@@ -345,7 +347,8 @@ def phase_e():
 
     @functools.partial(jax.jit, static_argnames=("bump",))
     def mismatches(scal, ref_a, bump):
-        out = _tint_blend_2d(band, src, scal, out_h=256, y0=0, bump=bump)
+        yi, xi3 = _tint_sample_indices(256, 256, 256, 256, 256, 0)
+        out = _tint_blend_2d(band, src, scal, jnp.asarray(yi), jnp.asarray(xi3), bump=bump)
         return (out != ref_a).sum()
 
     total = None

@@ -90,6 +90,7 @@ def main():
     import functools
     from emosaic_tpu.ops.composite import (
         _tint_blend_2d,
+        _tint_sample_indices,
         ref_tint_blend_u8,
         tint_scalars,
     )
@@ -106,7 +107,8 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("bump",))
     def mismatches(scal, ref_a, bump):
-        out = _tint_blend_2d(band, src, scal, out_h=256, y0=0, bump=bump)
+        yi, xi3 = _tint_sample_indices(256, 256, 256, 256, 256, 0)
+        out = _tint_blend_2d(band, src, scal, jnp.asarray(yi), jnp.asarray(xi3), bump=bump)
         return (out != ref_a).sum()
 
     total = None
