@@ -211,3 +211,49 @@ def test_streaming_png_writer_filelike_sink(rng):
     assert not buf.closed
     got = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
     assert (got == img).all()
+
+
+def test_http11_keepalive_not_poisoned_by_unread_body(server):
+    """A POST to a wrong path answers 404 without reading the body; under
+    HTTP/1.1 keep-alive the server must close the connection, otherwise
+    the unread body bytes get parsed as the next request line."""
+    import socket
+
+    base, svc, src_bytes, _ = server
+    host, port = base.replace("http://", "").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        req = (
+            f"POST /wrongpath HTTP/1.1\r\nHost: {host}\r\n"
+            f"Content-Length: {len(src_bytes)}\r\n\r\n"
+        ).encode() + src_bytes
+        s.sendall(req)
+        s.settimeout(30)
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        assert b"404" in data.split(b"\r\n", 1)[0]
+        # the server must signal close (header or EOF), not keep-alive
+        header = data.lower()
+        if b"connection: close" not in header:
+            # drain until EOF; a poisoned connection would instead try to
+            # parse the body as a request and answer 400/501 garbage
+            s.settimeout(5)
+            rest = b""
+            try:
+                while True:
+                    chunk = s.recv(65536)
+                    if not chunk:
+                        break
+                    rest += chunk
+            except TimeoutError:
+                pass
+            assert b"HTTP/1.1 4" not in rest and b"HTTP/1.1 5" not in rest
+    # and the service still works on a fresh connection
+    req2 = urllib.request.Request(
+        f"{base}/mosaic", data=src_bytes, method="POST"
+    )
+    with urllib.request.urlopen(req2, timeout=120) as r:
+        assert r.status == 200
