@@ -12,9 +12,11 @@ aws-backend/README.md:145-149).
 Quota: the reference's API Gateway UsagePlan grants 1000 requests/day
 with 10 RPS / 20 burst (api-gateway.yaml:157-168). The HTTP API v2
 stage throttle covers the rate side; the DAILY quota is enforced here —
-an atomic per-day DynamoDB counter scoped by `x-api-key` (falling back
-to client IP when no key is sent, which is what the reference widget
-does), TTL'd two days out.
+an atomic per-day DynamoDB counter scoped by a REGISTERED `x-api-key`
+(the API_KEYS env allowlist, mirroring gateway-registered keys). Any
+other request — no key, or an unregistered/spoofed key — is scoped by
+client IP (which is what the reference widget's keyless calls get).
+Counters are TTL'd two days out.
 """
 
 from __future__ import annotations

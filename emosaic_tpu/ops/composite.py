@@ -356,16 +356,34 @@ def _u8_over_255_f32(x_u8):
 def _tint_sample_indices(bh, ow, sh, sw, out_h, y0):
     """Host-side nearest-neighbor sample grid at output-pixel centers,
     like image::imageops::resize(FilterType::Nearest) (main.rs:456-461).
-    Computed in f64 on the host and passed to the jit as operands so a
-    streamed render's per-band y0 does not trigger a recompile per band
-    (the kernel compiles once per band *shape*)."""
+    Passed to the jit as operands so a streamed render's per-band y0
+    does not trigger a recompile per band (the kernel compiles once per
+    band *shape*).
+
+    Arithmetic is deliberately FLOAT32, op for op what the kernel used
+    to compute on-device ((i32->f32 index + 0.5f) * f32(ratio), truncate)
+    — host f64 would pick different source rows near rounding boundaries
+    for ~half of (sh, out_h) pairs, silently changing tinted pixels vs
+    prior releases and the reference's own f32 resize arithmetic."""
+    yr = np.float32(sh / out_h)
     yi = np.clip(
-        ((np.arange(y0, y0 + bh) + 0.5) * (sh / out_h)).astype(np.int32),
+        (
+            (np.arange(y0, y0 + bh, dtype=np.int32).astype(np.float32)
+             + np.float32(0.5))
+            * yr
+        ).astype(np.int32),
         0,
         sh - 1,
     )
+    xr = np.float32(sw / ow)
     xi = np.clip(
-        ((np.arange(ow) + 0.5) * (sw / ow)).astype(np.int32), 0, sw - 1
+        (
+            (np.arange(ow, dtype=np.int32).astype(np.float32)
+             + np.float32(0.5))
+            * xr
+        ).astype(np.int32),
+        0,
+        sw - 1,
     )
     xi3 = (xi[:, None] * 3 + np.arange(3)[None, :]).reshape(-1)
     return yi.astype(np.int32), xi3.astype(np.int32)

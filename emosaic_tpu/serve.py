@@ -283,6 +283,12 @@ def _make_handler(
             q = {k: v[-1] for k, v in parse_qs(url.query).items()}
             try:
                 n = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                # malformed header: the body (if any) is unread -> close
+                self.close_connection = True
+                self._json(400, {"error": "invalid Content-Length header"})
+                return
+            try:
                 if n <= 0:
                     # possibly-chunked / absent body, also unread -> close
                     self.close_connection = True

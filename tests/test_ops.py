@@ -709,3 +709,39 @@ def test_l1_topk_adaptive_large_nseg_cap_reduction(rng):
     d_a, r_a = l1_topk_adaptive(blocks, lib, k, m=32)
     np.testing.assert_array_equal(d_a, np.asarray(d_o))
     np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+def test_tint_sample_grid_matches_device_f32():
+    """The host-computed nearest-sample grid must reproduce the on-device
+    f32 arithmetic it replaced, op for op — f64 picks different source
+    rows near rounding boundaries for ~half of (sh, out_h) pairs."""
+    import jax
+    import jax.numpy as jnp
+
+    from emosaic_tpu.ops.composite import _tint_sample_indices
+
+    def device_f32(bh, ow, sh, sw, out_h, y0):
+        yi = jnp.clip(
+            ((jnp.arange(y0, y0 + bh) + 0.5) * (sh / out_h)).astype(jnp.int32),
+            0, sh - 1,
+        )
+        xi = jnp.clip(
+            ((jnp.arange(ow) + 0.5) * (sw / ow)).astype(jnp.int32), 0, sw - 1
+        )
+        xi3 = (xi[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)
+        return np.asarray(yi), np.asarray(xi3)
+
+    rng = np.random.default_rng(7)
+    cases = [(512, 97, 4255, 97, 27023, 1024)]  # known f64-divergent pair
+    for _ in range(25):
+        sh = int(rng.integers(1, 6000))
+        out_h = int(rng.integers(1, 30000))
+        sw = int(rng.integers(1, 3000))
+        ow = int(rng.integers(1, 3000))
+        bh = int(rng.integers(1, 200))
+        y0 = int(rng.integers(0, max(1, out_h - bh)))
+        cases.append((bh, ow, sh, sw, out_h, y0))
+    for c in cases:
+        a = _tint_sample_indices(*c)
+        b = device_f32(*c)
+        assert (a[0] == b[0]).all() and (a[1] == b[1]).all(), c

@@ -160,10 +160,6 @@ def real_render(tmp_path_factory):
     from emosaic_tpu.cli import main
 
     tmp = tmp_path_factory.mktemp("realwidget")
-    # module-scoped fixture: monkeypatch is function-scoped, so restore
-    # the env var manually instead of leaking it into later test modules
-    prior = os.environ.get("XDG_CACHE_HOME")
-    os.environ["XDG_CACHE_HOME"] = str(tmp / "xdg")
     rng = np.random.default_rng(5)
     tiles = tmp / "tiles"
     tiles.mkdir()
@@ -175,9 +171,14 @@ def real_render(tmp_path_factory):
         Image.fromarray(arr).save(tiles / f"t{i}.jpg", quality=92)
     src = rng.integers(0, 256, size=(10, 13, 3), dtype=np.uint8)
     Image.fromarray(src).save(tmp / "src.png")
+    # module-scoped fixture: monkeypatch is function-scoped, so save and
+    # restore the env override manually; everything between set and
+    # restore sits inside the try so no exception path can leak it
+    prior = os.environ.get("XDG_CACHE_HOME")
     cwd = os.getcwd()
-    os.chdir(tmp)
     try:
+        os.environ["XDG_CACHE_HOME"] = str(tmp / "xdg")
+        os.chdir(tmp)
         rc = main(
             ["-s", "8", "-o", str(tmp / "m.png"), str(tmp / "src.png"),
              "mosaic", str(tiles), "-m", "1", "--html"]
