@@ -401,11 +401,12 @@ def _l1_argmin_pallas(
 # ---------------------------------------------------------------------------
 # Fused distance stripes (exact high-D path: argmin and top-k)
 #
-# Measured v5e (tools/tpu_r2_experiments.py, B=16384 L=65534 D=3072):
-# XLA fuses the [bc, L, D] broadcast-abs-reduce into a loop fusion at
-# 2.27 T elem-ops/s — 12x the Pallas kernel at this D (0.19 T) and 21x
-# the chunked running-top-k scan. Above _PALLAS_MAX_D the dispatchers
-# use stripes.
+# Measured v5e (tools/tpu_r2_experiments.py + r8, B=16384 L=65534
+# D=3072): XLA fuses the [bc, L, D] broadcast-min-reduce into a loop
+# fusion at 1.54 T elem/s in f32 (0.99 T in i32 — see
+# _STRIPE_F32_MAX_BYTES) — >10x the Pallas kernel at this D and 21x the
+# chunked running-top-k scan. Above _PALLAS_MAX_D the dispatchers use
+# stripes.
 # ---------------------------------------------------------------------------
 
 #: Pallas brute kernel wins at small D (tuned there); the fused XLA
@@ -413,9 +414,9 @@ def _l1_argmin_pallas(
 #: the Pallas kernel's statically-unrolled feature loop degrades past a
 #: few hundred dims.
 _PALLAS_MAX_D = 256
-#: beyond this many B*L*D stripe elements (~0.45 s of VPU time at the
-#: measured 0.9 T elem/s), repeat-mode argmin routes through the adaptive
-#: certified scorer instead of raw stripes
+#: beyond this many B*L*D stripe elements (~0.3 s of VPU time at the
+#: measured 1.54 T elem/s f32 stripe rate), repeat-mode argmin routes
+#: through the adaptive certified scorer instead of raw stripes
 _ADAPTIVE_ARGMIN_ELEMS = 4 * 10**11
 _STRIPE_BC = 128
 
