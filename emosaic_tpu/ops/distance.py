@@ -996,6 +996,11 @@ _AD_CAP = 16
 #: 0.76 s to 0.42 s. Exactness never depends on m — uncertified rows
 #: take the stripe fallback.
 _AD_M = 1024
+#: block-axis slice for the adaptive scorer: bounds the coarse survivor
+#: arrays' HBM footprint at huge B (each slice holds
+#: slice * nseg * cap * 8 bytes of survivors — 1.6 GB at the 200k-row
+#: library) while keeping slices large enough to saturate the chip
+_AD_B_SLICE = 16384
 
 
 def _ad_project(x, d: int, g: int, chan: bool):
@@ -1344,11 +1349,16 @@ def l1_topk_adaptive(
     lib_pad = np.zeros((lp, d), np.uint8)
     lib_pad[:l] = lib
     bc = min(_STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
-    bp = -(-b // bc) * bc
+    # the coarse survivor lists ([slice, nseg*cap] i32 x2) are the only
+    # arrays that scale with BOTH b and l: slice the block axis so their
+    # HBM footprint stays bounded (a 200k-block x 200k-row run would
+    # otherwise allocate ~20 GB of survivors); each slice re-enters the
+    # same jit (one compile — slices share a padded shape)
+    b_slice = max(bc, min(-(-b // bc) * bc, _AD_B_SLICE))
+    bp = -(-b // b_slice) * b_slice
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
-    bf = jnp.asarray(blocks_p.reshape(-1))
     lf = jnp.asarray(lib_pad.reshape(-1))
-    bc2 = max(8, min(64, bp))
+    bc2 = max(8, min(64, b_slice))
 
     def run(flat_blocks):
         vals, cols, s_min = _ad_coarse_jit(
@@ -1364,12 +1374,20 @@ def l1_topk_adaptive(
     # concentrated data (every distance within a few % of the mean)
     # cannot be pruned by any lossy projection and is detected here.
     if bp > bc:
-        _, _, ok_s = run(bf[: bc * d])
+        sample = jnp.asarray(blocks_p[:bc].reshape(-1))
+        _, _, ok_s = run(sample)
         if np.asarray(jax.device_get(ok_s)).mean() < 0.5:
             return l1_topk_twolevel(blocks, lib, k)
-    dists, rows, ok = run(bf)
-    out_d = np.asarray(jax.device_get(dists))[:b]
-    out_r = np.asarray(jax.device_get(rows))[:b]
-    bad = np.flatnonzero(~np.asarray(jax.device_get(ok))[:b])
+    out_d = np.empty((bp, kk), np.int32)
+    out_r = np.empty((bp, kk), np.int32)
+    ok_all = np.empty(bp, bool)
+    for s0 in range(0, bp, b_slice):
+        sl = jnp.asarray(blocks_p[s0 : s0 + b_slice].reshape(-1))
+        dists, rows, ok = run(sl)
+        out_d[s0 : s0 + b_slice] = np.asarray(jax.device_get(dists))
+        out_r[s0 : s0 + b_slice] = np.asarray(jax.device_get(rows))
+        ok_all[s0 : s0 + b_slice] = np.asarray(jax.device_get(ok))
+    out_d, out_r = out_d[:b], out_r[:b]
+    bad = np.flatnonzero(~ok_all[:b])
     out_d, out_r = _stripe_fallback(out_d, out_r, bad, blocks, lib, kk)
     return _pad_topk(out_d, out_r, b, k, kk)

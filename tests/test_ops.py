@@ -745,3 +745,28 @@ def test_tint_sample_grid_matches_device_f32():
         a = _tint_sample_indices(*c)
         b = device_f32(*c)
         assert (a[0] == b[0]).all() and (a[1] == b[1]).all(), c
+
+
+def test_l1_topk_adaptive_block_slicing(rng, monkeypatch):
+    """Huge-B runs slice the block axis (bounded survivor memory); the
+    sliced path must be bit-equal to the oracle across slice joins."""
+    from emosaic_tpu.ops import distance
+
+    monkeypatch.setattr(distance, "_AD_B_SLICE", 16)
+    d, l, k = 48, 3000, 4
+    bases = rng.integers(0, 256, size=(50, d))
+    lib = np.clip(
+        np.repeat(bases, l // 50, axis=0) + rng.integers(-5, 6, size=(l, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks = np.clip(
+        lib[rng.integers(0, l, size=41)].astype(np.int32)
+        + rng.integers(-3, 4, size=(41, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    d_o, r_o = l1_topk(blocks, lib, k)
+    d_a, r_a = distance.l1_topk_adaptive(blocks, lib, k, m=32)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
