@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Max-scale no-repeat: B blocks approaching the 2T admission bound at
+a 100k-tile library. NOTE the measured semantics: the global greedy
+excludes the mirror pair once either orientation is used (preserved
+reference quirk), so assignment caps at ONE USE PER TILE — this run
+demonstrates FULL LIBRARY CONSUMPTION (all 100 000 tiles assigned
+exactly once, all unique) under extreme tail contention; blocks beyond
+T render black, as in the reference. The reference cannot represent
+this problem at all (32 767 tile cap).
+
+B = 196 608 blocks (12 x 16384 slices; 98.3% tile saturation),
+T = 100 000 tiles (L = 200 000 flip rows), D = 3072, k = 512.
+Production path end-to-end: l1_topk_adaptive (sliced block axis) ->
+C++ global-greedy assignment with exact masked refills -> uniqueness
+verification. Results land in SCALE_r03.json phase G.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+_T0 = time.time()
+
+
+def log(msg):
+    print(f"[max {time.time() - _T0:6.1f}s] {msg}", flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    jax.device_get((jnp.ones((8, 128)) * 2).ravel()[0])
+    log("probe ok")
+
+    import threading, os
+
+    def watchdog():
+        time.sleep(2700)
+        log("watchdog: 45 min; exiting")
+        os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    B, T, D, K = 196_608, 100_000, 3072, 512
+    L = 2 * T
+    nc = D // 3
+    # clustered library/blocks built on device, pulled once (the scorer
+    # takes numpy; host RNG at this size would take minutes)
+    key = jax.random.PRNGKey(11)
+    kc, km, kb, kn = jax.random.split(key, 4)
+    colors = jax.random.randint(kc, (L, 3), 0, 256, dtype=jnp.int32)
+    tex = jax.random.randint(km, (L, D), -10, 11, dtype=jnp.int32)
+    lib_d = jnp.clip(jnp.tile(colors, (1, nc)) + tex, 0, 255).astype(jnp.uint8)
+    pick = jax.random.randint(kb, (B,), 0, L, dtype=jnp.int32)
+    bn = jax.random.randint(kn, (B, D), -6, 7, dtype=jnp.int32)
+    blocks_d = jnp.clip(lib_d[pick].astype(jnp.int32) + bn, 0, 255).astype(
+        jnp.uint8
+    )
+    lib = np.asarray(jax.device_get(lib_d))
+    blocks = np.asarray(jax.device_get(blocks_d))
+    del lib_d, blocks_d
+    log(f"inputs on host: blocks {blocks.shape}, lib {lib.shape}")
+
+    from emosaic_tpu.ops.distance import l1_topk_adaptive
+    from emosaic_tpu import native
+
+    t0 = time.perf_counter()
+    cd, cr = l1_topk_adaptive(blocks, lib, K)
+    score_s = time.perf_counter() - t0
+    log(f"scoring (production adaptive, sliced): {score_s:.1f}s wall "
+        "(includes host<->device transfers at ~30 MB/s in this env)")
+
+    t0 = time.perf_counter()
+    rows, dists = native.greedy_global(cd, cr, blocks, lib, T)
+    assign_s = time.perf_counter() - t0
+    assigned = int((rows >= 0).sum())
+    uniq_rows = len({int(r) for r in rows if r >= 0})
+    uniq_tiles = len({int(r) % T for r in rows if r >= 0})
+    log(
+        f"assignment {assign_s:.1f}s: {assigned}/{B} assigned, "
+        f"{uniq_rows} unique rows, {uniq_tiles} unique tiles "
+        f"(mirror-pair exclusion => tiles must be unique too)"
+    )
+    result = {
+        "B": B, "T": T, "L": L, "D": D, "k": K,
+        "saturation_pct": round(100.0 * B / (2 * T), 1),
+        "score_wall_s": round(score_s, 1),
+        "assign_s": round(assign_s, 1),
+        "assigned": assigned,
+        "unique_rows": uniq_rows,
+        "unique_tiles": uniq_tiles,
+        "all_unique": uniq_rows == assigned and uniq_tiles == assigned,
+    }
+    ledger = json.load(open("/root/repo/SCALE_r03.json"))
+    ledger["G_maxscale_196k_blocks"] = result
+    with open("/root/repo/SCALE_r03.json", "w") as f:
+        json.dump(ledger, f, indent=1)
+    log(f"G_maxscale: {json.dumps(result)}")
+    log("done")
+
+
+if __name__ == "__main__":
+    main()
