@@ -6,5 +6,6 @@ from emosaic_tpu.parallel.sharded import (  # noqa: F401
     sharded_l1_argmin,
     sharded_l1_argmin_ring,
     sharded_l1_topk,
+    sharded_l1_topk_adaptive,
     sharded_mosaic_step,
 )

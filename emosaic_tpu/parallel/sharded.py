@@ -307,6 +307,121 @@ def sharded_l1_topk(
     return _pad_topk(out_d, out_r, b, k, kk)
 
 
+def sharded_l1_topk_adaptive(
+    blocks, lib, k: int, mesh: Mesh
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact k nearest rows per block via the adaptive certified scorer,
+    blocks sharded over EVERY mesh device (the scorer is block-parallel;
+    the library replicates — coarse bounds need the full library).
+
+    Bit-identical to ops.distance.l1_topk_adaptive (same kernels, same
+    certificates; per-row results don't depend on which shard computes
+    them; uncertified rows take the same single-device stripe fallback).
+    Shapes the adaptive scorer declines — and concentrated data caught
+    by its sample gate — route to `sharded_l1_topk` instead, so callers
+    can use this unconditionally as the mesh no-repeat scorer.
+    """
+    from emosaic_tpu.ops import distance as dd
+
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, d = blocks.shape
+    l = lib.shape[0]
+    # eligibility mirrors l1_topk_adaptive (ops/distance.py)
+    chan = d % 3 == 0
+    nc = d // 3 if chan else d
+    g = next(
+        (
+            gg
+            for gg in dd._AD_GROUPS
+            if nc % gg == 0 and (nc // gg) * (3 if chan else 1) >= 4
+        ),
+        None,
+    )
+    m, cap = dd._AD_M, dd._AD_CAP
+    kk = min(k, l)
+    lp = -(-l // dd._TL_SEG) * dd._TL_SEG
+    nseg = lp // dd._TL_SEG
+    if nseg > 1024:
+        cap = min(cap, 8)
+    use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
+    if (
+        g is None
+        or b == 0
+        or kk > m // 2
+        or m + 1 > nseg * cap
+        or l <= 2 * m
+        or (not use_dma and d > 256 and b * l > 10**7)
+    ):
+        return sharded_l1_topk(blocks, lib, k, mesh)
+
+    lib_pad = np.zeros((lp, d), np.uint8)
+    lib_pad[:l] = lib
+    lf_host = lib_pad.reshape(-1)
+    n_dev = mesh.size
+    bc = dd._STRIPE_BC if b >= dd._STRIPE_BC * n_dev else 8
+    shard_rows = -(-b // (bc * n_dev)) * bc
+    bp = shard_rows * n_dev
+    blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    bc2 = max(8, min(64, shard_rows))
+
+    # sample gate (single device, one chunk): concentrated data cannot
+    # be pruned by any lossy projection — reroute before paying the
+    # sharded adaptive pass
+    bf0 = jnp.asarray(blocks_p[:bc].reshape(-1))
+    lf_dev = jnp.asarray(lf_host)
+    v0, c0, s0 = dd._ad_coarse_jit(
+        bf0, lf_dev, d=d, g=g, chan=chan, bc=bc, cap=cap, real_l=l
+    )
+    _, _, ok_s = dd._ad_rescore_jit(
+        bf0, v0, c0, s0, lf_dev,
+        d=d, bc=max(8, min(64, bc)), m=m, k=kk, real_l=l, use_dma=use_dma,
+    )
+    if np.asarray(jax.device_get(ok_s)).mean() < 0.5:
+        return sharded_l1_topk(blocks, lib, k, mesh)
+
+    axes = tuple(mesh.axis_names)
+    spec_b = P(axes)  # block axis sharded over every mesh axis
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            NamedSharding(mesh, spec_b),
+            NamedSharding(mesh, P(None)),
+        ),
+        out_shardings=(
+            NamedSharding(mesh, spec_b),
+            NamedSharding(mesh, spec_b),
+            NamedSharding(mesh, spec_b),
+        ),
+    )
+    def run(blocks_s, lf):
+        def body(bl, lf_rep):
+            bf = bl.reshape(-1)
+            vals, cols, s_min = dd._ad_coarse_jit(
+                bf, lf_rep, d=d, g=g, chan=chan, bc=bc, cap=cap, real_l=l
+            )
+            return dd._ad_rescore_jit(
+                bf, vals, cols, s_min, lf_rep,
+                d=d, bc=bc2, m=m, k=kk, real_l=l, use_dma=use_dma,
+            )
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec_b, P(None)),
+            out_specs=(spec_b, spec_b, spec_b),
+            check_vma=False,
+        )(blocks_s, lf)
+
+    dists, rows, ok = run(jnp.asarray(blocks_p), lf_dev)
+    out_d = np.asarray(jax.device_get(dists))[:b]
+    out_r = np.asarray(jax.device_get(rows))[:b]
+    bad = np.flatnonzero(~np.asarray(jax.device_get(ok))[:b])
+    out_d, out_r = dd._stripe_fallback(out_d, out_r, bad, blocks, lib, kk)
+    return dd._pad_topk(out_d, out_r, b, k, kk)
+
+
 def sharded_mosaic_step(
     tiles, source, mesh: Mesh, dim: int, tile_size: int
 ) -> np.ndarray:

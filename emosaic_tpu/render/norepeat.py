@@ -90,15 +90,19 @@ def render_nto1_no_repeat(
         scorer_used = "adaptive-exact"
 
     if scorer_used == "sharded-exact":
-        # multi-chip scoring: blocks shard over "data", library over
-        # "model", per-shard top-k lists merged over ICI — bit-identical
-        # candidate lists (tests/test_sharding.py). Truncation to K does
-        # not change assignment results (see _TRUNCATED_K note): the
-        # greedy engines refill exactly when a block's prefix runs dry.
-        from emosaic_tpu.parallel import sharded_l1_topk
+        # multi-chip scoring: the adaptive certified scorer with blocks
+        # sharded over every mesh device (library replicated); shapes it
+        # declines — and concentrated data caught by its sample gate —
+        # route inside to the stripes scorer (blocks over "data", library
+        # over "model", per-shard top-k merged over ICI). Both paths are
+        # bit-identical to the single-chip scorers
+        # (tests/test_sharding.py). Truncation to K does not change
+        # assignment results (see _TRUNCATED_K note): the greedy engines
+        # refill exactly when a block's prefix runs dry.
+        from emosaic_tpu.parallel import sharded_l1_topk_adaptive
 
         k = min(_TRUNCATED_K, l)
-        cd, cr = sharded_l1_topk(blocks, lib, k, mesh)
+        cd, cr = sharded_l1_topk_adaptive(blocks, lib, k, mesh)
     elif scorer_used == "hybrid":
         # MXU L2-prefilter + exact-L1 rescore (approximate candidate set,
         # exact distances; ~3.5x faster scoring at flagship scale — see

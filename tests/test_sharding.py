@@ -193,3 +193,45 @@ def test_cli_mesh_too_many_devices(tmp_path, rng, devices, monkeypatch, capsys):
             ["-o", str(tmp_path / "x.png"), "-s", "8", str(tmp_path / "s.png"),
              "mosaic", str(tiles), "--mesh", "64"]
         )
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_adaptive_topk_bit_identical(rng, devices, data, model):
+    """The block-sharded adaptive scorer must equal the single-device
+    adaptive scorer (itself l1_topk-exact) on clusterable data, and route
+    concentrated data to the exact sharded stripes."""
+    from emosaic_tpu.ops.distance import l1_topk_adaptive, l1_topk_stripes
+    from emosaic_tpu.parallel import sharded_l1_topk_adaptive
+
+    mesh = make_mesh(8, model=model)
+    d, l, k = 48, 3000, 4
+    bases = rng.integers(0, 256, size=(50, d))
+    lib = np.clip(
+        np.repeat(bases, l // 50, axis=0) + rng.integers(-5, 6, size=(l, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks = np.clip(
+        lib[rng.integers(0, l, size=37)].astype(np.int32)
+        + rng.integers(-3, 4, size=(37, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks[5] = lib[7]  # exact hit + duplicate-row ties in the library
+    lib[100] = lib[7]
+    d_ref, r_ref = l1_topk_adaptive(blocks, lib, k, m=32)
+    d_sh, r_sh = sharded_l1_topk_adaptive(blocks, lib, k, mesh)
+    # both are l1_topk-exact; compare against the stripes oracle too
+    d_o, r_o = l1_topk_stripes(blocks, lib, k)
+    assert (np.asarray(d_ref) == np.asarray(d_o)).all()
+    assert (d_sh == np.asarray(d_o)).all()
+    assert (r_sh == np.asarray(r_o)).all()
+
+    # concentrated (uniform-random) data: the sample gate must reroute
+    # to the exact sharded stripes — still exact
+    blocks_u = rng.integers(0, 256, size=(19, d), dtype=np.uint8)
+    lib_u = rng.integers(0, 256, size=(3000, d), dtype=np.uint8)
+    d_u, r_u = sharded_l1_topk_adaptive(blocks_u, lib_u, k, mesh)
+    d_uo, r_uo = l1_topk_stripes(blocks_u, lib_u, k)
+    assert (d_u == np.asarray(d_uo)).all()
+    assert (r_u == np.asarray(r_uo)).all()
