@@ -43,3 +43,25 @@ for k in (1, 3):
 per = (t3 - t1) / 2
 log(f"pallas 1M blocks x 65534 rows x D=12: {per:.3f}s -> {1e6*65534*2/per/1e12:.2f} T cmp/s")
 log("DONE")
+
+# DMA shortlist-rescore parity (the kernel whose MXU dot silently ran at
+# bf16 default precision until round 3 — tools/tpu_r7_dma_debug.py):
+# validate on every alignment class incl. the zero-padded mid-D route.
+import jax.numpy as jnp
+from emosaic_tpu.ops.distance import _l1_rows_dma, _rows_dma_mc
+for dd_ in (768, 1024, 3072):
+    b_, lp_, m_ = 64, 2048, 128
+    key = jax.random.PRNGKey(dd_)
+    k1, k2, k3 = jax.random.split(key, 3)
+    blocks_ = jax.random.randint(k1, (b_, dd_), 0, 256, dtype=jnp.uint8)
+    libp_ = jax.random.randint(k2, (lp_, dd_), 0, 256, dtype=jnp.uint8)
+    cand_ = jax.random.randint(k3, (b_, m_), 0, lp_, dtype=jnp.int32)
+    got = np.asarray(jax.device_get(
+        _l1_rows_dma(blocks_, cand_, libp_, mc=_rows_dma_mc(m_, dd_))
+    ))
+    bn, ln, cn = (np.asarray(jax.device_get(x)) for x in (blocks_, libp_, cand_))
+    ref = np.abs(
+        bn.astype(np.int64)[:, None, :] - ln.astype(np.int64)[cn]
+    ).sum(-1).astype(np.int32)
+    log(f"rows_dma D={dd_}: exact={bool((got == ref).all())}")
+log("DONE2")
