@@ -257,3 +257,33 @@ def test_http11_keepalive_not_poisoned_by_unread_body(server):
     )
     with urllib.request.urlopen(req2, timeout=120) as r:
         assert r.status == 200
+
+
+def test_http_chunked_stream_no_repeat(scene):
+    """Streamed responses must also cover the no-repeat renderer
+    (compose=False + banded composite under the chunked writer)."""
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    httpd = HTTPServer(
+        ("127.0.0.1", 0), _make_handler(svc, stream_threshold=1)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # downsample so blocks fit the 2*tiles no-repeat bound
+        req = urllib.request.Request(
+            f"{base}/mosaic?no_repeat=1&downsample=3",
+            data=src_bytes,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            got = np.asarray(Image.open(io.BytesIO(r.read())).convert("RGB"))
+    finally:
+        httpd.shutdown()
+    ref = np.asarray(
+        Image.open(
+            io.BytesIO(svc.render_bytes(src_bytes, no_repeat=True, downsample=3))
+        ).convert("RGB")
+    )
+    assert (got == ref).all()
