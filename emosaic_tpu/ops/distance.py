@@ -1352,13 +1352,16 @@ def l1_topk_adaptive(
     # the coarse survivor lists ([slice, nseg*cap] i32 x2) are the only
     # arrays that scale with BOTH b and l: slice the block axis so their
     # HBM footprint stays bounded (a 200k-block x 200k-row run would
-    # otherwise allocate ~20 GB of survivors); each slice re-enters the
-    # same jit (one compile — slices share a padded shape)
-    b_slice = max(bc, min(-(-b // bc) * bc, _AD_B_SLICE))
-    bp = -(-b // b_slice) * b_slice
+    # otherwise allocate ~20 GB of survivors). Padding stays minimal (to
+    # bc, like the pre-slicing code); the tail becomes a second, smaller
+    # compiled shape rather than a b_slice-padded slice full of zero rows
+    # (which would score up to b_slice-bc phantom rows through the whole
+    # pipeline).
+    bp = -(-b // bc) * bc
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    b_slice = min(bp, _AD_B_SLICE)  # _AD_B_SLICE is a multiple of any bc
     lf = jnp.asarray(lib_pad.reshape(-1))
-    bc2 = max(8, min(64, b_slice))
+    bc2 = min(64, bc)  # divides bc and every slice length (multiples of bc)
 
     def run(flat_blocks):
         vals, cols, s_min = _ad_coarse_jit(
@@ -1381,12 +1384,15 @@ def l1_topk_adaptive(
     out_d = np.empty((bp, kk), np.int32)
     out_r = np.empty((bp, kk), np.int32)
     ok_all = np.empty(bp, bool)
-    for s0 in range(0, bp, b_slice):
-        sl = jnp.asarray(blocks_p[s0 : s0 + b_slice].reshape(-1))
+    s0 = 0
+    while s0 < bp:
+        ln = min(b_slice, bp - s0)
+        sl = jnp.asarray(blocks_p[s0 : s0 + ln].reshape(-1))
         dists, rows, ok = run(sl)
-        out_d[s0 : s0 + b_slice] = np.asarray(jax.device_get(dists))
-        out_r[s0 : s0 + b_slice] = np.asarray(jax.device_get(rows))
-        ok_all[s0 : s0 + b_slice] = np.asarray(jax.device_get(ok))
+        out_d[s0 : s0 + ln] = np.asarray(jax.device_get(dists))
+        out_r[s0 : s0 + ln] = np.asarray(jax.device_get(rows))
+        ok_all[s0 : s0 + ln] = np.asarray(jax.device_get(ok))
+        s0 += ln
     out_d, out_r = out_d[:b], out_r[:b]
     bad = np.flatnonzero(~ok_all[:b])
     out_d, out_r = _stripe_fallback(out_d, out_r, bad, blocks, lib, kk)

@@ -360,10 +360,15 @@ def sharded_l1_topk_adaptive(
     lf_host = lib_pad.reshape(-1)
     n_dev = mesh.size
     bc = dd._STRIPE_BC if b >= dd._STRIPE_BC * n_dev else 8
-    shard_rows = -(-b // (bc * n_dev)) * bc
-    bp = shard_rows * n_dev
+    unit = bc * n_dev  # every slice shards evenly into bc-row chunks
+    bp = -(-b // unit) * unit
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
-    bc2 = max(8, min(64, shard_rows))
+    # per-DEVICE survivor memory is bounded exactly like the
+    # single-device scorer's _AD_B_SLICE (the slicing exists to cap the
+    # [rows, nseg*cap] coarse survivors; a 196k-block run on a 2-device
+    # mesh would otherwise hold ~10 GB of survivors per device)
+    b_slice = min(bp, dd._AD_B_SLICE * n_dev)
+    bc2 = min(64, bc)  # divides bc and every per-shard row count
 
     # sample gate (single device, one chunk): concentrated data cannot
     # be pruned by any lossy projection — reroute before paying the
@@ -375,7 +380,7 @@ def sharded_l1_topk_adaptive(
     )
     _, _, ok_s = dd._ad_rescore_jit(
         bf0, v0, c0, s0, lf_dev,
-        d=d, bc=max(8, min(64, bc)), m=m, k=kk, real_l=l, use_dma=use_dma,
+        d=d, bc=bc2, m=m, k=kk, real_l=l, use_dma=use_dma,
     )
     if np.asarray(jax.device_get(ok_s)).mean() < 0.5:
         return sharded_l1_topk(blocks, lib, k, mesh)
@@ -385,6 +390,7 @@ def sharded_l1_topk_adaptive(
 
     @functools.partial(
         jax.jit,
+        static_argnames=(),
         in_shardings=(
             NamedSharding(mesh, spec_b),
             NamedSharding(mesh, P(None)),
@@ -414,10 +420,19 @@ def sharded_l1_topk_adaptive(
             check_vma=False,
         )(blocks_s, lf)
 
-    dists, rows, ok = run(jnp.asarray(blocks_p), lf_dev)
-    out_d = np.asarray(jax.device_get(dists))[:b]
-    out_r = np.asarray(jax.device_get(rows))[:b]
-    bad = np.flatnonzero(~np.asarray(jax.device_get(ok))[:b])
+    out_d = np.empty((bp, kk), np.int32)
+    out_r = np.empty((bp, kk), np.int32)
+    ok_all = np.empty(bp, bool)
+    s0 = 0
+    while s0 < bp:
+        ln = min(b_slice, bp - s0)  # tail = one smaller compiled shape
+        dists, rows, ok = run(jnp.asarray(blocks_p[s0 : s0 + ln]), lf_dev)
+        out_d[s0 : s0 + ln] = np.asarray(jax.device_get(dists))
+        out_r[s0 : s0 + ln] = np.asarray(jax.device_get(rows))
+        ok_all[s0 : s0 + ln] = np.asarray(jax.device_get(ok))
+        s0 += ln
+    out_d, out_r = out_d[:b], out_r[:b]
+    bad = np.flatnonzero(~ok_all[:b])
     out_d, out_r = dd._stripe_fallback(out_d, out_r, bad, blocks, lib, kk)
     return dd._pad_topk(out_d, out_r, b, k, kk)
 

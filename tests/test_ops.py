@@ -749,11 +749,16 @@ def test_tint_sample_grid_matches_device_f32():
 
 def test_l1_topk_adaptive_block_slicing(rng, monkeypatch):
     """Huge-B runs slice the block axis (bounded survivor memory); the
-    sliced path must be bit-equal to the oracle across slice joins."""
+    sliced path must be bit-equal to the oracle across slice joins.
+
+    b=300 with bc=128 and _AD_B_SLICE=128 gives bp=384 and THREE slices
+    (two full + one remainder shape) — slicing genuinely engages (a
+    round-3 review caught an earlier variant where b_slice >= bp made
+    the loop run once, testing no join at all)."""
     from emosaic_tpu.ops import distance
 
-    monkeypatch.setattr(distance, "_AD_B_SLICE", 16)
-    d, l, k = 48, 3000, 4
+    monkeypatch.setattr(distance, "_AD_B_SLICE", 128)
+    d, l, k, b = 48, 3000, 4, 300
     bases = rng.integers(0, 256, size=(50, d))
     lib = np.clip(
         np.repeat(bases, l // 50, axis=0) + rng.integers(-5, 6, size=(l, d)),
@@ -761,11 +766,15 @@ def test_l1_topk_adaptive_block_slicing(rng, monkeypatch):
         255,
     ).astype(np.uint8)
     blocks = np.clip(
-        lib[rng.integers(0, l, size=41)].astype(np.int32)
-        + rng.integers(-3, 4, size=(41, d)),
+        lib[rng.integers(0, l, size=b)].astype(np.int32)
+        + rng.integers(-3, 4, size=(b, d)),
         0,
         255,
     ).astype(np.uint8)
+    # confirm the slicing arithmetic this test depends on
+    bc = min(distance._STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
+    bp = -(-b // bc) * bc
+    assert bp // min(bp, 128) >= 3
     d_o, r_o = l1_topk(blocks, lib, k)
     d_a, r_a = distance.l1_topk_adaptive(blocks, lib, k, m=32)
     np.testing.assert_array_equal(d_a, np.asarray(d_o))

@@ -195,16 +195,33 @@ def test_cli_mesh_too_many_devices(tmp_path, rng, devices, monkeypatch, capsys):
         )
 
 
-@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4)])
-def test_sharded_adaptive_topk_bit_identical(rng, devices, data, model):
+@pytest.mark.parametrize(
+    "data,model,b",
+    [
+        (8, 1, 520),  # per-shard rows strictly between 64 and 128: the
+        # bc2-divisibility regime that once crashed the rescore reshape
+        (4, 2, 37),
+        (2, 4, 1024),  # bc = 128 branch (b >= 128 * n_dev)
+    ],
+)
+def test_sharded_adaptive_topk_bit_identical(rng, devices, data, model, b):
     """The block-sharded adaptive scorer must equal the single-device
     adaptive scorer (itself l1_topk-exact) on clusterable data, and route
-    concentrated data to the exact sharded stripes."""
+    concentrated data to the exact sharded stripes.
+
+    The library must clear the eligibility gate (nseg * cap >= m + 1
+    with the production m=1024 needs l >= ~8300 rows), otherwise the
+    call silently degrades to sharded_l1_topk and tests nothing — a gap
+    a round-3 review caught hiding a real crash."""
+    from emosaic_tpu.ops import distance as dd
     from emosaic_tpu.ops.distance import l1_topk_adaptive, l1_topk_stripes
     from emosaic_tpu.parallel import sharded_l1_topk_adaptive
 
     mesh = make_mesh(8, model=model)
-    d, l, k = 48, 3000, 4
+    d, l, k = 48, 9000, 4
+    # the shapes must actually take the sharded adaptive path
+    nseg = (-(-l // dd._TL_SEG) * dd._TL_SEG) // dd._TL_SEG
+    assert dd._AD_M + 1 <= nseg * dd._AD_CAP and l > 2 * dd._AD_M
     bases = rng.integers(0, 256, size=(50, d))
     lib = np.clip(
         np.repeat(bases, l // 50, axis=0) + rng.integers(-5, 6, size=(l, d)),
@@ -212,14 +229,14 @@ def test_sharded_adaptive_topk_bit_identical(rng, devices, data, model):
         255,
     ).astype(np.uint8)
     blocks = np.clip(
-        lib[rng.integers(0, l, size=37)].astype(np.int32)
-        + rng.integers(-3, 4, size=(37, d)),
+        lib[rng.integers(0, l, size=b)].astype(np.int32)
+        + rng.integers(-3, 4, size=(b, d)),
         0,
         255,
     ).astype(np.uint8)
     blocks[5] = lib[7]  # exact hit + duplicate-row ties in the library
     lib[100] = lib[7]
-    d_ref, r_ref = l1_topk_adaptive(blocks, lib, k, m=32)
+    d_ref, r_ref = l1_topk_adaptive(blocks, lib, k)
     d_sh, r_sh = sharded_l1_topk_adaptive(blocks, lib, k, mesh)
     # both are l1_topk-exact; compare against the stripes oracle too
     d_o, r_o = l1_topk_stripes(blocks, lib, k)
@@ -227,10 +244,18 @@ def test_sharded_adaptive_topk_bit_identical(rng, devices, data, model):
     assert (d_sh == np.asarray(d_o)).all()
     assert (r_sh == np.asarray(r_o)).all()
 
-    # concentrated (uniform-random) data: the sample gate must reroute
-    # to the exact sharded stripes — still exact
+
+def test_sharded_adaptive_topk_concentrated_reroutes(rng, devices):
+    # concentrated (uniform-random) data: the SAMPLE gate (not the
+    # eligibility gate — the library is adaptive-eligible) must reroute
+    # to the exact sharded stripes
+    from emosaic_tpu.ops.distance import l1_topk_stripes
+    from emosaic_tpu.parallel import sharded_l1_topk_adaptive
+
+    mesh = make_mesh(8, model=2)
+    d, l, k = 48, 9000, 4
     blocks_u = rng.integers(0, 256, size=(19, d), dtype=np.uint8)
-    lib_u = rng.integers(0, 256, size=(3000, d), dtype=np.uint8)
+    lib_u = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
     d_u, r_u = sharded_l1_topk_adaptive(blocks_u, lib_u, k, mesh)
     d_uo, r_uo = l1_topk_stripes(blocks_u, lib_u, k)
     assert (d_u == np.asarray(d_uo)).all()
