@@ -138,7 +138,48 @@ def main():
     t0 = timed(prod)
     t1 = timed(perm)
     log(f"production (swapaxes) coarse: {t0:.2f}s; permuted-library: {t1:.2f}s")
+    extra_stages(bf, lf)
     log("done")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "g", "chan", "bc", "real_l")
+)
+def coarse_stripe_only(blocks_flat, lib_pad_flat, *, d, g, chan, bc, real_l):
+    """Isolation: projection + permuted f32 stripe + cheap reduce (no
+    per-segment top_k, no survivor outputs) — the compute floor of the
+    coarse stage."""
+    blocks = blocks_flat.reshape(-1, d)
+    libp = lib_pad_flat.reshape(-1, d)
+    lp = libp.shape[0]
+    nseg = lp // _TL_SEG
+    w = lp // nseg
+    cl = _ad_project(libp, d, g, chan)
+    pos = jnp.arange(lp, dtype=jnp.int32)
+    src_row = (pos % w) * nseg + pos // w
+    clp = cl[src_row].astype(jnp.float32)
+    invalid = src_row >= real_l
+
+    def per_chunk(xc):
+        cb = _ad_project(xc, d, g, chan).astype(jnp.float32)
+        dist = (
+            jnp.abs(cb[:, None, :] - clp[None])
+            .sum(-1, dtype=jnp.float32)
+            .astype(jnp.int32)
+        )
+        dist = jnp.where(invalid[None, :], _TL_BIG, dist)
+        return dist.reshape(bc, nseg, w).min(axis=-1)  # cheap reduce
+
+    nb = blocks.shape[0] // bc
+    return jax.lax.map(per_chunk, blocks.reshape(nb, bc, d))
+
+
+def extra_stages(bf, lf):
+    only = lambda: coarse_stripe_only(
+        bf, lf, d=D, g=G, chan=True, bc=BC, real_l=L
+    )
+    t = timed(lambda: (only(),))
+    log(f"stripe-only coarse (no top_k/survivors): {t:.2f}s")
 
 
 if __name__ == "__main__":
