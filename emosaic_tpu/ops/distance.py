@@ -1290,6 +1290,27 @@ def _ad_rescore_jit(
     return dists.reshape(b, k), rows.reshape(b, k), ok.reshape(b)
 
 
+def _run_block_slices(blocks_p, b_slice: int, kk: int, run_slice):
+    """Drive `run_slice` over b_slice-row windows of blocks_p and
+    assemble (dists, rows, ok) on the host. Shared by the single-device
+    and mesh-sharded adaptive scorers so the slicing/assembly semantics
+    stay structurally identical (a divisibility fix once had to be
+    applied to two hand-kept copies)."""
+    bp = blocks_p.shape[0]
+    out_d = np.empty((bp, kk), np.int32)
+    out_r = np.empty((bp, kk), np.int32)
+    ok_all = np.empty(bp, bool)
+    s0 = 0
+    while s0 < bp:
+        ln = min(b_slice, bp - s0)  # tail = one smaller compiled shape
+        dists, rows, ok = run_slice(blocks_p[s0 : s0 + ln])
+        out_d[s0 : s0 + ln] = np.asarray(jax.device_get(dists))
+        out_r[s0 : s0 + ln] = np.asarray(jax.device_get(rows))
+        ok_all[s0 : s0 + ln] = np.asarray(jax.device_get(ok))
+        s0 += ln
+    return out_d, out_r, ok_all
+
+
 def l1_topk_adaptive(
     blocks,
     lib,
@@ -1381,18 +1402,9 @@ def l1_topk_adaptive(
         _, _, ok_s = run(sample)
         if np.asarray(jax.device_get(ok_s)).mean() < 0.5:
             return l1_topk_twolevel(blocks, lib, k)
-    out_d = np.empty((bp, kk), np.int32)
-    out_r = np.empty((bp, kk), np.int32)
-    ok_all = np.empty(bp, bool)
-    s0 = 0
-    while s0 < bp:
-        ln = min(b_slice, bp - s0)
-        sl = jnp.asarray(blocks_p[s0 : s0 + ln].reshape(-1))
-        dists, rows, ok = run(sl)
-        out_d[s0 : s0 + ln] = np.asarray(jax.device_get(dists))
-        out_r[s0 : s0 + ln] = np.asarray(jax.device_get(rows))
-        ok_all[s0 : s0 + ln] = np.asarray(jax.device_get(ok))
-        s0 += ln
+    out_d, out_r, ok_all = _run_block_slices(
+        blocks_p, b_slice, kk, lambda sl: run(jnp.asarray(sl.reshape(-1)))
+    )
     out_d, out_r = out_d[:b], out_r[:b]
     bad = np.flatnonzero(~ok_all[:b])
     out_d, out_r = _stripe_fallback(out_d, out_r, bad, blocks, lib, kk)

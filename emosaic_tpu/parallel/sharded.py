@@ -390,7 +390,6 @@ def sharded_l1_topk_adaptive(
 
     @functools.partial(
         jax.jit,
-        static_argnames=(),
         in_shardings=(
             NamedSharding(mesh, spec_b),
             NamedSharding(mesh, P(None)),
@@ -420,17 +419,9 @@ def sharded_l1_topk_adaptive(
             check_vma=False,
         )(blocks_s, lf)
 
-    out_d = np.empty((bp, kk), np.int32)
-    out_r = np.empty((bp, kk), np.int32)
-    ok_all = np.empty(bp, bool)
-    s0 = 0
-    while s0 < bp:
-        ln = min(b_slice, bp - s0)  # tail = one smaller compiled shape
-        dists, rows, ok = run(jnp.asarray(blocks_p[s0 : s0 + ln]), lf_dev)
-        out_d[s0 : s0 + ln] = np.asarray(jax.device_get(dists))
-        out_r[s0 : s0 + ln] = np.asarray(jax.device_get(rows))
-        ok_all[s0 : s0 + ln] = np.asarray(jax.device_get(ok))
-        s0 += ln
+    out_d, out_r, ok_all = dd._run_block_slices(
+        blocks_p, b_slice, kk, lambda sl: run(jnp.asarray(sl), lf_dev)
+    )
     out_d, out_r = out_d[:b], out_r[:b]
     bad = np.flatnonzero(~ok_all[:b])
     out_d, out_r = dd._stripe_fallback(out_d, out_r, bad, blocks, lib, kk)

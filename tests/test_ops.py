@@ -751,13 +751,14 @@ def test_l1_topk_adaptive_block_slicing(rng, monkeypatch):
     """Huge-B runs slice the block axis (bounded survivor memory); the
     sliced path must be bit-equal to the oracle across slice joins.
 
-    b=300 with bc=128 and _AD_B_SLICE=128 gives bp=384 and THREE slices
-    (two full + one remainder shape) — slicing genuinely engages (a
-    round-3 review caught an earlier variant where b_slice >= bp made
-    the loop run once, testing no join at all)."""
+    b=300 with bc=128 and _AD_B_SLICE=256 gives bp=384 and TWO slices:
+    one full 256-row slice plus a 128-row REMAINDER (the second compiled
+    shape) — both the slice join and the tail-shape arm genuinely
+    engage (round-3 reviews caught two earlier variants where the loop
+    ran once, or ran thrice with no remainder)."""
     from emosaic_tpu.ops import distance
 
-    monkeypatch.setattr(distance, "_AD_B_SLICE", 128)
+    monkeypatch.setattr(distance, "_AD_B_SLICE", 256)
     d, l, k, b = 48, 3000, 4, 300
     bases = rng.integers(0, 256, size=(50, d))
     lib = np.clip(
@@ -771,10 +772,11 @@ def test_l1_topk_adaptive_block_slicing(rng, monkeypatch):
         0,
         255,
     ).astype(np.uint8)
-    # confirm the slicing arithmetic this test depends on
+    # confirm the slicing arithmetic this test depends on: one full
+    # slice AND a strictly smaller remainder
     bc = min(distance._STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
     bp = -(-b // bc) * bc
-    assert bp // min(bp, 128) >= 3
+    assert bp > 256 and bp % 256 != 0
     d_o, r_o = l1_topk(blocks, lib, k)
     d_a, r_a = distance.l1_topk_adaptive(blocks, lib, k, m=32)
     np.testing.assert_array_equal(d_a, np.asarray(d_o))

@@ -220,7 +220,7 @@ def test_sharded_adaptive_topk_bit_identical(rng, devices, data, model, b):
     mesh = make_mesh(8, model=model)
     d, l, k = 48, 9000, 4
     # the shapes must actually take the sharded adaptive path
-    nseg = (-(-l // dd._TL_SEG) * dd._TL_SEG) // dd._TL_SEG
+    nseg = -(-l // dd._TL_SEG)
     assert dd._AD_M + 1 <= nseg * dd._AD_CAP and l > 2 * dd._AD_M
     bases = rng.integers(0, 256, size=(50, d))
     lib = np.clip(
@@ -245,18 +245,57 @@ def test_sharded_adaptive_topk_bit_identical(rng, devices, data, model, b):
     assert (r_sh == np.asarray(r_o)).all()
 
 
-def test_sharded_adaptive_topk_concentrated_reroutes(rng, devices):
+def test_sharded_adaptive_topk_concentrated_reroutes(rng, devices, monkeypatch):
     # concentrated (uniform-random) data: the SAMPLE gate (not the
     # eligibility gate — the library is adaptive-eligible) must reroute
-    # to the exact sharded stripes
+    # to the exact sharded stripes. Assert the reroute actually HAPPENS
+    # (exactness alone would also hold via per-row fallback repair,
+    # making the routing claim vacuous).
     from emosaic_tpu.ops.distance import l1_topk_stripes
-    from emosaic_tpu.parallel import sharded_l1_topk_adaptive
+    from emosaic_tpu.parallel import sharded as sh
 
     mesh = make_mesh(8, model=2)
     d, l, k = 48, 9000, 4
+    rerouted = []
+    real = sh.sharded_l1_topk
+
+    def spy(*a, **kw):
+        rerouted.append(True)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sh, "sharded_l1_topk", spy)
     blocks_u = rng.integers(0, 256, size=(19, d), dtype=np.uint8)
     lib_u = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
-    d_u, r_u = sharded_l1_topk_adaptive(blocks_u, lib_u, k, mesh)
+    d_u, r_u = sh.sharded_l1_topk_adaptive(blocks_u, lib_u, k, mesh)
+    assert rerouted, "sample gate did not reroute concentrated data"
     d_uo, r_uo = l1_topk_stripes(blocks_u, lib_u, k)
     assert (d_u == np.asarray(d_uo)).all()
     assert (r_u == np.asarray(r_uo)).all()
+
+
+def test_sharded_adaptive_topk_multi_slice(rng, devices, monkeypatch):
+    """Force multiple block slices through the sharded scorer (join +
+    smaller tail shape) and require bit-equality with the oracle."""
+    from emosaic_tpu.ops import distance as dd
+    from emosaic_tpu.ops.distance import l1_topk_stripes
+    from emosaic_tpu.parallel import sharded_l1_topk_adaptive
+
+    monkeypatch.setattr(dd, "_AD_B_SLICE", 16)  # slice = 16*8 = 128 rows
+    mesh = make_mesh(8, model=1)
+    d, l, k, b = 48, 9000, 4, 300  # bc=8, unit=64 -> bp=320: 128+128+64
+    bases = rng.integers(0, 256, size=(50, d))
+    lib = np.clip(
+        np.repeat(bases, l // 50, axis=0) + rng.integers(-5, 6, size=(l, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks = np.clip(
+        lib[rng.integers(0, l, size=b)].astype(np.int32)
+        + rng.integers(-3, 4, size=(b, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    d_sh, r_sh = sharded_l1_topk_adaptive(blocks, lib, k, mesh)
+    d_o, r_o = l1_topk_stripes(blocks, lib, k)
+    assert (d_sh == np.asarray(d_o)).all()
+    assert (r_sh == np.asarray(r_o)).all()
