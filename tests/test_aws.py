@@ -228,3 +228,70 @@ def test_daily_quota_covers_read_path(backend):
     assert gf.handler(ev, None)["statusCode"] == 200
     assert gf.handler(ev, None)["statusCode"] == 200
     assert gf.handler(ev, None)["statusCode"] == 429
+
+
+@pytest.fixture
+def manager(backend, monkeypatch):
+    """tile_manager wired to the same in-memory DynamoDB fake."""
+    import importlib.util
+
+    mods, flags, rates = backend
+    spec = importlib.util.spec_from_file_location(
+        "tile_manager",
+        Path(__file__).parent.parent / "emosaic_tpu" / "aws" / "tile_manager.py",
+    )
+    tm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tm)
+    monkeypatch.setattr(tm, "_table", lambda env: flags)
+    return tm, flags
+
+
+def test_tile_manager_list_and_stats(manager, capsys):
+    tm, flags = manager
+    now = int(time.time())
+    for i in range(4):
+        flags.put_item(
+            Item={
+                "tileHash": f"h{i}",
+                "flaggedBy": "1.1.1.1" if i < 3 else "2.2.2.2",
+                "flaggedAt": now - i,
+                "tilePath": f"/tiles/t{i}.jpg",
+            }
+        )
+    assert tm.main(["list"]) == 0
+    out = capsys.readouterr()
+    assert out.out.count("\n") == 4 and "h2" in out.out
+    assert "4 flags total" in out.err
+
+    assert tm.main(["stats"]) == 0
+    out = capsys.readouterr().out
+    assert "Total flags: 4" in out
+    assert "Unique flaggers: 2" in out
+    assert "1.1.1.1: 3" in out
+
+
+def test_tile_manager_delete(manager, capsys):
+    tm, flags = manager
+    flags.put_item(Item={"tileHash": "gone1", "flaggedBy": "x"})
+    assert tm.main(["delete", "gone1"]) == 0
+    assert "gone1" not in flags.items
+    assert "Deleted flag gone1" in capsys.readouterr().out
+
+
+def test_tile_manager_review_unflag_and_delete_file(
+    manager, capsys, monkeypatch, tmp_path
+):
+    tm, flags = manager
+    tile = tmp_path / "bad.jpg"
+    tile.write_bytes(b"x")
+    flags.put_item(
+        Item={"tileHash": "aa1", "flaggedBy": "x", "tilePath": str(tile)}
+    )
+    flags.put_item(Item={"tileHash": "bb2", "flaggedBy": "x", "tilePath": ""})
+    flags.put_item(Item={"tileHash": "cc3", "flaggedBy": "x", "tilePath": ""})
+    answers = iter(["d", "u", "q"])  # delete file+flag, unflag, quit
+    monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+    assert tm.main(["review", "--no-open"]) == 0
+    assert not tile.exists()  # [d] removed the local file
+    assert "aa1" not in flags.items and "bb2" not in flags.items
+    assert "cc3" in flags.items  # [q] before reaching it
