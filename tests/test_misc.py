@@ -75,3 +75,38 @@ def test_profile_flag_writes_trace(tmp_path, monkeypatch, rng):
     # jax.profiler writes plugins/profile/<ts>/*.trace.json.gz (or .pb)
     traces = list(prof.rglob("*"))
     assert any(p.is_file() for p in traces), traces
+
+
+def test_phase_timer_and_progress(capsys):
+    from emosaic_tpu.monitor import PhaseTimer, Progress
+
+    msgs = []
+    t = PhaseTimer(log=lambda *a: msgs.append(" ".join(map(str, a))))
+    with t.phase("alpha"):
+        time.sleep(0.01)
+    with t.phase("beta"):
+        pass
+    t.report()
+    joined = "\n".join(msgs)
+    assert "alpha" in joined and "beta" in joined
+
+    # Progress appends "pos/total (rate/s)" to the message
+    # (the reference's indicatif {pos}/{len} ({per_sec}) analogue)
+    p = Progress(10, "Analysing", interval=0.0)
+    p(3)
+    p(10)
+    err = capsys.readouterr().err
+    assert "Analysing 3/10" in err and "10/10" in err and "/s)" in err
+
+
+def test_print_runtime_stats_format():
+    from emosaic_tpu.monitor import MemoryMonitor, print_runtime_stats
+
+    m = MemoryMonitor().start()
+    time.sleep(0.05)
+    m.stop()
+    lines = []
+    print_runtime_stats(time.time() - 1.5, m, log=lambda *a: lines.append(a))
+    joined = " ".join(str(x) for ln in lines for x in ln)
+    assert "Total execution time" in joined
+    assert "Peak memory usage" in joined
