@@ -194,3 +194,25 @@ def test_codecs_invalid_filter_message(tmp_path):
 
     with pytest.raises(ValueError, match="filter_type must be one of"):
         StreamingPNGWriter(tmp_path / "x.png", 4, 4, filter_type="bogus")
+
+
+def test_cli_error_paths(scene, capsys):
+    """Error-path probes from the verify recipe: argparse range checks,
+    the no-repeat+randomize deadlock deviation, corrupt tile handling."""
+    # --randomize out of range -> argparse error (exit 2)
+    with pytest.raises(SystemExit):
+        main(["-s", "8", "-o", str(scene / "x.png"), str(scene / "src.png"),
+              "mosaic", str(scene / "tiles"), "--randomize", "150"])
+    # no-repeat + randomize: ValueError instead of the reference's
+    # deadlock (PARITY deviation 4)
+    with pytest.raises(ValueError, match="deadlocks"):
+        main(["-s", "8", "-o", str(scene / "x.png"), str(scene / "src.png"),
+              "mosaic", str(scene / "tiles"), "--greedy", "--no-repeat",
+              "--randomize", "10", "--downsample", "2"])
+
+    # a corrupt tile file is collected, not fatal
+    (scene / "tiles" / "broken.jpg").write_bytes(b"not a jpeg")
+    rc = main(["-s", "8", "-o", str(scene / "y.png"), str(scene / "src.png"),
+               "mosaic", str(scene / "tiles"), "-f"])
+    assert rc == 0
+    assert (scene / "y.png").exists()
