@@ -20,6 +20,18 @@ _LIB_NAME = "libemosaic_native.so"
 _lib = None
 _load_attempted = False
 
+#: C signature of the batched-refill callback (emosaic_native.cpp
+#: emosaic_refill_cb): (user, block_ids*, m, used*, out_d*, out_r*) -> rc
+_REFILL_CFUNC = ctypes.CFUNCTYPE(
+    ctypes.c_int32,
+    ctypes.c_void_p,
+    ctypes.POINTER(ctypes.c_int64),
+    ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_int32),
+    ctypes.POINTER(ctypes.c_int32),
+)
+
 
 def load() -> ctypes.CDLL | None:
     """Load (building if necessary) the native library; None on failure."""
@@ -55,6 +67,11 @@ def load() -> ctypes.CDLL | None:
         i32p, i32p, i64, i64, u8p, u8p, i64, i64, i64, i32p, i32p
     ]
     lib.emosaic_greedy_global.restype = ctypes.c_int
+    lib.emosaic_greedy_global_cb.argtypes = [
+        i32p, i32p, i64, i64, u8p, u8p, i64, i64, i64,
+        _REFILL_CFUNC, ctypes.c_void_p, i64, i64, i64, i32p, i32p
+    ]
+    lib.emosaic_greedy_global_cb.restype = ctypes.c_int
     lib.emosaic_trim_bounds.argtypes = [u8p, i64, i64, i32p]
     lib.emosaic_trim_bounds.restype = None
     _lib = lib
@@ -89,8 +106,28 @@ def greedy_sequence(order, cand_d, cand_r, blocks, lib) -> tuple[np.ndarray, np.
     return out_row, out_dist
 
 
-def greedy_global(cand_d, cand_r, blocks, lib, num_tiles) -> tuple[np.ndarray, np.ndarray]:
-    """Native global-greedy no-repeat assignment (see render/greedy.py)."""
+def greedy_global(
+    cand_d,
+    cand_r,
+    blocks,
+    lib,
+    num_tiles,
+    *,
+    refill_cb=None,
+    cb_k: int = 256,
+    cb_margin: int = 8,
+    cb_max_batch: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native global-greedy no-repeat assignment (see render/greedy.py).
+
+    `refill_cb`, when given, replaces the engine's per-block host refill
+    scans with batched device top-k calls — a Python callable
+    (block_ids [M] int64, used uint8 [L]) -> (dists [M, cb_k] int32,
+    rows [M, cb_k] int32), ascending (distance, row), I32_MAX-padded (see
+    ops/distance.DeviceRefiller). Output is bit-identical with or without
+    the callback; a callback exception falls back to the host scan for
+    that event.
+    """
     nl = load()
     b, k = cand_d.shape
     cand_d = _c(cand_d, np.int32)
@@ -99,10 +136,32 @@ def greedy_global(cand_d, cand_r, blocks, lib, num_tiles) -> tuple[np.ndarray, n
     lib = _c(lib, np.uint8)
     out_row = np.empty(b, dtype=np.int32)
     out_dist = np.empty(b, dtype=np.int32)
-    rc = nl.emosaic_greedy_global(
-        cand_d, cand_r, b, k, blocks, lib,
-        lib.shape[0], lib.shape[1], num_tiles, out_row, out_dist,
-    )
+    if refill_cb is None:
+        rc = nl.emosaic_greedy_global(
+            cand_d, cand_r, b, k, blocks, lib,
+            lib.shape[0], lib.shape[1], num_tiles, out_row, out_dist,
+        )
+    else:
+        L = lib.shape[0]
+
+        def _trampoline(user, ids_ptr, m, used_ptr, out_d_ptr, out_r_ptr):
+            try:
+                ids = np.ctypeslib.as_array(ids_ptr, shape=(m,))
+                used = np.ctypeslib.as_array(used_ptr, shape=(L,))
+                d_, r_ = refill_cb(ids, used)
+                np.ctypeslib.as_array(out_d_ptr, shape=(m, cb_k))[:] = d_
+                np.ctypeslib.as_array(out_r_ptr, shape=(m, cb_k))[:] = r_
+                return 0
+            except Exception:  # engine falls back to its host scan
+                return 1
+
+        c_cb = _REFILL_CFUNC(_trampoline)  # keep alive for the call
+        rc = nl.emosaic_greedy_global_cb(
+            cand_d, cand_r, b, k, blocks, lib,
+            lib.shape[0], lib.shape[1], num_tiles,
+            c_cb, None, cb_k, cb_margin, cb_max_batch,
+            out_row, out_dist,
+        )
     if rc != 0:
         raise RuntimeError(f"emosaic_greedy_global rc={rc}")
     return out_row, out_dist

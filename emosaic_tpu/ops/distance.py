@@ -510,6 +510,129 @@ def l1_topk_stripes(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# Batched device refill for the no-repeat assignment engines
+#
+# Under tail contention (assigned blocks approaching the 2T admission
+# bound) the C++ greedy engine's host refill — an AVX2 masked scan per
+# exhausted block (native/emosaic_native.cpp masked_topk) — dominates
+# assignment time (~79 s at the 196k-block full-library-consumption run,
+# SCALE_r03). The device refiller replaces it with ONE stripes+top_k call
+# per refill event covering every nearly-dry block, over the library
+# COMPACTED to its unused rows: under tail contention the unused set is
+# tiny, so each event costs ~0.1 s of VPU time instead of thousands of
+# 600 MB host scans. Results are exact ascending (distance, row) with the
+# lowest-row tie rule — the compaction index is ascending, so top_k's
+# earliest-position tie preference maps back to the lowest original row.
+#
+# Shape discipline (this env pays 15-60 s per fresh compile): block ids
+# are padded to one fixed M2 and the unused set to one of two widths
+# (_REFILL_TAIL_U for the tail regime, pow2(L) for early refills), so a
+# whole assignment run compiles at most two kernel shapes. The unused
+# count crosses the kernel as a *traced* scalar.
+# ---------------------------------------------------------------------------
+
+#: compacted-library width for the tail-contention regime; refill events
+#: with more unused rows take the full pow2(L) shape
+_REFILL_TAIL_U = 16384
+
+
+@functools.partial(jax.jit, static_argnames=("d", "k", "bc"))
+def _refill_topk_jit(blocks_flat, ids, lib_flat, unused_idx, real_u, *, d, k, bc):
+    blocks = blocks_flat.reshape(-1, d)
+    lib = lib_flat.reshape(-1, d)
+    xb = blocks[ids]  # [M2, d] device-side block gather
+    sub = lib[unused_idx]  # [U2, d] compacted (ascending) unused rows
+    u2 = sub.shape[0]
+    invalid = jnp.arange(u2, dtype=jnp.int32) >= real_u
+    ct = sub.astype(jnp.int32).sum(axis=1)
+    f32 = _stripe_f32_ok(sub.size)
+    sub_w = sub.astype(jnp.float32) if f32 else sub
+
+    def per_chunk(xc):
+        s = _min_sum_stripe(xc, sub_w, f32)
+        score = ct[None, :] - 2 * s
+        score = jnp.where(invalid[None, :], _TL_BIG, score)
+        nd, ni = jax.lax.top_k(-score, k)  # ties -> lowest compacted pos
+        cx = xc.astype(jnp.int32).sum(-1)
+        dist = jnp.where(-nd >= _TL_BIG, I32_MAX, -nd + cx[:, None])
+        rows = jnp.where(dist == I32_MAX, 0, jnp.take(unused_idx, ni))
+        return dist, rows
+
+    nb = xb.shape[0] // bc
+    dists, rows = jax.lax.map(per_chunk, xb.reshape(nb, bc, d))
+    return dists.reshape(-1, k), rows.reshape(-1, k)
+
+
+class DeviceRefiller:
+    """Batched masked top-k refill engine (native.greedy_global callback).
+
+    Callable as (block_ids [M] int, used uint8/bool [L]) ->
+    (dists [M, k] int32, rows [M, k] int32), ascending (distance, row)
+    over the rows with used[r] == 0, I32_MAX-padded — the exact contract
+    of the C++ engine's host masked_topk (and of rendering.rs:383-385's
+    live-tree re-fetch, whose mutating kd-tree this mask replaces).
+
+    Blocks and library upload lazily on the first refill event and stay
+    device-resident across events.
+    """
+
+    def __init__(self, blocks, lib, *, k: int = 256):
+        self._blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+        self._lib = np.ascontiguousarray(lib, dtype=np.uint8)
+        self.b, self.d = self._blocks.shape
+        self.l = self._lib.shape[0]
+        self.k = k
+        self._m2 = 1 << (min(self.b, 4096) - 1).bit_length()
+        self._l2 = 1 << (self.l - 1).bit_length()
+        self._blocks_dev = None
+        self._lib_dev = None
+        self.n_calls = 0
+
+    def __call__(self, ids: np.ndarray, used: np.ndarray):
+        m = len(ids)
+        out_d = np.full((m, self.k), I32_MAX, np.int32)
+        out_r = np.zeros((m, self.k), np.int32)
+        unused = np.flatnonzero(np.asarray(used) == 0).astype(np.int32)
+        if unused.size == 0:
+            return out_d, out_r
+        if self._blocks_dev is None:
+            self._blocks_dev = jnp.asarray(self._blocks.reshape(-1))
+            self._lib_dev = jnp.asarray(self._lib.reshape(-1))
+        u2 = min(
+            self._l2,
+            _REFILL_TAIL_U if unused.size <= _REFILL_TAIL_U else self._l2,
+        )
+        kk = min(self.k, u2)
+        unused_p = np.zeros(u2, np.int32)
+        unused_p[: unused.size] = unused
+        unused_dev = jnp.asarray(unused_p)
+        real_u = jnp.int32(unused.size)
+        ids = np.asarray(ids, dtype=np.int32)
+        for lo in range(0, m, self._m2):  # normally a single chunk
+            chunk = ids[lo : lo + self._m2]
+            ids_p = np.zeros(self._m2, np.int32)
+            ids_p[: len(chunk)] = chunk
+            d_, r_ = _refill_topk_jit(
+                self._blocks_dev,
+                jnp.asarray(ids_p),
+                self._lib_dev,
+                unused_dev,
+                real_u,
+                d=self.d,
+                k=kk,
+                bc=min(_STRIPE_BC, self._m2),
+            )
+            self.n_calls += 1
+            out_d[lo : lo + self._m2, :kk] = np.asarray(jax.device_get(d_))[
+                : len(chunk)
+            ]
+            out_r[lo : lo + self._m2, :kk] = np.asarray(jax.device_get(r_))[
+                : len(chunk)
+            ]
+        return out_d, out_r
+
+
+# ---------------------------------------------------------------------------
 # MXU hybrid: bf16 L2 prefilter (approx_min_k) + exact-L1 rescore
 #
 # Measured v5e at the flagship no-repeat scale: matmul 35 ms

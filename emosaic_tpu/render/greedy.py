@@ -184,12 +184,20 @@ def make_numpy_refill(blocks: np.ndarray, lib: np.ndarray, k: int = 256) -> Refi
             axis=2, dtype=np.int32
         )
         dist[:, used] = I32_MAX
-        kk = min(k, dist.shape[1])
-        part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-        pd = np.take_along_axis(dist, part, axis=1)
-        srt = np.lexsort((part, pd), axis=1)
-        rows = np.take_along_axis(part, srt, axis=1).astype(np.int32)
-        dists = np.take_along_axis(pd, srt, axis=1).astype(np.int32)
+        l = dist.shape[1]
+        kk = min(k, l)
+        # partition on the packed (distance, row) key — a plain-distance
+        # argpartition picks arbitrary tie members at the kth boundary
+        # (same hazard as l1_topk; the C++ masked_topk and the device
+        # refiller both compare (dist, row) pairs exactly)
+        key = dist.astype(np.int64) * l + np.arange(l, dtype=np.int64)[None, :]
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        pk = np.take_along_axis(key, part, axis=1)
+        order = np.argsort(pk, axis=1)
+        rows = np.take_along_axis(part, order, axis=1).astype(np.int32)
+        dists = np.take_along_axis(
+            np.take_along_axis(dist, part, axis=1), order, axis=1
+        ).astype(np.int32)
         return dists, rows
 
     return refill

@@ -18,6 +18,7 @@ SURVEY.md section 3.5).
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -26,6 +27,7 @@ import numpy as np
 from emosaic_tpu.ops.analysis import source_blocks
 from emosaic_tpu.ops.composite import compose_mosaic
 from emosaic_tpu.ops.distance import (
+    DeviceRefiller,
     build_library,
     l1_dist_matrix,
     l1_topk_adaptive,
@@ -39,6 +41,11 @@ from emosaic_tpu.tiles.tileset import TileSet
 
 #: full-list (exact) mode is used while B * L stays under this many entries
 _EXACT_BUDGET = 2 * 10**8
+#: auto-enable the batched device refill (ops/distance.DeviceRefiller)
+#: once L * D makes the C++ engine's per-block host refill scan expensive
+#: (~0.1 GB of AVX2 scan per exhausted block at flagship shape). Output
+#: is bit-identical either way; EMOSAIC_DEVICE_REFILL=0/1 overrides.
+_DEVICE_REFILL_MIN_LD = 10**8
 #: Past _EXACT_BUDGET the scorer fetches this many exact candidates per
 #: block (device stripes + top_k). Truncation does NOT change assignment
 #: results: the greedy engines fall back to an exact masked refill
@@ -131,7 +138,19 @@ def render_nto1_no_repeat(
 
     t0 = time.perf_counter()
     if native.available():
-        rows, dists = native.greedy_global(cd, cr, blocks, lib, num_tiles)
+        mode = os.environ.get("EMOSAIC_DEVICE_REFILL", "auto")
+        want_dev = (
+            mode == "1"
+            or (mode not in ("0", "off") and l * lib.shape[1] >= _DEVICE_REFILL_MIN_LD)
+        )
+        refiller = DeviceRefiller(blocks, lib) if want_dev else None
+        rows, dists = native.greedy_global(
+            cd, cr, blocks, lib, num_tiles,
+            refill_cb=refiller,
+            cb_max_batch=refiller._m2 if refiller else 4096,
+        )
+        if refiller is not None and refiller.n_calls:
+            log(f"   device refill events: {refiller.n_calls}")
     else:
         refill = make_numpy_refill(blocks, lib)
         rows, dists = greedy_global_assign(cd, cr, l, num_tiles, refill)

@@ -126,7 +126,17 @@ struct Stream {
   size_t ecursor = 0;       // position in extras
   std::vector<std::pair<int32_t, int32_t>> extras;
   bool refilled = false;
+  bool assigned = false;    // block already holds a tile (skip in batches)
+  bool dead = false;        // a refill returned nothing: library exhausted
 };
+
+// Batched-refill callback (device top-k over the masked library). Fills
+// out_d/out_r as [m, k] ascending (dist, row), I32_MAX-padded. Returns 0
+// on success; nonzero falls back to the host masked scan. `used` is the
+// live mask (uint8[L], nonzero = excluded).
+typedef int32_t (*emosaic_refill_cb)(void* user, const int64_t* block_ids,
+                                     int64_t m, const uint8_t* used,
+                                     int32_t* out_d, int32_t* out_r);
 
 struct Ctx {
   const int32_t* cand_d;
@@ -137,12 +147,70 @@ struct Ctx {
   int64_t L, D;
   std::vector<uint8_t> used;
   std::vector<Stream> streams;
+  // optional batched device refill (see emosaic_refill_cb)
+  emosaic_refill_cb cb = nullptr;
+  void* cb_user = nullptr;
+  int64_t cb_k = 0;          // candidates per block per callback refill
+  int64_t cb_margin = 8;     // pre-refill blocks with <= this many raw
+                             // candidates left (output-identical: extras
+                             // pass the same used-check at pop time)
+  int64_t cb_max_batch = 4096;
   // EMOSAIC_NATIVE_STATS=1 diagnostics
   int64_t n_refills = 0;
   int64_t n_peeks = 0;
+  int64_t n_cb_calls = 0;
+  int64_t n_cb_blocks = 0;
   double refill_secs = 0.0;
+  double cb_secs = 0.0;
   // lazy per-row library sums for the refill's coarse bound
   std::vector<int64_t> row_sums;
+
+  // Batched callback refill: one device call covers `b` plus every other
+  // live block whose candidate stream is nearly dry. Early refills are
+  // output-identical to at-exhaustion refills — the used-mask only grows,
+  // so an early batch sees a superset of unused rows; entries that get
+  // claimed in the meantime fail the used-check at pop time exactly like
+  // prefix entries do, and stale heap keys only cause no-op pops (the
+  // same invariant that makes the host refill batch size a pure perf
+  // knob). Returns true when the callback delivered (even if some blocks
+  // got zero rows — those are marked dead: the mask only grows, so an
+  // empty masked top-k can never become non-empty later).
+  bool refill_batch(int64_t b) {
+    std::vector<int64_t> ids;
+    ids.push_back(b);
+    const int64_t B = (int64_t)streams.size();
+    for (int64_t j = 0; j < B && (int64_t)ids.size() < cb_max_batch; ++j) {
+      if (j == b) continue;
+      Stream& t = streams[j];
+      if (t.assigned || t.dead) continue;
+      int64_t rem = (t.cursor < K ? K - t.cursor : 0) +
+                    (int64_t)(t.extras.size() - t.ecursor);
+      if (rem <= cb_margin) ids.push_back(j);
+    }
+    const int64_t m = (int64_t)ids.size();
+    std::vector<int32_t> od((size_t)(m * cb_k));
+    std::vector<int32_t> orr((size_t)(m * cb_k));
+    auto t0 = std::chrono::steady_clock::now();
+    int32_t rc = cb(cb_user, ids.data(), m, used.data(), od.data(), orr.data());
+    cb_secs += std::chrono::duration<double>(
+                   std::chrono::steady_clock::now() - t0)
+                   .count();
+    if (rc != 0) return false;
+    ++n_cb_calls;
+    n_cb_blocks += m;
+    for (int64_t i = 0; i < m; ++i) {
+      Stream& t = streams[ids[i]];
+      size_t added = 0;
+      for (int64_t j = 0; j < cb_k; ++j) {
+        int32_t d = od[(size_t)(i * cb_k + j)];
+        if (d == kI32Max) break;  // ascending + padded: rest is padding
+        t.extras.emplace_back(d, orr[(size_t)(i * cb_k + j)]);
+        ++added;
+      }
+      if (added == 0) t.dead = true;
+    }
+    return true;
+  }
 
   // Current best candidate for block b, or {false,...} when the library is
   // exhausted. Refills at most once per call.
@@ -163,6 +231,7 @@ struct Ctx {
       *row = s.extras[s.ecursor].second;
       return true;
     }
+    if (s.dead) return false;  // an earlier refill came back empty
     // refill from the live (masked) library. The reference re-fetches 10
     // NN (rendering.rs:383-385); here the batch is 256 — extras are
     // consumed through the same used-row check, so any batch size yields
@@ -170,7 +239,16 @@ struct Ctx {
     // 1024 on the 32k-tile clustered flagship), and under cluster
     // contention a 10-row batch forces thousands of rescans (assignment
     // 18 s -> ~5 s measured; a tighter batch also tightens the coarse
-    // bound's pruning threshold).
+    // bound's pruning threshold). With a callback installed the refill is
+    // one batched device top-k over every nearly-dry block instead.
+    if (cb != nullptr && refill_batch(b)) {
+      if (s.ecursor < s.extras.size()) {
+        *dist = s.extras[s.ecursor].first;
+        *row = s.extras[s.ecursor].second;
+        return true;
+      }
+      return false;  // refill_batch marked the stream dead
+    }
     std::vector<std::pair<int32_t, int32_t>> fresh;
     auto t0 = std::chrono::steady_clock::now();
     if (row_sums.empty()) {
@@ -183,6 +261,7 @@ struct Ctx {
                        std::chrono::steady_clock::now() - t0)
                        .count();
     for (auto& f : fresh) s.extras.push_back(f);
+    if (fresh.empty()) s.dead = true;
     if (s.ecursor < s.extras.size()) {
       *dist = s.extras[s.ecursor].first;
       *row = s.extras[s.ecursor].second;
@@ -200,6 +279,53 @@ struct Ctx {
     }
   }
 };
+
+// Shared body of the global-greedy exports: best-match-first priority
+// queue with mirror-pair exclusion (rendering.rs:346-392), tie-broken by
+// block index like the Python engine.
+int run_greedy_global(Ctx& ctx, int64_t B, int64_t num_tiles,
+                      int32_t* out_row, int32_t* out_dist) {
+  ctx.used.assign(ctx.L, 0);
+  ctx.streams.assign(B, Stream{});
+  for (int64_t i = 0; i < B; ++i) {
+    out_row[i] = -1;
+    out_dist[i] = 0;
+  }
+  using Entry = std::pair<int32_t, int64_t>;  // (current best dist, block)
+  std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry>> heap;
+  for (int64_t b = 0; b < B; ++b) {
+    if (ctx.cand_d[b * ctx.K] != kI32Max)
+      heap.emplace(ctx.cand_d[b * ctx.K], b);
+  }
+  while (!heap.empty()) {
+    auto [_, b] = heap.top();
+    heap.pop();
+    int32_t d, r;
+    if (!ctx.peek(b, &d, &r)) continue;  // library empty: skip block
+    ctx.advance(b);
+    if (!ctx.used[r]) {
+      ctx.used[r] = 1;
+      int64_t mirror = r < num_tiles ? r + num_tiles : r - num_tiles;
+      ctx.used[mirror] = 1;
+      out_row[b] = r;
+      out_dist[b] = d;
+      ctx.streams[b].assigned = true;
+    } else {
+      int32_t nd, nr;
+      if (ctx.peek(b, &nd, &nr)) heap.emplace(nd, b);
+    }
+  }
+  if (std::getenv("EMOSAIC_NATIVE_STATS")) {
+    std::fprintf(stderr,
+                 "[native] greedy_global: peeks=%lld refills=%lld "
+                 "refill_time=%.2fs cb_calls=%lld cb_blocks=%lld "
+                 "cb_time=%.2fs\n",
+                 (long long)ctx.n_peeks, (long long)ctx.n_refills,
+                 ctx.refill_secs, (long long)ctx.n_cb_calls,
+                 (long long)ctx.n_cb_blocks, ctx.cb_secs);
+  }
+  return 0;
+}
 
 }  // namespace
 
@@ -245,42 +371,30 @@ int emosaic_greedy_global(const int32_t* cand_d, const int32_t* cand_r,
                           int64_t num_tiles, int32_t* out_row,
                           int32_t* out_dist) {
   Ctx ctx{cand_d, cand_r, K, blocks, lib, L, D};
-  ctx.used.assign(L, 0);
-  ctx.streams.assign(B, Stream{});
-  for (int64_t i = 0; i < B; ++i) {
-    out_row[i] = -1;
-    out_dist[i] = 0;
-  }
-  using Entry = std::pair<int32_t, int64_t>;  // (current best dist, block)
-  std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry>> heap;
-  for (int64_t b = 0; b < B; ++b) {
-    if (cand_d[b * K] != kI32Max) heap.emplace(cand_d[b * K], b);
-  }
-  while (!heap.empty()) {
-    auto [_, b] = heap.top();
-    heap.pop();
-    int32_t d, r;
-    if (!ctx.peek(b, &d, &r)) continue;  // library empty: skip block
-    ctx.advance(b);
-    if (!ctx.used[r]) {
-      ctx.used[r] = 1;
-      int64_t mirror = r < num_tiles ? r + num_tiles : r - num_tiles;
-      ctx.used[mirror] = 1;
-      out_row[b] = r;
-      out_dist[b] = d;
-    } else {
-      int32_t nd, nr;
-      if (ctx.peek(b, &nd, &nr)) heap.emplace(nd, b);
-    }
-  }
-  if (std::getenv("EMOSAIC_NATIVE_STATS")) {
-    std::fprintf(stderr,
-                 "[native] greedy_global: peeks=%lld refills=%lld "
-                 "refill_time=%.2fs\n",
-                 (long long)ctx.n_peeks, (long long)ctx.n_refills,
-                 ctx.refill_secs);
-  }
-  return 0;
+  return run_greedy_global(ctx, B, num_tiles, out_row, out_dist);
+}
+
+// Global greedy with a batched device-refill callback: identical output
+// to emosaic_greedy_global (see Ctx::refill_batch for the argument); the
+// host masked scan remains the per-event fallback when the callback
+// reports failure. `cb_k` is the per-block candidate count the callback
+// writes; `cb_margin`/`cb_max_batch` tune which nearly-dry blocks ride
+// along in each batch (pure perf knobs).
+int emosaic_greedy_global_cb(const int32_t* cand_d, const int32_t* cand_r,
+                             int64_t B, int64_t K, const uint8_t* blocks,
+                             const uint8_t* lib, int64_t L, int64_t D,
+                             int64_t num_tiles, emosaic_refill_cb cb,
+                             void* user, int64_t cb_k, int64_t cb_margin,
+                             int64_t cb_max_batch, int32_t* out_row,
+                             int32_t* out_dist) {
+  Ctx ctx{cand_d, cand_r, K, blocks, lib, L, D};
+  ctx.cb = cb;
+  ctx.cb_user = user;
+  ctx.cb_k = cb_k;
+  ctx.cb_margin = cb_margin;
+  ctx.cb_max_batch = cb_max_batch;
+  if (cb_k <= 0 || cb_max_batch <= 0) return 1;
+  return run_greedy_global(ctx, B, num_tiles, out_row, out_dist);
 }
 
 // White-border trim rectangle (reference utils.rs:108-175 semantics; see

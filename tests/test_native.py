@@ -101,3 +101,86 @@ def test_greedy_global_clustered_contention(rng, d):
     assert (d_c == d_py).all()
     assigned = r_c[r_c >= 0]
     assert len(np.unique(assigned)) == len(assigned)  # no repeats
+
+
+def _clustered(rng, t, b, d, k, dup=True):
+    centers = rng.integers(0, 256, size=(5, d))
+    pal = np.clip(
+        centers[rng.integers(0, 5, t)] + rng.normal(0, 6, (t, d)), 0, 255
+    ).astype(np.uint8)
+    if dup:
+        pal[min(50, t - 1)] = pal[10 % t]  # (dist, row) ties in refills
+    lib = np.concatenate([pal, pal[:, ::-1]])
+    blocks = np.clip(
+        pal[rng.integers(0, t, b)] + rng.normal(0, 4, (b, d)), 0, 255
+    ).astype(np.uint8)
+    dist = np.abs(
+        blocks.astype(np.int32)[:, None, :] - lib.astype(np.int32)[None, :, :]
+    ).sum(2, dtype=np.int32)
+    order = np.argsort(dist, axis=1, kind="stable")
+    cr = order[:, :k].astype(np.int32)
+    cd = np.take_along_axis(dist, cr, axis=1).astype(np.int32)
+    return blocks, lib, cd, cr
+
+
+def test_device_refiller_matches_numpy_refill(rng):
+    """The masked device top-k (compacted stripes) must reproduce the host
+    refill exactly — ascending (dist, row), lowest-row ties — for masks in
+    both the bulk and tail regimes, including duplicate-row ties."""
+    from emosaic_tpu.ops.distance import DeviceRefiller
+
+    t, b, d, k = 70, 24, 48, 16
+    blocks, lib, _, _ = _clustered(rng, t, b, d, k)
+    refill = make_numpy_refill(blocks, lib, k=k)
+    dev = DeviceRefiller(blocks, lib, k=k)
+    I32_MAX = np.int32(2**31 - 1)
+    for frac in (0.0, 0.5, 0.95, 1.0):
+        used = (rng.random(2 * t) < frac).astype(np.uint8)
+        ids = rng.choice(b, size=7, replace=False).astype(np.int64)
+        dd, dr = dev(ids, used)
+        nd_, nr_ = refill(ids, used.astype(bool))
+        for i in range(len(ids)):
+            valid = nd_[i] != I32_MAX
+            assert (dd[i][: valid.sum()] == nd_[i][valid]).all()
+            assert (dr[i][: valid.sum()] == nr_[i][valid]).all()
+            assert (dd[i][valid.sum() :] == I32_MAX).all()
+
+
+@pytest.mark.parametrize("margin", [0, 64])
+def test_greedy_global_device_refill_bit_identical(rng, margin):
+    """The batched device-refill engine must produce the exact assignment
+    of the host-scan engine — including with aggressive pre-refill
+    batching (margin=64 pre-refills nearly every live block per event)."""
+    from emosaic_tpu.ops.distance import DeviceRefiller
+
+    t, b, d, k = 120, 200, 96, 6  # b approaches the 2T admission bound
+    blocks, lib, cd, cr = _clustered(rng, t, b, d, k)
+    base_r, base_d = native.greedy_global(cd, cr, blocks, lib, t)
+    dev = DeviceRefiller(blocks, lib)
+    r_c, d_c = native.greedy_global(
+        cd, cr, blocks, lib, t,
+        refill_cb=dev, cb_margin=margin, cb_max_batch=dev._m2,
+    )
+    assert dev.n_calls > 0  # the device path actually ran
+    assert (r_c == base_r).all()
+    assert (d_c == base_d).all()
+
+
+def test_greedy_global_refill_cb_failure_falls_back(rng):
+    """A raising callback must degrade to the host masked scan with
+    identical output."""
+    t, b, d, k = 60, 100, 24, 4
+    blocks, lib, cd, cr = _clustered(rng, t, b, d, k)
+    base_r, base_d = native.greedy_global(cd, cr, blocks, lib, t)
+    calls = []
+
+    def broken(ids, used):
+        calls.append(len(ids))
+        raise RuntimeError("device unavailable")
+
+    r_c, d_c = native.greedy_global(
+        cd, cr, blocks, lib, t, refill_cb=broken
+    )
+    assert calls  # the callback was attempted
+    assert (r_c == base_r).all()
+    assert (d_c == base_d).all()
