@@ -143,7 +143,12 @@ def _prepare(
 
     arr = np.asarray(rgb, dtype=np.uint8)
     try:
-        left, top, tw, th = trim_bounds(arr)
+        # AVX2 scan when the native helper is present (parity-tested in
+        # tests/test_native.py); the numpy path is the oracle/fallback
+        from emosaic_tpu import native
+
+        trim = native.trim_bounds if native.available() else trim_bounds
+        left, top, tw, th = trim(arr)
     except ValueError as e:
         raise ImageError(path, str(e)) from e
 

@@ -42,12 +42,20 @@ def load() -> ctypes.CDLL | None:
     path = _NATIVE_DIR / _LIB_NAME
     if not path.exists():
         try:
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
+            # serialize the on-demand build: parallel prep workers may all
+            # hit a missing .so at once, and concurrent `make` runs would
+            # race on the output file
+            import fcntl
+
+            with open(_NATIVE_DIR / ".build.lock", "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                if not path.exists():
+                    subprocess.run(
+                        ["make", "-C", str(_NATIVE_DIR)],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
         except Exception:
             return None
     try:

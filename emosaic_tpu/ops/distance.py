@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -535,6 +536,18 @@ def l1_topk_stripes(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
 #: with more unused rows take the full pow2(L) shape
 _REFILL_TAIL_U = 16384
 
+#: host-scan refill events a cold DeviceRefiller absorbs before paying
+#: its one-time blocks+library upload: few-refill runs never upload;
+#: mass-refill runs switch to the device after this many. Sized for
+#: real-TPU-VM upload costs (~0.1 s for 1.2 GB over PCIe); through this
+#: env's 30 MB/s tunnel the upload is ~40 s, so EMOSAIC_DEVICE_REFILL_DEFER
+#: can raise it (or warm() skips deferral entirely).
+_REFILL_DEFER_EVENTS = 256
+
+
+class _DeferRefill(Exception):
+    """Raised to route one refill event back to the host masked scan."""
+
 
 @functools.partial(jax.jit, static_argnames=("d", "k", "bc"))
 def _refill_topk_jit(blocks_flat, ids, lib_flat, unused_idx, real_u, *, d, k, bc):
@@ -576,7 +589,7 @@ class DeviceRefiller:
     device-resident across events.
     """
 
-    def __init__(self, blocks, lib, *, k: int = 256):
+    def __init__(self, blocks, lib, *, k: int = 256, defer_events: int | None = None):
         self._blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
         self._lib = np.ascontiguousarray(lib, dtype=np.uint8)
         self.b, self.d = self._blocks.shape
@@ -587,6 +600,32 @@ class DeviceRefiller:
         self._blocks_dev = None
         self._lib_dev = None
         self.n_calls = 0
+        if defer_events is None:
+            defer_events = int(
+                os.environ.get("EMOSAIC_DEVICE_REFILL_DEFER", _REFILL_DEFER_EVENTS)
+            )
+        self.defer_events = defer_events
+        self.n_deferred = 0
+
+    def warm(self) -> None:
+        """Upload blocks/library and compile both refill shapes ahead of
+        assignment — otherwise the first refill event pays the upload
+        (~1.2 GB at flagship scale) plus a fresh XLA compile mid-run."""
+        if self._blocks_dev is None:
+            self._blocks_dev = jnp.asarray(self._blocks.reshape(-1))
+            self._lib_dev = jnp.asarray(self._lib.reshape(-1))
+        for u2 in {min(self._l2, _REFILL_TAIL_U), self._l2}:
+            d_, _ = _refill_topk_jit(
+                self._blocks_dev,
+                jnp.zeros(self._m2, jnp.int32),
+                self._lib_dev,
+                jnp.zeros(u2, jnp.int32),
+                jnp.int32(1),
+                d=self.d,
+                k=min(self.k, u2),
+                bc=min(_STRIPE_BC, self._m2),
+            )
+            jax.device_get(d_[0, 0])
 
     def __call__(self, ids: np.ndarray, used: np.ndarray):
         m = len(ids)
@@ -595,6 +634,11 @@ class DeviceRefiller:
         unused = np.flatnonzero(np.asarray(used) == 0).astype(np.int32)
         if unused.size == 0:
             return out_d, out_r
+        if self._blocks_dev is None and self.n_deferred < self.defer_events:
+            # cold: absorb early events on the host scan until the upload
+            # is worth paying (the engine falls back per-event on raise)
+            self.n_deferred += 1
+            raise _DeferRefill(self.n_deferred)
         if self._blocks_dev is None:
             self._blocks_dev = jnp.asarray(self._blocks.reshape(-1))
             self._lib_dev = jnp.asarray(self._lib.reshape(-1))

@@ -60,6 +60,11 @@ class _CandidateLists:
         self.extra: dict[int, list[tuple[int, int]]] = {}
         self.ecursor: dict[int, int] = {}
         self.refill = refill
+        # set by the driving loop once every library row is used: refills
+        # are then known-empty without a masked scan (the C++ engine keeps
+        # the same n_unused counter; at full library consumption ~B/2
+        # post-exhaustion refills would otherwise each scan the library)
+        self.exhausted = False
 
     def peek(self, blk: int, used: np.ndarray) -> tuple[int, int] | None:
         """Current best candidate (dist, row), refilling if exhausted;
@@ -73,6 +78,8 @@ class _CandidateLists:
         if ex is not None and ec < len(ex):
             return ex[ec]
         # refill from the live (masked) library, like rendering.rs:383-385
+        if self.exhausted:
+            return None
         d10, r10 = self.refill(np.array([blk]), used)
         valid = d10[0] != I32_MAX
         fresh = [(int(d), int(r)) for d, r in zip(d10[0][valid], r10[0][valid])]
@@ -140,6 +147,7 @@ def greedy_global_assign(
     exclusion (rendering.rs:346-392). See module docstring."""
     b = cand_d.shape[0]
     used = np.zeros(num_rows, dtype=bool)
+    n_unused = num_rows
     chosen_row = np.full(b, -1, dtype=np.int32)
     chosen_dist = np.zeros(b, dtype=np.int32)
     lists = _CandidateLists(cand_d, cand_r, refill)
@@ -154,8 +162,11 @@ def greedy_global_assign(
         d, r = cur
         lists.advance(blk)
         if not used[r]:
+            mirror = _mirror(r, num_tiles)
+            n_unused -= 1 + (not used[mirror])
             used[r] = True
-            used[_mirror(r, num_tiles)] = True  # rendering.rs:353-354
+            used[mirror] = True  # rendering.rs:353-354
+            lists.exhausted = n_unused == 0
             chosen_row[blk] = r
             chosen_dist[blk] = d
         else:

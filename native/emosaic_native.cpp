@@ -147,6 +147,11 @@ struct Ctx {
   int64_t L, D;
   std::vector<uint8_t> used;
   std::vector<Stream> streams;
+  // live count of unused library rows: when it hits zero, every refill
+  // is known-empty without scanning. At full library consumption (the
+  // SCALE_r03 phase-G/H regime) ~96k post-exhaustion refills otherwise
+  // each pay a pruned row_sums scan — 55 s of the measured 83 s.
+  int64_t n_unused = 0;
   // optional batched device refill (see emosaic_refill_cb)
   emosaic_refill_cb cb = nullptr;
   void* cb_user = nullptr;
@@ -214,58 +219,71 @@ struct Ctx {
 
   // Current best candidate for block b, or {false,...} when the library is
   // exhausted. Refills at most once per call.
+  // First candidate of b whose row is still UNUSED (candidates claimed
+  // since they were fetched are skipped in one linear run here — under
+  // tail contention that replaces one heap pop/push cycle per stolen
+  // candidate, which dominated assignment at max scale). The used-set
+  // only grows and every stream ascends, so the first-unused distance is
+  // monotone per block: callers that cached an older distance requeue at
+  // the returned one (run_greedy_global).
   bool peek(int64_t b, int32_t* dist, int32_t* row) {
     ++n_peeks;
     Stream& s = streams[b];
-    if (s.cursor < K) {
-      int32_t d = cand_d[b * K + s.cursor];
-      if (d != kI32Max) {
-        *dist = d;
-        *row = cand_r[b * K + s.cursor];
-        return true;
+    for (;;) {
+      if (s.cursor < K) {
+        int32_t d = cand_d[b * K + s.cursor];
+        if (d == kI32Max) {
+          s.cursor = K;  // padded-out prefix: exhausted
+          continue;
+        }
+        int32_t r = cand_r[b * K + s.cursor];
+        if (!used[r]) {
+          *dist = d;
+          *row = r;
+          return true;
+        }
+        ++s.cursor;  // claimed since scoring: skip the whole run
+        continue;
       }
-      s.cursor = K;  // padded-out prefix: exhausted
-    }
-    if (s.ecursor < s.extras.size()) {
-      *dist = s.extras[s.ecursor].first;
-      *row = s.extras[s.ecursor].second;
-      return true;
-    }
-    if (s.dead) return false;  // an earlier refill came back empty
-    // refill from the live (masked) library. The reference re-fetches 10
-    // NN (rendering.rs:383-385); here the batch is 256 — extras are
-    // consumed through the same used-row check, so any batch size yields
-    // the identical assignment sequence (verified bit-equal at 10/256/
-    // 1024 on the 32k-tile clustered flagship), and under cluster
-    // contention a 10-row batch forces thousands of rescans (assignment
-    // 18 s -> ~5 s measured; a tighter batch also tightens the coarse
-    // bound's pruning threshold). With a callback installed the refill is
-    // one batched device top-k over every nearly-dry block instead.
-    if (cb != nullptr && refill_batch(b)) {
       if (s.ecursor < s.extras.size()) {
-        *dist = s.extras[s.ecursor].first;
-        *row = s.extras[s.ecursor].second;
-        return true;
+        if (!used[s.extras[s.ecursor].second]) {
+          *dist = s.extras[s.ecursor].first;
+          *row = s.extras[s.ecursor].second;
+          return true;
+        }
+        ++s.ecursor;
+        continue;
       }
-      return false;  // refill_batch marked the stream dead
-    }
-    std::vector<std::pair<int32_t, int32_t>> fresh;
-    auto t0 = std::chrono::steady_clock::now();
-    if (row_sums.empty()) {
-      row_sums.resize(L);
-      for (int64_t r = 0; r < L; ++r) row_sums[r] = sum_u8(lib + r * D, D);
-    }
-    masked_topk(blocks + b * D, lib, L, D, used, row_sums, 256, fresh);
-    ++n_refills;
-    refill_secs += std::chrono::duration<double>(
-                       std::chrono::steady_clock::now() - t0)
-                       .count();
-    for (auto& f : fresh) s.extras.push_back(f);
-    if (fresh.empty()) s.dead = true;
-    if (s.ecursor < s.extras.size()) {
-      *dist = s.extras[s.ecursor].first;
-      *row = s.extras[s.ecursor].second;
-      return true;
+      if (s.dead) return false;  // an earlier refill came back empty
+      if (n_unused == 0) {       // library exhausted: refills cannot help
+        s.dead = true;
+        return false;
+      }
+      // refill from the live (masked) library. The reference re-fetches
+      // 10 NN (rendering.rs:383-385); here the batch is 256 — extras are
+      // consumed through the same used-row check, so any batch size
+      // yields the identical assignment sequence (verified bit-equal at
+      // 10/256/1024 on the 32k-tile clustered flagship), and under
+      // cluster contention a 10-row batch forces thousands of rescans
+      // (assignment 18 s -> ~5 s measured; a tighter batch also tightens
+      // the coarse bound's pruning threshold). With a callback installed
+      // the refill is one batched device top-k over every nearly-dry
+      // block instead. Fresh entries excluded used rows at scan time, so
+      // the next loop iteration returns (or sees the stream dead).
+      if (cb != nullptr && refill_batch(b)) continue;
+      std::vector<std::pair<int32_t, int32_t>> fresh;
+      auto t0 = std::chrono::steady_clock::now();
+      if (row_sums.empty()) {
+        row_sums.resize(L);
+        for (int64_t r = 0; r < L; ++r) row_sums[r] = sum_u8(lib + r * D, D);
+      }
+      masked_topk(blocks + b * D, lib, L, D, used, row_sums, 256, fresh);
+      ++n_refills;
+      refill_secs += std::chrono::duration<double>(
+                         std::chrono::steady_clock::now() - t0)
+                         .count();
+      for (auto& f : fresh) s.extras.push_back(f);
+      if (fresh.empty()) s.dead = true;
     }
     return false;
   }
@@ -286,6 +304,7 @@ struct Ctx {
 int run_greedy_global(Ctx& ctx, int64_t B, int64_t num_tiles,
                       int32_t* out_row, int32_t* out_dist) {
   ctx.used.assign(ctx.L, 0);
+  ctx.n_unused = ctx.L;
   ctx.streams.assign(B, Stream{});
   for (int64_t i = 0; i < B; ++i) {
     out_row[i] = -1;
@@ -298,22 +317,28 @@ int run_greedy_global(Ctx& ctx, int64_t B, int64_t num_tiles,
       heap.emplace(ctx.cand_d[b * ctx.K], b);
   }
   while (!heap.empty()) {
-    auto [_, b] = heap.top();
+    auto [key, b] = heap.top();
     heap.pop();
     int32_t d, r;
     if (!ctx.peek(b, &d, &r)) continue;  // library empty: skip block
-    ctx.advance(b);
-    if (!ctx.used[r]) {
-      ctx.used[r] = 1;
-      int64_t mirror = r < num_tiles ? r + num_tiles : r - num_tiles;
-      ctx.used[mirror] = 1;
-      out_row[b] = r;
-      out_dist[b] = d;
-      ctx.streams[b].assigned = true;
-    } else {
-      int32_t nd, nr;
-      if (ctx.peek(b, &nd, &nr)) heap.emplace(nd, b);
+    if (d != key) {
+      // stale entry: candidates were claimed since this key was pushed.
+      // peek skipped the whole used run; requeue at the true first-unused
+      // distance (monotone >= key), where global best-first order decides
+      // again. Output-identical to cycling the heap per candidate — the
+      // (dist, block) pop order is insertion-independent.
+      heap.emplace(d, b);
+      continue;
     }
+    ctx.advance(b);
+    ctx.used[r] = 1;
+    int64_t mirror = r < num_tiles ? r + num_tiles : r - num_tiles;
+    ctx.n_unused -= 1 + (ctx.used[mirror] == 0);
+    ctx.used[mirror] = 1;
+    out_row[b] = r;
+    out_dist[b] = d;
+    ctx.streams[b].assigned = true;
+    if (ctx.n_unused == 0) break;  // nothing left to assign: skip the drain
   }
   if (std::getenv("EMOSAIC_NATIVE_STATS")) {
     std::fprintf(stderr,
@@ -341,6 +366,7 @@ int emosaic_greedy_sequence(const int32_t* order, const int32_t* cand_d,
                             int32_t* out_dist) {
   Ctx ctx{cand_d, cand_r, K, blocks, lib, L, D};
   ctx.used.assign(L, 0);
+  ctx.n_unused = L;  // row-granular exclusion (no mirror pair here)
   ctx.streams.assign(B, Stream{});
   for (int64_t i = 0; i < B; ++i) {
     out_row[i] = -1;
@@ -353,6 +379,7 @@ int emosaic_greedy_sequence(const int32_t* order, const int32_t* cand_d,
       ctx.advance(b);
       if (!ctx.used[r]) {
         ctx.used[r] = 1;
+        --ctx.n_unused;
         out_row[b] = r;
         out_dist[b] = d;
         break;

@@ -132,7 +132,7 @@ def test_device_refiller_matches_numpy_refill(rng):
     t, b, d, k = 70, 24, 48, 16
     blocks, lib, _, _ = _clustered(rng, t, b, d, k)
     refill = make_numpy_refill(blocks, lib, k=k)
-    dev = DeviceRefiller(blocks, lib, k=k)
+    dev = DeviceRefiller(blocks, lib, k=k, defer_events=0)
     I32_MAX = np.int32(2**31 - 1)
     for frac in (0.0, 0.5, 0.95, 1.0):
         used = (rng.random(2 * t) < frac).astype(np.uint8)
@@ -156,7 +156,7 @@ def test_greedy_global_device_refill_bit_identical(rng, margin):
     t, b, d, k = 120, 200, 96, 6  # b approaches the 2T admission bound
     blocks, lib, cd, cr = _clustered(rng, t, b, d, k)
     base_r, base_d = native.greedy_global(cd, cr, blocks, lib, t)
-    dev = DeviceRefiller(blocks, lib)
+    dev = DeviceRefiller(blocks, lib, defer_events=0)
     r_c, d_c = native.greedy_global(
         cd, cr, blocks, lib, t,
         refill_cb=dev, cb_margin=margin, cb_max_batch=dev._m2,
@@ -184,3 +184,54 @@ def test_greedy_global_refill_cb_failure_falls_back(rng):
     assert calls  # the callback was attempted
     assert (r_c == base_r).all()
     assert (d_c == base_d).all()
+
+
+def test_device_refiller_defers_then_engages(rng):
+    """A cold refiller routes its first `defer_events` events to the host
+    scan (no upload), then serves from the device; warm() skips deferral.
+    Assignments stay bit-identical through both regimes."""
+    from emosaic_tpu.ops.distance import DeviceRefiller, _DeferRefill
+
+    t, b, d, k = 120, 200, 96, 6
+    blocks, lib, cd, cr = _clustered(rng, t, b, d, k)
+    base_r, base_d = native.greedy_global(cd, cr, blocks, lib, t)
+
+    dev = DeviceRefiller(blocks, lib, defer_events=3)
+    r_c, d_c = native.greedy_global(
+        cd, cr, blocks, lib, t, refill_cb=dev, cb_max_batch=dev._m2
+    )
+    assert dev.n_deferred == 3  # absorbed exactly the configured events
+    assert dev.n_calls > 0  # then engaged the device path
+    assert (r_c == base_r).all() and (d_c == base_d).all()
+
+    # direct call while cold raises the defer signal (the C++ trampoline
+    # maps it to the host-fallback return code)
+    cold = DeviceRefiller(blocks, lib, defer_events=1)
+    with pytest.raises(_DeferRefill):
+        cold(np.arange(3, dtype=np.int64), np.zeros(2 * t, np.uint8))
+    cold.warm()  # explicit warm bypasses any remaining deferral
+    dd, _ = cold(np.arange(3, dtype=np.int64), np.zeros(2 * t, np.uint8))
+    assert (dd[:, 0] < 2**31 - 1).all()
+
+
+def test_greedy_global_exhaustion_short_circuit(rng):
+    """With more blocks than assignable tiles, post-exhaustion refills
+    must be skipped (n_unused counter) and never reach the callback —
+    while assignments stay identical to the Python engine."""
+    t, b, d, k = 30, 90, 24, 3  # b > t: library fully consumed
+    blocks, lib, cd, cr = _clustered(rng, t, b, d, k)
+
+    calls = []
+
+    def spy(ids, used):
+        calls.append(np.flatnonzero(used == 0).size)
+        raise RuntimeError("should never be called with an empty mask")
+
+    r_c, d_c = native.greedy_global(cd, cr, blocks, lib, t, refill_cb=spy)
+    assert int((r_c >= 0).sum()) == t  # full library consumption
+    for n_unused in calls:
+        assert n_unused > 0  # exhausted-library events were short-circuited
+
+    refill = make_numpy_refill(blocks, lib)
+    r_py, d_py = greedy_global_assign(cd, cr, 2 * t, t, refill)
+    assert (r_c == r_py).all() and (d_c == d_py).all()
