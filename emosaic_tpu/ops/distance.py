@@ -516,8 +516,10 @@ def l1_topk_stripes(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
 # Under tail contention (assigned blocks approaching the 2T admission
 # bound) the C++ greedy engine's host refill — an AVX2 masked scan per
 # exhausted block (native/emosaic_native.cpp masked_topk) — dominates
-# assignment time (~79 s at the 196k-block full-library-consumption run,
-# SCALE_r03). The device refiller replaces it with ONE stripes+top_k call
+# assignment time (the 196k-block full-library-consumption run first
+# measured 83.6 s, of which 55 s were post-exhaustion scans the engine's
+# n_unused counter now short-circuits; 24.6 s remain on the host path,
+# SCALE_r03 phase H). The device refiller replaces it with ONE stripes+top_k call
 # per refill event covering every nearly-dry block, over the library
 # COMPACTED to its unused rows: under tail contention the unused set is
 # tiny, so each event costs ~0.1 s of VPU time instead of thousands of
