@@ -26,6 +26,16 @@ Exact-parity semantics preserved:
 Deviation (recorded): a fully-white image panics the reference
 (utils.rs:163-164 assert); here it raises ImageError and is collected as a
 per-image error like other failures.
+
+Beyond-parity opt-in (`--fast-prep` / EMOSAIC_FAST_PREP=1, docs/PARITY.md):
+JPEG sources decode at the largest libjpeg DCT scale that keeps both sides
+>= 4*tile_size (PIL draft mode), and trim/crop run in the scaled space —
+measured 4.4x on 6 MP photos at <=1 LSB output difference. If the trimmed
+crop falls under a 2*tile_size supersampling floor the image is redone at
+full resolution, so quality never degrades below the exact path's. All
+caches (content-hash, analysis, stack) carry a `_fast` tag: exact and fast
+runs never read each other's artifacts. The DEFAULT path is untouched —
+full-resolution decode, exact reference trim semantics.
 """
 
 from __future__ import annotations
@@ -42,6 +52,20 @@ from emosaic_tpu.errors import ImageError
 from emosaic_tpu.io.exif import date_of, get_exif_date, orientation_of
 
 Image.MAX_IMAGE_PIXELS = None  # gigapixel sources are expected
+
+#: fast-prep draft target per side, in tile_sizes: decode at the largest
+#: DCT scale keeping both dims >= this many tile_sizes (>=4x supersampling
+#: headroom before trim/crop)
+_FAST_MARGIN = 4
+#: minimum supersampling of the trimmed crop; below it the fast path redoes
+#: the image at full resolution so Lanczos never upsamples low-detail input
+_FAST_FLOOR = 2
+
+
+def fast_prep_enabled() -> bool:
+    """Opt-in DCT-scaled JPEG decode (module docstring). Env-var backed so
+    the flag reaches spawn-context prep workers without signature churn."""
+    return os.environ.get("EMOSAIC_FAST_PREP", "") == "1"
 
 
 def cache_dir() -> Path:
@@ -108,6 +132,26 @@ def apply_orientation(im: Image.Image, orientation: int) -> Image.Image:
     return im.transpose(op) if op is not None else im
 
 
+def _trim_crop(rgb: Image.Image, crop: bool) -> tuple[Image.Image, int]:
+    """White-trim (+ optional centered square crop) of a decoded image;
+    returns (cropped image, min crop dimension). Raises ValueError for
+    all/mostly-white images (trim_bounds)."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    # AVX2 scan when the native helper is present (parity-tested in
+    # tests/test_native.py); the numpy path is the oracle/fallback
+    from emosaic_tpu import native
+
+    trim = native.trim_bounds if native.available() else trim_bounds
+    left, top, tw, th = trim(arr)
+    if crop:
+        # largest centered square inside the trimmed region (utils.rs:176-187)
+        size = min(tw, th)
+        left += (tw - size) // 2
+        top += (th - size) // 2
+        tw = th = size
+    return rgb.crop((left, top, left + tw, top + th)), min(tw, th)
+
+
 def _prepare(
     path: Path, tile_size: int, crop: bool, want_date: bool
 ) -> tuple[np.ndarray, str | None]:
@@ -118,7 +162,9 @@ def _prepare(
     except OSError as e:
         raise ImageError(path, str(e)) from e
     digest = hashlib.md5(data).hexdigest()
-    cpath = cache_dir() / f"{digest}{'_cropped' if crop else ''}.{tile_size}.jpg"
+    fast = fast_prep_enabled()
+    tag = ("_cropped" if crop else "") + ("_fast" if fast else "")
+    cpath = cache_dir() / f"{digest}{tag}.{tile_size}.jpg"
 
     if cpath.exists():
         try:
@@ -133,33 +179,32 @@ def _prepare(
         with Image.open(io.BytesIO(data)) as im:
             date = date_of(im) if want_date else None
             orientation = orientation_of(im)
+            w, h = im.size  # pre-draft dims: the size gate uses the original
+            drafted = False
+            if fast:
+                # largest DCT scale keeping both dims >= margin*tile_size;
+                # a no-op for non-JPEG decoders and already-small images
+                im.draft("RGB", (_FAST_MARGIN * tile_size,) * 2)
+                drafted = im.size != (w, h)
             rgb = im.convert("RGB")
     except Exception as e:
         raise ImageError(path, str(e)) from e
 
-    w, h = rgb.size
     if w < tile_size or h < tile_size:
         raise ImageError(path, f"image {w}x{h} smaller than tile size {tile_size}")
 
-    arr = np.asarray(rgb, dtype=np.uint8)
     try:
-        # AVX2 scan when the native helper is present (parity-tested in
-        # tests/test_native.py); the numpy path is the oracle/fallback
-        from emosaic_tpu import native
-
-        trim = native.trim_bounds if native.available() else trim_bounds
-        left, top, tw, th = trim(arr)
+        cropped, mindim = _trim_crop(rgb, crop)
+        if drafted and mindim < _FAST_FLOOR * tile_size:
+            # the trimmed crop fell under the supersampling floor in scaled
+            # space: redo at full resolution (rare — only heavily-trimmed
+            # images; quality then equals the exact path's)
+            with Image.open(io.BytesIO(data)) as im:
+                rgb = im.convert("RGB")
+            cropped, mindim = _trim_crop(rgb, crop)
     except ValueError as e:
         raise ImageError(path, str(e)) from e
 
-    if crop:
-        # largest centered square inside the trimmed region (utils.rs:176-187)
-        size = min(tw, th)
-        left += (tw - size) // 2
-        top += (th - size) // 2
-        tw = th = size
-
-    cropped = rgb.crop((left, top, left + tw, top + th))
     resized = cropped.resize((tile_size, tile_size), Image.LANCZOS)
     oriented = apply_orientation(resized, orientation)
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import sys
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from pathlib import Path
@@ -394,7 +395,15 @@ def main(argv=None) -> int:
         help="Output byte size above which responses are chunked PNG "
         "streams (peak host memory stays one band)",
     )
+    p.add_argument(
+        "--fast-prep",
+        action="store_true",
+        help="DCT-scaled JPEG tile prep (~4x faster cold library builds, "
+        "<=1 LSB tile difference; separate caches — see io/prep.py)",
+    )
     args = p.parse_args(argv)
+    if args.fast_prep:
+        os.environ["EMOSAIC_FAST_PREP"] = "1"
 
     service = MosaicService(
         args.tiles_dir,

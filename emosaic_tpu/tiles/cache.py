@@ -17,14 +17,18 @@ from pathlib import Path
 
 import numpy as np
 
+from emosaic_tpu.io.prep import fast_prep_enabled
 from emosaic_tpu.tiles.tileset import TileSet
 
 _MAGIC = "emosaic_tpu-analysis-v1"
 
 
 def analysis_cache_path(tiles_dir: str | os.PathLike, n_cells: int, crop: bool) -> Path:
-    """`<tiles_dir>/.emosaic_{N}to1[_cropped]` (main.rs:597-601)."""
-    return Path(tiles_dir) / f".emosaic_{n_cells}to1{'_cropped' if crop else ''}"
+    """`<tiles_dir>/.emosaic_{N}to1[_cropped]` (main.rs:597-601). Under
+    --fast-prep a `_fast` tag keeps analyses of DCT-scaled tiles separate
+    from exact ones (see io/prep.py module docstring)."""
+    fast = "_fast" if fast_prep_enabled() else ""
+    return Path(tiles_dir) / f".emosaic_{n_cells}to1{'_cropped' if crop else ''}{fast}"
 
 
 def save_tileset_cache(path: str | os.PathLike, ts: TileSet) -> None:
@@ -76,7 +80,8 @@ def stack_cache_path(tiles_dir: str | os.PathLike, tile_size: int) -> Path:
     """Prepared-tile *stack* cache (rebuild-specific extension): the device
     composite wants a dense [T, ts, ts, 3] array; rebuilding it from 100k
     per-tile JPEGs on every run would bottleneck on host decode."""
-    return Path(tiles_dir) / f".emosaic_stack_{tile_size}"
+    fast = "_fast" if fast_prep_enabled() else ""
+    return Path(tiles_dir) / f".emosaic_stack_{tile_size}{fast}"
 
 
 def save_stack_cache(path: str | os.PathLike, paths: list[Path], stack: np.ndarray):

@@ -81,6 +81,81 @@ def test_prepare_tile_rejects_undersized(tmp_path, rng):
         prepare_tile(p, 16, crop=False)
 
 
+def _smooth(h, w):
+    """Smooth non-white gradient content (JPEG-friendly, trim-stable)."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 200) // max(w, 1), (y * 200) // max(h, 1), ((x + y) * 100) // (h + w)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_fast_prep_jpeg_close_to_exact(tmp_path, monkeypatch, rng):
+    """--fast-prep decodes JPEG at a reduced DCT scale: output stays within
+    a few LSB of the exact path and the two modes cache separately."""
+    from emosaic_tpu.io.prep import cache_dir
+
+    p = tmp_path / "big.jpg"
+    save_img(p, _smooth(768, 1024), fmt="JPEG")
+    exact = prepare_tile(p, 32, crop=True)
+    monkeypatch.setenv("EMOSAIC_FAST_PREP", "1")
+    fast = prepare_tile(p, 32, crop=True)
+    assert fast.shape == exact.shape == (32, 32, 3)
+    diff = np.abs(fast.astype(np.int16) - exact.astype(np.int16))
+    assert diff.mean() < 3 and diff.max() < 32  # DCT-scaled, not divergent
+    fast_files = list(cache_dir().glob("*_fast.32.jpg"))
+    exact_files = [f for f in cache_dir().glob("*.32.jpg") if "_fast" not in f.name]
+    assert len(fast_files) == 1 and len(exact_files) == 1
+
+
+def test_fast_prep_non_jpeg_identical(tmp_path, monkeypatch, rng):
+    """draft is a JPEG-decoder feature: PNG inputs take the identical
+    pipeline under --fast-prep."""
+    p = tmp_path / "img.png"
+    save_img(p, _smooth(300, 400))
+    exact = prepare_tile(p, 32, crop=True)
+    monkeypatch.setenv("EMOSAIC_FAST_PREP", "1")
+    fast = prepare_tile(p, 32, crop=True)
+    assert (fast == exact).all()
+
+
+def test_fast_prep_small_jpeg_identical(tmp_path, monkeypatch):
+    """Images under the draft target decode at full scale — bit-identical
+    to the exact path."""
+    p = tmp_path / "small.jpg"
+    save_img(p, _smooth(80, 100), fmt="JPEG")
+    exact = prepare_tile(p, 16, crop=True)
+    monkeypatch.setenv("EMOSAIC_FAST_PREP", "1")
+    fast = prepare_tile(p, 16, crop=True)
+    assert (fast == exact).all()
+
+
+def test_fast_prep_supersampling_floor_redoes_exact(tmp_path, monkeypatch):
+    """A heavily white-trimmed image whose scaled crop falls under the
+    2*tile_size floor is redone at full resolution — bit-identical to the
+    exact path (quality never degrades below it)."""
+    arr = np.full((1024, 1024, 3), 255, dtype=np.uint8)
+    arr[472:552, 472:552] = _smooth(80, 80)  # 80x80 content in white field
+    p = tmp_path / "bordered.jpg"
+    save_img(p, arr, fmt="JPEG")
+    exact = prepare_tile(p, 32, crop=True)
+    monkeypatch.setenv("EMOSAIC_FAST_PREP", "1")
+    fast = prepare_tile(p, 32, crop=True)
+    assert (fast == exact).all()
+
+
+def test_fast_prep_cache_paths_tagged(tmp_path, monkeypatch):
+    from emosaic_tpu.tiles.cache import stack_cache_path
+
+    assert analysis_cache_path(tmp_path, 4, True).name == ".emosaic_4to1_cropped"
+    assert stack_cache_path(tmp_path, 16).name == ".emosaic_stack_16"
+    monkeypatch.setenv("EMOSAIC_FAST_PREP", "1")
+    assert (
+        analysis_cache_path(tmp_path, 4, True).name == ".emosaic_4to1_cropped_fast"
+    )
+    assert stack_cache_path(tmp_path, 16).name == ".emosaic_stack_16_fast"
+
+
 def test_find_images_case_sensitive(tmp_path):
     (tmp_path / "sub").mkdir()
     for name in ["a.jpg", "b.JPG", "sub/c.jpeg", "d.png", "e.txt"]:
