@@ -123,23 +123,24 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
-#: last verified on-chip measurement (2026-08-17, commit 820d359+), reported
+#: last verified on-chip measurement (2026-08-17, post exhaustion-aware
+#: assignment engine — one coherent live run, not a best-of mix), reported
 #: only if the device claim wedges (the axon tunnel sometimes hangs a fresh
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 41772.3,
+    "value": 34899.9,
     "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match+composite "
-    "0.411s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
+    "0.492s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
     "fields) [CACHED measurement from 2026-08-17 — live run hit a "
     "device-claim hang]",
-    "vs_baseline": 4.86,
-    "match_s": 0.0948,
-    "composite_band_ms": 2.472,
-    "total_s": 0.4113,
+    "vs_baseline": 4.06,
+    "match_s": 0.0953,
+    "composite_band_ms": 3.102,
+    "total_s": 0.4923,
     "score_worst_s": 2.703,
-    "score_adaptive_s": 0.659,
-    "assign_s": 0.114,
+    "score_adaptive_s": 0.666,
+    "assign_s": 0.057,
     "certified": 16384,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
