@@ -1239,15 +1239,16 @@ def _ad_coarse_jit(blocks_flat, lib_pad_flat, *, d, g, chan, bc, cap, real_l):
 
     def per_chunk(xc):
         cb = _ad_project(xc, d, g, chan).astype(jnp.float32)
-        dist = (
-            jnp.abs(cb[:, None, :] - clf[None])
-            .sum(-1, dtype=jnp.float32)
-            .astype(jnp.int32)
-        )
-        dist = jnp.where(invalid_p[None, :], _TL_BIG, dist)
+        dist = jnp.abs(cb[:, None, :] - clf[None]).sum(-1, dtype=jnp.float32)
+        # f32-keyed selection: the i32 cast moves AFTER top_k, so the sort
+        # keys stay in the VPU's faster f32 domain (exact: projected row
+        # sums < 2^24 and _TL_BIG = 2^30 is a power of two; bit-equal
+        # on-chip incl. ties, tools/tpu_r14_seg8.py — 0.956 -> 0.897 s at
+        # the 200k library)
+        dist = jnp.where(invalid_p[None, :], jnp.float32(_TL_BIG), dist)
         seg = dist.reshape(bc, nseg, w)  # already segment-major
         nd1, ni1 = jax.lax.top_k(-seg, cap)
-        vals = -nd1  # [bc, nseg, cap]
+        vals = (-nd1).astype(jnp.int32)  # [bc, nseg, cap]
         cols = ni1.astype(jnp.int32) * nseg + seg_base
         s_min = vals[:, :, cap - 1].min(axis=1)  # [bc]
         return vals.reshape(bc, nseg * cap), cols.reshape(bc, nseg * cap), s_min

@@ -179,7 +179,8 @@ def _coarse_variant_jit(
 
 def main():
     phases = os.environ.get("EMOSAIC_SEG8_PHASES", "IBPF")
-    if "I" in phases:
+    if "I" in phases and jax.default_backend() == "cpu":
+        # interpret mode does not execute through the remote TPU path
         check_interpret()
     if not set(phases) & set("BPF"):
         return
