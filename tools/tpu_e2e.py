@@ -8,6 +8,7 @@ Run on the TPU VM (claims the device once for the whole matrix):
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -101,6 +102,12 @@ def main() -> int:
         # 96 rounds UP to 128 (rem 96 > 64) -> 1x1 blocks @ ts 128
         ("mode128", ["-s", "128", "-o", out("m128.png"), src, "mosaic", tiles, "-m", "128"],
          lambda: Image.open(out("m128.png")).size == (128, 128)),
+        # keep LAST: --fast-prep sets EMOSAIC_FAST_PREP in this process
+        # (the check clears it and asserts the _fast-tagged caches exist)
+        ("fast-prep", ["-s", "8", "-o", out("fp.png"), "--fast-prep", src, "mosaic", tiles, "-m", "1"],
+         lambda: (os.environ.pop("EMOSAIC_FAST_PREP", None) or True)
+         and Image.open(out("fp.png")).size == (96 * 8, 96 * 8)
+         and (root / "tiles/.emosaic_1to1_fast").exists()),
     ]
     passed = failed = 0
     for name, argv, check in cases:
