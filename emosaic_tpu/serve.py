@@ -34,7 +34,7 @@ import io
 import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
@@ -242,6 +242,14 @@ def _make_handler(
     max_request_bytes: int = 64 << 20,
     stream_threshold: int = 1 << 30,
 ):
+    import threading
+
+    # Render work (device pipeline + stats + band streaming) is serialized;
+    # under ThreadingHTTPServer this keeps /healthz and request parsing
+    # responsive while a render (or a slow client draining a chunked
+    # gigapixel response) is in flight.
+    render_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # required for chunked responses
 
@@ -306,6 +314,17 @@ def _make_handler(
                     self.close_connection = True  # unread body on the wire
                     return
                 body = self.rfile.read(n)
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+                return
+            with render_lock:
+                self._render_locked(body, q)
+
+        def _render_locked(self, body: bytes, q: dict) -> None:
+            """Render + response write; caller holds the render lock (the
+            chunked-band generator keeps doing device work during the
+            socket writes, so the lock spans the whole response)."""
+            try:
                 plan = service.render_plan(
                     body,
                     no_repeat=q.get("no_repeat", "0") == "1",
@@ -420,7 +439,9 @@ def main(argv=None) -> int:
         except ValueError:
             p.error("--warmup expects WxH, e.g. 1024x768")
         service.warmup(w, h, no_repeat=args.warmup_no_repeat)
-    server = HTTPServer(
+    # threaded: renders serialize on the handler's render lock, but
+    # /healthz and request parsing stay responsive while one is in flight
+    server = ThreadingHTTPServer(
         (args.host, args.port),
         _make_handler(
             service,

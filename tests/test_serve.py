@@ -4,7 +4,7 @@ import io
 import json
 import threading
 import urllib.request
-from http.server import HTTPServer
+from http.server import ThreadingHTTPServer
 
 import numpy as np
 import pytest
@@ -56,7 +56,7 @@ def test_service_rejects_random_mode(scene):
 def server(scene):
     tiles, src_bytes, src = scene
     svc = MosaicService(tiles, "1", 8, log=_quiet)
-    httpd = HTTPServer(("127.0.0.1", 0), _make_handler(svc))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(svc))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -141,7 +141,7 @@ def test_http_randomize_seed_deterministic(server):
 def test_http_413_request_cap(scene):
     tiles, src_bytes, _ = scene
     svc = MosaicService(tiles, "1", 8, log=_quiet)
-    httpd = HTTPServer(
+    httpd = ThreadingHTTPServer(
         ("127.0.0.1", 0), _make_handler(svc, max_request_bytes=100)
     )
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -164,7 +164,7 @@ def test_http_chunked_stream_matches_buffered(scene):
     pixels must equal the buffered response."""
     tiles, src_bytes, src = scene
     svc = MosaicService(tiles, "1", 8, log=_quiet)
-    httpd = HTTPServer(
+    httpd = ThreadingHTTPServer(
         ("127.0.0.1", 0), _make_handler(svc, stream_threshold=1)
     )
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -264,7 +264,7 @@ def test_http_chunked_stream_no_repeat(scene):
     (compose=False + banded composite under the chunked writer)."""
     tiles, src_bytes, src = scene
     svc = MosaicService(tiles, "1", 8, log=_quiet)
-    httpd = HTTPServer(
+    httpd = ThreadingHTTPServer(
         ("127.0.0.1", 0), _make_handler(svc, stream_threshold=1)
     )
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -287,3 +287,41 @@ def test_http_chunked_stream_no_repeat(scene):
         ).convert("RGB")
     )
     assert (got == ref).all()
+
+
+def test_healthz_responsive_during_inflight_render(server, monkeypatch):
+    """ThreadingHTTPServer + render lock: while one render is blocked
+    in flight, /healthz must still answer (and the render completes
+    correctly afterwards)."""
+    base, svc, src_bytes, _ = server
+    entered = threading.Event()
+    release = threading.Event()
+    real_plan = svc.render_plan
+
+    def slow_plan(*a, **k):
+        entered.set()
+        assert release.wait(30), "test deadlock: release never set"
+        return real_plan(*a, **k)
+
+    monkeypatch.setattr(svc, "render_plan", slow_plan)
+
+    result = {}
+
+    def post():
+        req = urllib.request.Request(
+            f"{base}/mosaic", data=src_bytes, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            result["png"] = r.read()
+
+    t = threading.Thread(target=post, daemon=True)
+    t.start()
+    assert entered.wait(30)  # the render is now in flight, holding the lock
+    with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    release.set()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    monkeypatch.setattr(svc, "render_plan", real_plan)
+    expected = svc.render_bytes(src_bytes)
+    assert result["png"] == expected
