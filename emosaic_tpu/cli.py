@@ -672,6 +672,7 @@ def main(argv=None) -> int:
     start = time.time()
     monitor = MemoryMonitor().start()
     timer = PhaseTimer(log)
+    prev_fast = os.environ.get("EMOSAIC_FAST_PREP")
     try:
         args = build_parser().parse_args(argv)
         validate_tile_size(args.tile_size)
@@ -679,7 +680,9 @@ def main(argv=None) -> int:
         validate_output_path(args.output_path)
         if args.fast_prep:
             # env-var backed so spawn-context prep workers and every cache
-            # path helper see the same mode (io/prep.py module docstring)
+            # path helper see the same mode (io/prep.py module docstring);
+            # restored on exit so a later in-process main() without the
+            # flag runs exact
             os.environ["EMOSAIC_FAST_PREP"] = "1"
         cache_dir().mkdir(parents=True, exist_ok=True)
 
@@ -704,6 +707,10 @@ def main(argv=None) -> int:
                 log(f"🔬 Profiler trace written to {profiling}")
         return 0
     finally:
+        if prev_fast is None:
+            os.environ.pop("EMOSAIC_FAST_PREP", None)
+        else:
+            os.environ["EMOSAIC_FAST_PREP"] = prev_fast
         timer.report()
         print_runtime_stats(start, monitor)
         monitor.stop()

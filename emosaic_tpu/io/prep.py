@@ -194,11 +194,21 @@ def _prepare(
         raise ImageError(path, f"image {w}x{h} smaller than tile size {tile_size}")
 
     try:
-        cropped, mindim = _trim_crop(rgb, crop)
-        if drafted and mindim < _FAST_FLOOR * tile_size:
+        try:
+            cropped, mindim = _trim_crop(rgb, crop)
+            redo = drafted and mindim < _FAST_FLOOR * tile_size
+        except ValueError:
+            # drafted decode averaged faint/thin content above the white
+            # threshold ("trims to nothing") — the exact path may still
+            # keep this image, so retry full-res before rejecting
+            if not drafted:
+                raise
+            redo = True
+        if redo:
             # the trimmed crop fell under the supersampling floor in scaled
-            # space: redo at full resolution (rare — only heavily-trimmed
-            # images; quality then equals the exact path's)
+            # space (or drafted trim rejected the image): redo at full
+            # resolution (rare — only heavily-trimmed images; quality then
+            # equals the exact path's)
             with Image.open(io.BytesIO(data)) as im:
                 rgb = im.convert("RGB")
             cropped, mindim = _trim_crop(rgb, crop)

@@ -39,30 +39,63 @@ def load() -> ctypes.CDLL | None:
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
-    path = _NATIVE_DIR / _LIB_NAME
-    if not path.exists():
-        try:
-            # serialize the on-demand build: parallel prep workers may all
-            # hit a missing .so at once, and concurrent `make` runs would
-            # race on the output file
-            import fcntl
+    _lib = _load_inner(rebuild=False)
+    return _lib
 
-            with open(_NATIVE_DIR / ".build.lock", "w") as lk:
-                fcntl.flock(lk, fcntl.LOCK_EX)
-                if not path.exists():
-                    subprocess.run(
-                        ["make", "-C", str(_NATIVE_DIR)],
-                        check=True,
-                        capture_output=True,
-                        timeout=120,
-                    )
-        except Exception:
+
+def _build(force: bool) -> bool:
+    try:
+        # serialize the on-demand build: parallel prep workers may all
+        # hit a missing .so at once, and concurrent `make` runs would
+        # race on the output file
+        import fcntl
+
+        with open(_NATIVE_DIR / ".build.lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if force:
+                # unlink first: a truncate-in-place rebuild keeps the
+                # inode, and dlopen caches by (dev, inode) — re-CDLL
+                # would return the already-loaded stale handle
+                (_NATIVE_DIR / _LIB_NAME).unlink(missing_ok=True)
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        return True
+    except Exception:
+        return False
+
+
+def _load_inner(rebuild: bool) -> ctypes.CDLL | None:
+    path = _NATIVE_DIR / _LIB_NAME
+    if rebuild or not path.exists():
+        # rebuild=True forces `make -B`: a stale .so from an older source
+        # tree may load but miss newly added symbols
+        if not _build(force=rebuild) or not path.exists():
             return None
     try:
         lib = ctypes.CDLL(str(path))
-    except OSError:
-        return None
+    except OSError:  # missing file / bad ELF
+        return None if rebuild else _load_inner(rebuild=True)
+    try:
+        return _bind(lib)
+    except AttributeError:
+        # missing symbol: a stale build from an older source tree. Close
+        # the handle — glibc's dlopen caches by pathname, so without the
+        # dlclose the post-rebuild CDLL would return this same stale
+        # mapping — then force one rebuild; give up -> Python fallbacks.
+        try:
+            import _ctypes
 
+            _ctypes.dlclose(lib._handle)
+        except Exception:
+            pass
+        return None if rebuild else _load_inner(rebuild=True)
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i64 = ctypes.c_int64
@@ -82,8 +115,7 @@ def load() -> ctypes.CDLL | None:
     lib.emosaic_greedy_global_cb.restype = ctypes.c_int
     lib.emosaic_trim_bounds.argtypes = [u8p, i64, i64, i32p]
     lib.emosaic_trim_bounds.restype = None
-    _lib = lib
-    return _lib
+    return lib
 
 
 def available() -> bool:
@@ -122,7 +154,7 @@ def greedy_global(
     num_tiles,
     *,
     refill_cb=None,
-    cb_k: int = 256,
+    cb_k: int | None = None,
     cb_margin: int = 8,
     cb_max_batch: int = 4096,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -151,6 +183,13 @@ def greedy_global(
         )
     else:
         L = lib.shape[0]
+        if cb_k is None:
+            # keep the engine's candidate width in lock-step with the
+            # refiller's top-k width (a mismatch would shape-error every
+            # event into the silent host-scan fallback)
+            cb_k = getattr(refill_cb, "k", 256)
+
+        warned = [False]
 
         def _trampoline(user, ids_ptr, m, used_ptr, out_d_ptr, out_r_ptr):
             try:
@@ -160,7 +199,17 @@ def greedy_global(
                 np.ctypeslib.as_array(out_d_ptr, shape=(m, cb_k))[:] = d_
                 np.ctypeslib.as_array(out_r_ptr, shape=(m, cb_k))[:] = r_
                 return 0
-            except Exception:  # engine falls back to its host scan
+            except Exception as e:  # engine falls back to its host scan
+                if not warned[0]:  # once — this can fire per refill event
+                    warned[0] = True
+                    import sys, traceback
+
+                    print(
+                        "emosaic: device refill callback failed, falling "
+                        f"back to host scans: {e!r}",
+                        file=sys.stderr,
+                    )
+                    traceback.print_exc()
                 return 1
 
         c_cb = _REFILL_CFUNC(_trampoline)  # keep alive for the call

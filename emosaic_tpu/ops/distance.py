@@ -669,12 +669,11 @@ class DeviceRefiller:
                 bc=min(_STRIPE_BC, self._m2),
             )
             self.n_calls += 1
-            out_d[lo : lo + self._m2, :kk] = np.asarray(jax.device_get(d_))[
-                : len(chunk)
-            ]
-            out_r[lo : lo + self._m2, :kk] = np.asarray(jax.device_get(r_))[
-                : len(chunk)
-            ]
+            # one fused host pull: each device_get is a ~30 ms tunnel
+            # round-trip, and refill events can number in the thousands
+            d_h, r_h = jax.device_get((d_, r_))
+            out_d[lo : lo + self._m2, :kk] = np.asarray(d_h)[: len(chunk)]
+            out_r[lo : lo + self._m2, :kk] = np.asarray(r_h)[: len(chunk)]
         return out_d, out_r
 
 

@@ -8,8 +8,10 @@ with the tile library analysed, the prepared-tile stack in memory, and
 all jitted kernels warm; each request then costs only its own match +
 composite + PNG encode.
 
-HTTP surface (stdlib http.server, single-threaded — device work is
-serialized anyway):
+HTTP surface (stdlib ThreadingHTTPServer; renders serialize on a lock —
+device work is sequential anyway — while /healthz and request parsing
+stay responsive, and at most `--max-pending` request bodies are buffered
+at once, excess POSTs getting 503 without their bodies read):
 
     GET  /healthz            -> JSON {status, tiles, mode, tile_size}
     POST /mosaic?{params}    -> image/png
@@ -241,6 +243,7 @@ def _make_handler(
     *,
     max_request_bytes: int = 64 << 20,
     stream_threshold: int = 1 << 30,
+    max_pending: int = 2,
 ):
     import threading
 
@@ -249,6 +252,10 @@ def _make_handler(
     # responsive while a render (or a slow client draining a chunked
     # gigapixel response) is in flight.
     render_lock = threading.Lock()
+    # At most max_pending bodies (each up to max_request_bytes) sit in RAM
+    # at once — the single-threaded server's implicit one-body bound, kept
+    # explicit under threading; excess POSTs 503 before reading the body.
+    pending_slots = threading.BoundedSemaphore(max_pending)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # required for chunked responses
@@ -313,12 +320,20 @@ def _make_handler(
                     )
                     self.close_connection = True  # unread body on the wire
                     return
-                body = self.rfile.read(n)
             except ValueError as e:
                 self._json(400, {"error": str(e)})
                 return
-            with render_lock:
-                self._render_locked(body, q)
+            if not pending_slots.acquire(blocking=False):
+                # body unread -> close; client should retry
+                self._json(503, {"error": "server busy: too many queued requests"})
+                self.close_connection = True
+                return
+            try:
+                body = self.rfile.read(n)
+                with render_lock:
+                    self._render_locked(body, q)
+            finally:
+                pending_slots.release()
 
         def _render_locked(self, body: bytes, q: dict) -> None:
             """Render + response write; caller holds the render lock (the
@@ -415,15 +430,33 @@ def main(argv=None) -> int:
         "streams (peak host memory stays one band)",
     )
     p.add_argument(
+        "--max-pending",
+        type=int,
+        default=2,
+        help="Max request bodies buffered at once (renders are serialized; "
+        "excess concurrent POSTs get 503 before their body is read)",
+    )
+    p.add_argument(
         "--fast-prep",
         action="store_true",
         help="DCT-scaled JPEG tile prep (~4x faster cold library builds, "
         "<=1 LSB tile difference; separate caches — see io/prep.py)",
     )
     args = p.parse_args(argv)
+    prev_fast = os.environ.get("EMOSAIC_FAST_PREP")
     if args.fast_prep:
+        # restored on exit so a later in-process caller runs exact
         os.environ["EMOSAIC_FAST_PREP"] = "1"
+    try:
+        return _serve(args, p)
+    finally:
+        if prev_fast is None:
+            os.environ.pop("EMOSAIC_FAST_PREP", None)
+        else:
+            os.environ["EMOSAIC_FAST_PREP"] = prev_fast
 
+
+def _serve(args, p) -> int:
     service = MosaicService(
         args.tiles_dir,
         args.mode,
@@ -447,6 +480,7 @@ def main(argv=None) -> int:
             service,
             max_request_bytes=args.max_request_bytes,
             stream_threshold=args.stream_threshold,
+            max_pending=args.max_pending,
         ),
     )
     print(

@@ -125,7 +125,6 @@ struct Stream {
   int64_t cursor = 0;       // position in the dense prefix
   size_t ecursor = 0;       // position in extras
   std::vector<std::pair<int32_t, int32_t>> extras;
-  bool refilled = false;
   bool assigned = false;    // block already holds a tile (skip in batches)
   bool dead = false;        // a refill returned nothing: library exhausted
 };

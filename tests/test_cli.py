@@ -216,3 +216,25 @@ def test_cli_error_paths(scene, capsys):
                "mosaic", str(scene / "tiles"), "-f"])
     assert rc == 0
     assert (scene / "y.png").exists()
+
+
+def test_fast_prep_env_restored_after_main(scene, monkeypatch):
+    """--fast-prep must not leak EMOSAIC_FAST_PREP into later in-process
+    main() calls without the flag."""
+    import os
+
+    monkeypatch.delenv("EMOSAIC_FAST_PREP", raising=False)
+    assert (
+        main(["-s", "8", "-o", str(scene / "fp.png"), "--fast-prep",
+              str(scene / "src.png"),
+              "mosaic", str(scene / "tiles"), "-m", "1"]) == 0
+    )
+    assert "EMOSAIC_FAST_PREP" not in os.environ
+    # and a pre-existing value is restored, not clobbered
+    monkeypatch.setenv("EMOSAIC_FAST_PREP", "0")
+    assert (
+        main(["-s", "8", "-o", str(scene / "fp2.png"), "--fast-prep",
+              str(scene / "src.png"),
+              "mosaic", str(scene / "tiles"), "-m", "1"]) == 0
+    )
+    assert os.environ["EMOSAIC_FAST_PREP"] == "0"

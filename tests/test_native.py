@@ -235,3 +235,66 @@ def test_greedy_global_exhaustion_short_circuit(rng):
     refill = make_numpy_refill(blocks, lib)
     r_py, d_py = greedy_global_assign(cd, cr, 2 * t, t, refill)
     assert (r_c == r_py).all() and (d_c == d_py).all()
+
+
+def test_cb_k_derived_from_refiller(rng):
+    """greedy_global must take its candidate width from the refiller's k
+    when cb_k isn't given — a silent mismatch would shape-error every
+    refill event into the host-scan fallback."""
+    from emosaic_tpu.ops.distance import DeviceRefiller
+
+    t, b, d, k = 40, 70, 12, 4
+    blocks, lib, cd, cr = _candidates(rng, b, t, d, k)
+    base_r, base_d = native.greedy_global(cd, cr, blocks, lib, t)
+    dev = DeviceRefiller(blocks, lib, k=16, defer_events=0)  # non-default k
+    r_c, d_c = native.greedy_global(
+        cd, cr, blocks, lib, t, refill_cb=dev, cb_max_batch=dev._m2
+    )
+    assert dev.n_calls > 0
+    assert (r_c == base_r).all() and (d_c == base_d).all()
+
+
+def test_stale_so_forces_one_rebuild(tmp_path, monkeypatch):
+    """A pre-existing .so from an older source tree (missing newly added
+    symbols) must trigger one forced rebuild, not raise AttributeError out
+    of available()/load()."""
+    import subprocess
+    from emosaic_tpu import native as nat
+
+    real = nat._NATIVE_DIR / nat._LIB_NAME
+    stale_src = tmp_path / "stale.cpp"
+    stale_src.write_text('extern "C" int emosaic_unrelated() { return 0; }\n')
+    so = tmp_path / nat._LIB_NAME
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", str(so), str(stale_src)], check=True
+    )
+    # `make` sees the target up to date; only the forced `-B` rebuild fixes it
+    (tmp_path / "Makefile").write_text(
+        f"{nat._LIB_NAME}:\n\tcp {real} $@\n"
+    )
+    monkeypatch.setattr(nat, "_NATIVE_DIR", tmp_path)
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_load_attempted", False)
+    lib = nat.load()
+    assert lib is not None
+    assert hasattr(lib, "emosaic_greedy_global_cb")
+
+
+def test_unbuildable_stale_so_returns_none(tmp_path, monkeypatch):
+    """If the stale .so can't be rebuilt, load() degrades to None (Python
+    fallbacks) instead of raising."""
+    import subprocess
+    from emosaic_tpu import native as nat
+
+    stale_src = tmp_path / "stale.cpp"
+    stale_src.write_text('extern "C" int emosaic_unrelated() { return 0; }\n')
+    so = tmp_path / nat._LIB_NAME
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", str(so), str(stale_src)], check=True
+    )
+    (tmp_path / "Makefile").write_text("all:\n\tfalse\n")
+    monkeypatch.setattr(nat, "_NATIVE_DIR", tmp_path)
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_load_attempted", False)
+    assert nat.load() is None
+    assert nat.available() is False

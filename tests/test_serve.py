@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -325,3 +326,50 @@ def test_healthz_responsive_during_inflight_render(server, monkeypatch):
     monkeypatch.setattr(svc, "render_plan", real_plan)
     expected = svc.render_bytes(src_bytes)
     assert result["png"] == expected
+
+
+def test_http_503_when_pending_bound_exceeded(scene, monkeypatch):
+    """max_pending bounds how many request bodies sit in RAM at once:
+    with one render blocked in flight, a second concurrent POST must get
+    503 (body unread) instead of buffering without bound."""
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _make_handler(svc, max_pending=1)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    entered = threading.Event()
+    release = threading.Event()
+    real_plan = svc.render_plan
+
+    def slow_plan(*a, **k):
+        entered.set()
+        assert release.wait(30), "test deadlock: release never set"
+        return real_plan(*a, **k)
+
+    monkeypatch.setattr(svc, "render_plan", slow_plan)
+    result = {}
+
+    def post():
+        req = urllib.request.Request(
+            f"{base}/mosaic", data=src_bytes, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            result["png"] = r.read()
+
+    th = threading.Thread(target=post, daemon=True)
+    th.start()
+    assert entered.wait(30)  # render in flight, pending slot held
+    req2 = urllib.request.Request(
+        f"{base}/mosaic", data=src_bytes, method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req2, timeout=10)
+    assert exc.value.code == 503
+    release.set()
+    th.join(timeout=120)
+    assert not th.is_alive()
+    assert result["png"] == svc.render_bytes(src_bytes)  # slot released,
+    httpd.shutdown()                                     # service healthy

@@ -254,3 +254,18 @@ def test_builder_chunked_analysis(tmp_path, rng, monkeypatch):
     ts2, _ = b.generate_tile_set(tiles_dir, 8, {"jpg"}, False, 2, log=lambda *a: None)
     assert (ts1.palettes == ts2.palettes).all()
     assert ts1.paths == ts2.paths
+
+
+def test_fast_prep_keeps_faint_sparse_content(tmp_path, monkeypatch):
+    """Faint thin strokes on white: the DCT-scaled draft averages them
+    above the white-trim threshold ("trims to nothing"), but the exact
+    path keeps the image — fast-prep must redo at full resolution instead
+    of dropping the tile (and then match the exact output bit-for-bit)."""
+    arr = np.full((1024, 1024, 3), 255, np.uint8)
+    arr[100:800:8, 100:800] = 200  # 1px-high strokes, 7px white gaps
+    p = tmp_path / "faint.jpg"
+    save_img(p, arr, fmt="JPEG")
+    exact = prepare_tile(p, 32, crop=True)
+    monkeypatch.setenv("EMOSAIC_FAST_PREP", "1")
+    fast = prepare_tile(p, 32, crop=True)
+    assert (fast == exact).all()

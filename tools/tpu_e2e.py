@@ -102,8 +102,8 @@ def main() -> int:
         # 96 rounds UP to 128 (rem 96 > 64) -> 1x1 blocks @ ts 128
         ("mode128", ["-s", "128", "-o", out("m128.png"), src, "mosaic", tiles, "-m", "128"],
          lambda: Image.open(out("m128.png")).size == (128, 128)),
-        # keep LAST: --fast-prep sets EMOSAIC_FAST_PREP in this process
-        # (the check clears it and asserts the _fast-tagged caches exist)
+        # cli.main now restores EMOSAIC_FAST_PREP on exit; the defensive
+        # pop stays in case of an abnormal exit mid-case
         ("fast-prep", ["-s", "8", "-o", out("fp.png"), "--fast-prep", src, "mosaic", tiles, "-m", "1"],
          lambda: (os.environ.pop("EMOSAIC_FAST_PREP", None) or True)
          and Image.open(out("fp.png")).size == (96 * 8, 96 * 8)
