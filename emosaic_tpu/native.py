@@ -200,7 +200,13 @@ def greedy_global(
                 np.ctypeslib.as_array(out_r_ptr, shape=(m, cb_k))[:] = r_
                 return 0
             except Exception as e:  # engine falls back to its host scan
-                if not warned[0]:  # once — this can fire per refill event
+                # expected deferrals (DeviceRefiller._DeferRefill duck-typed
+                # via this attribute — ops.distance must not be imported
+                # here, this module stays jax-free for spawn prep workers)
+                # fall back silently; anything else is logged once so a
+                # misconfigured callback can't silently degrade to the
+                # slow host-scan path
+                if not getattr(e, "expected_fallback", False) and not warned[0]:
                     warned[0] = True
                     import sys, traceback
 

@@ -548,7 +548,13 @@ _REFILL_DEFER_EVENTS = 256
 
 
 class _DeferRefill(Exception):
-    """Raised to route one refill event back to the host masked scan."""
+    """Raised to route one refill event back to the host masked scan.
+
+    `expected_fallback` marks this as deliberate control flow for the
+    native-trampoline's failure logging (native.py, which stays jax-free
+    and so cannot import this class)."""
+
+    expected_fallback = True
 
 
 @functools.partial(jax.jit, static_argnames=("d", "k", "bc"))

@@ -298,3 +298,29 @@ def test_unbuildable_stale_so_returns_none(tmp_path, monkeypatch):
     monkeypatch.setattr(nat, "_load_attempted", False)
     assert nat.load() is None
     assert nat.available() is False
+
+
+def test_refill_deferral_silent_but_real_failures_log_once(rng, capfd):
+    """Deliberate _DeferRefill deferrals are silent control flow; any
+    other callback exception is logged once (not per event) so a
+    misconfigured callback can't silently degrade to host scans."""
+    from emosaic_tpu.ops.distance import DeviceRefiller
+
+    t, b, d, k = 30, 60, 12, 3
+    blocks, lib, cd, cr = _candidates(rng, b, t, d, k)
+    dev = DeviceRefiller(blocks, lib, defer_events=10**9)  # always defers
+    native.greedy_global(cd, cr, blocks, lib, t, refill_cb=dev)
+    assert "refill callback failed" not in capfd.readouterr().err
+
+    calls = []
+
+    def broken(ids, used):
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    base_r, base_d = native.greedy_global(cd, cr, blocks, lib, t)
+    r_c, d_c = native.greedy_global(cd, cr, blocks, lib, t, refill_cb=broken)
+    err = capfd.readouterr().err
+    assert len(calls) > 1  # it really failed on multiple events
+    assert err.count("refill callback failed") == 1
+    assert (r_c == base_r).all() and (d_c == base_d).all()
