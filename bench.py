@@ -129,18 +129,18 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 34899.9,
+    "value": 37756.0,
     "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match+composite "
-    "0.492s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
+    "0.455s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
     "fields) [CACHED measurement from 2026-08-17 — live run hit a "
     "device-claim hang]",
-    "vs_baseline": 4.06,
-    "match_s": 0.0953,
-    "composite_band_ms": 3.102,
-    "total_s": 0.4923,
-    "score_worst_s": 2.703,
-    "score_adaptive_s": 0.666,
-    "assign_s": 0.057,
+    "vs_baseline": 4.40,
+    "match_s": 0.095,
+    "composite_band_ms": 2.813,
+    "total_s": 0.455,
+    "score_worst_s": 2.695,
+    "score_adaptive_s": 0.670,
+    "assign_s": 0.04,
     "certified": 16384,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
