@@ -1177,6 +1177,36 @@ _AD_M = 1024
 _AD_B_SLICE = 16384
 
 
+def _ad_params(nseg: int, m: int = _AD_M, cap: int = _AD_CAP) -> tuple[int, int]:
+    """Scale the adaptive scorer's (m, cap) to the library size.
+
+    cap: beyond ~1024 segments the expected top-k survivors per segment
+    drop below 0.5, so cap=8 keeps the certificate (200k-row sweep:
+    coarse 1.01 -> 0.94 s, rescore 0.78 -> 0.54 s, 9/16384 rows fall
+    back — tools/tpu_r10_ad200k.py); smaller libraries keep the safer
+    cap=16 chosen by the r2 sweeps. cap=16 at a 1M-row library OOMs the
+    16 GB chip on the survivor lists (tools/tpu_r17_ad1M.py), so the
+    reduction is also a memory requirement at megascale.
+
+    m: the rescore must dig proportionally into the survivor pool. The
+    count of library rows whose coarse bound undercuts the true k-th
+    distance grows ~linearly with L, but a fixed m digs a fixed depth:
+    at L=1M rows (nseg=7813) m=1024 certifies only 19/4096 — the median
+    v_{m+1} term of the certificate (24 445) falls below the true k-th
+    (29 382) while s_min (54 918) has huge headroom — and m=4096
+    restores 4096/4096 for +0.24 s/slice (tools/tpu_r17_ad1M.py).
+    ceil(nseg/2048) anchors both measured points: factor 1 at the
+    200k-row library (nseg=1563, the r2-swept m=1024 regime) and
+    factor 4 at 1M rows. Exactness never depends on m — uncertified
+    rows take the stripe fallback — so the scaling is purely about
+    keeping the certification rate ~100% as L grows.
+    """
+    if nseg > 1024:
+        cap = min(cap, 8)
+    m *= max(1, -(-nseg // 2048))
+    return m, cap
+
+
 def _ad_project(x, d: int, g: int, chan: bool):
     """Group-sum projection (any disjoint grouping is a valid L1 lower
     bound). `chan=True` groups g cells per RGB channel — palette coords
@@ -1227,7 +1257,14 @@ def _ad_coarse_jit(blocks_flat, lib_pad_flat, *, d, g, chan, bc, cap, real_l):
     lp = libp.shape[0]
     nseg = lp // _TL_SEG
     w = lp // nseg
-    cl = _ad_project(libp, d, g, chan)
+    # chunked projection: _ad_project casts its input to bf16, and a
+    # whole-library cast materializes lib_bytes*2 transient HBM (6.1 GB
+    # at a 1M-row mode-32 library — an OOM at the scales this scorer
+    # exists for). Row-independent, so chunking is bit-equal; lp is a
+    # multiple of 128, so 8 always divides it.
+    cl = jax.lax.map(
+        lambda xc: _ad_project(xc, d, g, chan), libp.reshape(8, lp // 8, d)
+    ).reshape(lp, -1)
     # f32 abs-diff stripe over the projected values (exact: group sums
     # <= g*255 and row sums < 2^24; ~1.5x the i32 lane rate, see
     # _STRIPE_F32_MAX_BYTES note) — the projected library is small.
@@ -1519,13 +1556,7 @@ def l1_topk_adaptive(
     kk = min(k, l)
     lp = -(-l // _TL_SEG) * _TL_SEG
     nseg = lp // _TL_SEG
-    # beyond ~1024 segments the expected top-k survivors per segment drop
-    # below 0.5, so cap=8 keeps the certificate (200k-row sweep: coarse
-    # 1.01 -> 0.94 s, rescore 0.78 -> 0.54 s, 9/16384 rows fall back —
-    # tools/tpu_r10_ad200k.py); smaller libraries keep the safer cap=16
-    # chosen by the r2 sweeps
-    if nseg > 1024:
-        cap = min(cap, 8)
+    m, cap = _ad_params(nseg, m, cap)
     use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
     if (
         g is None

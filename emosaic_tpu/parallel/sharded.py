@@ -338,12 +338,10 @@ def sharded_l1_topk_adaptive(
         ),
         None,
     )
-    m, cap = dd._AD_M, dd._AD_CAP
     kk = min(k, l)
     lp = -(-l // dd._TL_SEG) * dd._TL_SEG
     nseg = lp // dd._TL_SEG
-    if nseg > 1024:
-        cap = min(cap, 8)
+    m, cap = dd._ad_params(nseg)
     use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
     if (
         g is None

@@ -554,6 +554,21 @@ def test_l1_topk_adaptive_tie_storm(rng):
     np.testing.assert_array_equal(r_a, np.asarray(r_o))
 
 
+def test_ad_params_scaling_rule():
+    # the measured anchors (tools/tpu_r10_ad200k.py, tpu_r17_ad1M.py):
+    # 200k rows (nseg=1563) keeps m=1024/cap=8; 1M rows (nseg=7813)
+    # needs m=4096 for ~100% certification; small libraries keep the
+    # r2-swept defaults and explicit tiny (m, cap) pass through.
+    from emosaic_tpu.ops.distance import _ad_params
+
+    assert _ad_params(100) == (1024, 16)
+    assert _ad_params(1563) == (1024, 8)
+    assert _ad_params(2048) == (1024, 8)
+    assert _ad_params(2049) == (2048, 8)
+    assert _ad_params(7813) == (4096, 8)
+    assert _ad_params(16, 32, 4) == (32, 4)
+
+
 def test_l1_topk_adaptive_small_cases_route_to_twolevel(rng):
     from emosaic_tpu.ops.distance import l1_topk_adaptive
 
