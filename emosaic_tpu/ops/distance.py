@@ -1175,6 +1175,20 @@ _AD_M = 1024
 #: slice * nseg * cap * 8 bytes of survivors — 1.6 GB at the 200k-row
 #: library) while keeping slices large enough to saturate the chip
 _AD_B_SLICE = 16384
+#: HBM budget for the coarse survivor lists (vals+cols, [slice, nseg*cap]
+#: i32 each): past the 200k-row regime the slice length is derived from
+#: this so survivors never outgrow the chip as L does (a fixed 16384-row
+#: slice would hold 16 GB of survivors at a 2M-row library). 2 GB keeps
+#: the probe-validated choices: 16384 rows at 200k, 4224 at 1M, 2048 at
+#: 2M (tools/tpu_r16_megascale.py, tpu_r18_envelope.py).
+_AD_SURV_BYTES = 2 << 30
+
+
+def _ad_b_slice(nseg: int, cap: int, bc: int) -> int:
+    """Block-axis slice length: `_AD_B_SLICE` capped by the survivor
+    budget, floored to a (non-zero) multiple of bc."""
+    rows = _AD_SURV_BYTES // (nseg * cap * 8)
+    return max(bc, min(_AD_B_SLICE, rows // bc * bc))
 
 
 def _ad_params(nseg: int, m: int = _AD_M, cap: int = _AD_CAP) -> tuple[int, int]:
@@ -1586,7 +1600,7 @@ def l1_topk_adaptive(
     # pipeline).
     bp = -(-b // bc) * bc
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
-    b_slice = min(bp, _AD_B_SLICE)  # _AD_B_SLICE is a multiple of any bc
+    b_slice = min(bp, _ad_b_slice(nseg, cap, bc))
     lf = jnp.asarray(lib_pad.reshape(-1))
     bc2 = min(64, bc)  # divides bc and every slice length (multiples of bc)
 

@@ -362,10 +362,12 @@ def sharded_l1_topk_adaptive(
     bp = -(-b // unit) * unit
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
     # per-DEVICE survivor memory is bounded exactly like the
-    # single-device scorer's _AD_B_SLICE (the slicing exists to cap the
+    # single-device scorer's (the slicing exists to cap the
     # [rows, nseg*cap] coarse survivors; a 196k-block run on a 2-device
-    # mesh would otherwise hold ~10 GB of survivors per device)
-    b_slice = min(bp, dd._AD_B_SLICE * n_dev)
+    # mesh would otherwise hold ~10 GB of survivors per device, and at
+    # megascale libraries the budget shrinks the slice further — see
+    # distance._ad_b_slice)
+    b_slice = min(bp, dd._ad_b_slice(nseg, cap, bc) * n_dev)
     bc2 = min(64, bc)  # divides bc and every per-shard row count
 
     # sample gate (single device, one chunk): concentrated data cannot

@@ -569,6 +569,22 @@ def test_ad_params_scaling_rule():
     assert _ad_params(16, 32, 4) == (32, 4)
 
 
+def test_ad_b_slice_survivor_budget():
+    # the slice length shrinks with nseg so the [slice, nseg*cap] i32 x2
+    # survivor lists never outgrow the _AD_SURV_BYTES budget; 200k-row
+    # regime keeps the full 16384-row slice, megascale shrinks it to the
+    # probe-validated values (tools/tpu_r16/r18)
+    from emosaic_tpu.ops.distance import _AD_SURV_BYTES, _ad_b_slice
+
+    assert _ad_b_slice(1563, 8, 128) == 16384
+    assert _ad_b_slice(7813, 8, 128) == 4224
+    assert _ad_b_slice(15625, 8, 128) == 2048
+    assert _ad_b_slice(17, 16, 8) == 16384  # tiny library: full slice
+    for nseg, cap, bc in [(1563, 8, 128), (7813, 8, 128), (15625, 8, 128)]:
+        sl = _ad_b_slice(nseg, cap, bc)
+        assert sl % bc == 0 and sl * nseg * cap * 8 <= _AD_SURV_BYTES
+
+
 def test_l1_topk_adaptive_small_cases_route_to_twolevel(rng):
     from emosaic_tpu.ops.distance import l1_topk_adaptive
 

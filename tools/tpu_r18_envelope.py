@@ -1,0 +1,275 @@
+#!/usr/bin/env python3
+"""Scale-envelope probe (round 3, phases J/K/L2): close the gap between
+the 1M-row megascale proof (tpu_r16_megascale.py) and the framework's
+documented ceilings.
+
+ONE device process (CLAUDE.md rule 4), phases ordered safest-first so an
+OOM in the last phase cannot cost earlier results:
+
+  J_ad500k   adaptive scoring at L=500k rows (nseg=3907): validates the
+             INTERPOLATED point of the _ad_params m-scaling rule
+             (factor 2 -> m=2048) between the two swept anchors
+             (200k: m=1024, 1M: m=4096).
+  K_lut_max  mode-1 LUT at MAX_ROWS = 2^21-1 = 2,097,151 rows — the
+             documented ops/lut.py ceiling, executed (dist<<21 | row
+             packing peaks at 765<<21 = 1.6e9 < i32 max).
+  L2_ad2M    adaptive scoring at L=2M rows (1M tiles, 60x the reference
+             cap; nseg=15625 -> m=8192 via the rule). Memory plan
+             (16 GB HBM): library u8 [2M, 3072] = 6.1 GB in 16 build
+             chunks; projected f32 copy 0.77 GB; survivors sliced to
+             [2048, nseg*8] i32 x2 = 2 GB; coarse per-chunk stripe
+             transient [128, 2M] f32 = 1 GB.
+
+Reference cap being exceeded: tileset.rs:178-183, main.rs:791.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from emosaic_tpu.ops.distance import (  # noqa: E402
+    _ad_coarse_jit,
+    _ad_params,
+    _ad_rescore_jit,
+    l1_argmin_xla,
+)
+
+_T0 = time.time()
+RESULTS: dict = {}
+OUT = "/root/repo/SCALE_r03.json"
+D, K = 3072, 512
+G, BC, BC2 = 32, 128, 64
+
+
+def log(msg):
+    print(f"[env {time.time() - _T0:6.1f}s] {msg}", flush=True)
+
+
+def save(phase, data):
+    RESULTS[phase] = data
+    with open(OUT, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    log(f"phase {phase}: {json.dumps(data)}")
+
+
+def sync(x):
+    jax.device_get(x.ravel()[0])
+
+
+def build_library(lp, n_chunks, seed=100):
+    """Clusterable u8 [lp, D] library in device chunks (per-tile base
+    color + ±10 texture; the SCALE phase-B model). Chunks are placed
+    into a preallocated buffer with DONATED dynamic_update_slice — a
+    concatenate would hold chunks + result simultaneously (12.3 GB at
+    the 2M-row library, the OOM that killed the first L2 attempt);
+    donation keeps the peak at lib + one chunk."""
+    nc = D // 3
+    n = lp // n_chunks
+
+    place = jax.jit(
+        lambda a, c, r0: jax.lax.dynamic_update_slice(a, c, (r0, 0)),
+        donate_argnums=0,
+    )
+    libp = jnp.zeros((lp, D), jnp.uint8)
+    sync(libp)
+    for c in range(n_chunks):
+        kc, km = jax.random.split(jax.random.PRNGKey(seed + c))
+        colors = jax.random.randint(kc, (n, 3), 0, 256, dtype=jnp.int32)
+        tex = jax.random.randint(km, (n, D), -10, 11, dtype=jnp.int32)
+        chunk = jnp.clip(jnp.tile(colors, (1, nc)) + tex, 0, 255).astype(
+            jnp.uint8
+        )
+        libp = place(libp, chunk, jnp.int32(c * n))
+        del chunk
+    sync(libp)
+    log(f"library [{lp}, {D}] ready ({n_chunks} donated chunks)")
+    return libp
+
+
+def run_adaptive(libp, real_l, b, b_slice, tag, brute_rows=2, k=K):
+    """Flagship-k adaptive scoring through the production jits with
+    (m, cap) from the production _ad_params rule; returns the ledger
+    entry dict."""
+    lp = libp.shape[0]
+    m, cap = _ad_params(lp // 128)
+    # only binds at CPU-smoke scale (production gate: m + 1 <= nseg*cap)
+    m = min(m, (lp // 128) * cap // 2)
+    use_dma = jax.devices()[0].platform == "tpu"  # CPU smoke: XLA gather
+    lf = libp.reshape(-1)
+    pick = jax.random.randint(
+        jax.random.PRNGKey(51), (b,), 0, real_l, dtype=jnp.int32
+    )
+    bn = jax.random.randint(jax.random.PRNGKey(52), (b, D), -6, 7, dtype=jnp.int32)
+    blocks = jnp.clip(libp[pick].astype(jnp.int32) + bn, 0, 255).astype(
+        jnp.uint8
+    )
+    sync(blocks)
+    log(f"{tag}: inputs ready (m={m}, cap={cap})")
+
+    def run(slice_blocks):
+        bf = slice_blocks.reshape(-1)
+        vals, cols, s_min = _ad_coarse_jit(
+            bf, lf, d=D, g=G, chan=True, bc=BC, cap=cap, real_l=real_l
+        )
+        return _ad_rescore_jit(
+            bf, vals, cols, s_min, lf,
+            d=D, bc=BC2, m=m, k=k, real_l=real_l, use_dma=use_dma,
+        )
+
+    cd0, _, _ = run(blocks[:b_slice])  # compile + warm
+    sync(cd0)
+    log(f"{tag}: adaptive warm")
+    out_d = np.empty((b, k), np.int32)
+    out_r = np.empty((b, k), np.int32)
+    ok_all = np.empty(b, bool)
+    t0 = time.perf_counter()
+    for s0 in range(0, b, b_slice):
+        cd, cr, ok = run(blocks[s0 : s0 + b_slice])
+        out_d[s0 : s0 + b_slice] = np.asarray(jax.device_get(cd))
+        out_r[s0 : s0 + b_slice] = np.asarray(jax.device_get(cr))
+        ok_all[s0 : s0 + b_slice] = np.asarray(jax.device_get(ok))
+    score_s = time.perf_counter() - t0
+    certified = int(ok_all.sum())
+    log(f"{tag}: scoring {score_s:.2f}s ({certified}/{b} certified)")
+
+    # device-side brute top-1 spot check on certified rows (no 6 GB host
+    # pull at these scales): chunked i32 stripe over the real library
+    spot = np.flatnonzero(ok_all)[:brute_rows]
+    spot_ok = True
+    for r in spot:
+        x = blocks[int(r)][None]
+        best = None
+        step = 250_000
+        for lo in range(0, real_l, step):
+            hi = min(lo + step, real_l)
+            dsub = jnp.abs(
+                libp[lo:hi].astype(jnp.int32) - x.astype(jnp.int32)
+            ).sum(1)
+            cand = int(jax.device_get(dsub.min()))
+            best = cand if best is None else min(best, cand)
+        spot_ok &= best == int(out_d[r, 0])
+    log(f"{tag}: brute top-1 spot check on rows {spot.tolist()}: {spot_ok}")
+    # top-k rows must be unique per block (certificate sanity)
+    uniq = all(
+        np.unique(out_r[i]).size == k for i in range(0, b, max(1, b // 7))
+    )
+    return {
+        "B": b, "L": real_l, "D": D, "k": k, "m": m, "cap": cap,
+        "score_s": round(score_s, 2),
+        "certified": certified,
+        "brute_top1_spot_ok": bool(spot_ok),
+        "topk_rows_unique_sampled": bool(uniq),
+    }
+
+
+def phase_ad500k():
+    lp = -(-500_000 // 128) * 128  # 500,096 -> nseg 3907, m 2048
+    libp = build_library(lp, 8, seed=300)
+    entry = run_adaptive(libp, 500_000, 8192, 4096, "ad500k")
+    entry["note"] = (
+        "validates the INTERPOLATED _ad_params point (nseg=3907 -> m=2048) "
+        "between the swept 200k (m=1024) and 1M (m=4096) anchors; "
+        "production jits, device-generated clusterable library."
+    )
+    save("J_ad500k", entry)
+    del libp
+
+
+def phase_lut_max():
+    from emosaic_tpu.ops.lut import MAX_ROWS, _build_l1_lut_jit, _lut_match_packed_jit
+
+    rows_n = MAX_ROWS  # 2,097,151
+    key = jax.random.PRNGKey(61)
+    lib = jax.random.randint(key, (rows_n, 3), 0, 256, dtype=jnp.uint8)
+    sync(lib)
+    t0 = time.perf_counter()
+    lut = _build_l1_lut_jit(lib.astype(jnp.int32))
+    sync(lut)
+    build_s = time.perf_counter() - t0
+    log(f"LUT built over {rows_n} rows (the MAX_ROWS ceiling) in {build_s:.2f}s")
+    q = jax.random.randint(jax.random.PRNGKey(62), (8192, 3), 0, 256, dtype=jnp.uint8)
+    packed = (
+        q[:, 0].astype(jnp.int32)
+        | (q[:, 1].astype(jnp.int32) << 8)
+        | (q[:, 2].astype(jnp.int32) << 16)
+    )
+    ld, lr = _lut_match_packed_jit(packed, lut)
+    ed, er = l1_argmin_xla(q, lib)
+    match = bool(
+        (np.asarray(jax.device_get(lr)) == np.asarray(jax.device_get(er))).all()
+        and (np.asarray(jax.device_get(ld)) == np.asarray(jax.device_get(ed))).all()
+    )
+    save(
+        "K_lut_max",
+        {
+            "rows": rows_n,
+            "build_s": round(build_s, 2),
+            "parity_8192_colors": match,
+            "note": "ops/lut.py MAX_ROWS=2^21-1 ceiling executed; key "
+            "packing peaks at 765<<21 = 1.6e9 < i32 max.",
+        },
+    )
+    del lib, lut
+
+
+def phase_ad2M():
+    lp = 2_000_000  # multiple of 128 -> nseg 15625, m 8192
+    libp = build_library(lp, 16, seed=400)
+    # slice 1024 (not the 2048 the bare survivor budget allows): with the
+    # 6.1 GB library resident, a 2048-slice rescore OOM'd — the coarse's
+    # [slice, nseg*cap] i32 x2 outputs coexist with the rescore workspace
+    entry = run_adaptive(libp, lp, 4096, 1024, "ad2M")
+    entry["note"] = (
+        "1M-tile (2M flip-row) library = 60x the reference's 32767-tile "
+        "cap; _ad_params extrapolated point (nseg=15625 -> m=8192, cap=8); "
+        "survivor lists sliced to 2048 blocks to fit the 6.1 GB library "
+        "alongside them in 16 GB HBM."
+    )
+    save("L2_ad2M", entry)
+    del libp
+
+
+def main():
+    import os
+    import threading
+
+    def watchdog():
+        time.sleep(3300)
+        log("watchdog: 55 min elapsed; exiting with partial results")
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    sync(jnp.ones((8, 128)) * 2)  # tiny claim probe (CLAUDE.md rule 3)
+    log("probe ok")
+    try:
+        with open(OUT) as f:
+            RESULTS.update(json.load(f))
+    except (OSError, ValueError):
+        pass
+    sel = os.environ.get("EMOSAIC_SCALE_PHASES", "JKL")
+    for name, fn in [("J", phase_ad500k), ("K", phase_lut_max), ("L", phase_ad2M)]:
+        if name not in sel:
+            continue
+        try:
+            fn()
+            if RESULTS.pop(f"{name}_error", None) is not None:
+                with open(OUT, "w") as f:
+                    json.dump(RESULTS, f, indent=1)
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            save(f"{name}_error", {"error": repr(e)[:500]})
+    log("all phases done")
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)
