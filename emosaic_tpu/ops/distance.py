@@ -1275,9 +1275,24 @@ def _ad_coarse_jit(blocks_flat, lib_pad_flat, *, d, g, chan, bc, cap, real_l):
     # whole-library cast materializes lib_bytes*2 transient HBM (6.1 GB
     # at a 1M-row mode-32 library — an OOM at the scales this scorer
     # exists for). Row-independent, so chunking is bit-equal; lp is a
-    # multiple of 128, so 8 always divides it.
+    # multiple of 128, so 8 always divides it. The map runs over chunk
+    # INDICES with a dynamic_slice of the FLAT operand in the body: a
+    # map over `libp.reshape(8, ...)` materializes the whole reshaped
+    # library as the map operand (measured 6.44 GB of coarse temp at a
+    # 2M-row library, tools/tpu_r19_flatdma.py — the allocation that
+    # OOM'd the L2 envelope probe), while the flat slice keeps only one
+    # lib_bytes/8 chunk in flight.
+    n8 = lp // 8
     cl = jax.lax.map(
-        lambda xc: _ad_project(xc, d, g, chan), libp.reshape(8, lp // 8, d)
+        lambda i: _ad_project(
+            jax.lax.dynamic_slice(
+                lib_pad_flat, (i * (n8 * d),), (n8 * d,)
+            ).reshape(n8, d),
+            d,
+            g,
+            chan,
+        ),
+        jnp.arange(8, dtype=jnp.int32),
     ).reshape(lp, -1)
     # f32 abs-diff stripe over the projected values (exact: group sums
     # <= g*255 and row sums < 2^24; ~1.5x the i32 lane rate, see

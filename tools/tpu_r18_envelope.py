@@ -145,12 +145,12 @@ def run_adaptive(libp, real_l, b, b_slice, tag, brute_rows=2, k=K):
     for r in spot:
         x = blocks[int(r)][None]
         best = None
-        step = 250_000
+        step = 50_000  # i16 diff keeps the chunk transient ~0.3 GB
         for lo in range(0, real_l, step):
             hi = min(lo + step, real_l)
             dsub = jnp.abs(
-                libp[lo:hi].astype(jnp.int32) - x.astype(jnp.int32)
-            ).sum(1)
+                libp[lo:hi].astype(jnp.int16) - x.astype(jnp.int16)
+            ).sum(1, dtype=jnp.int32)
             cand = int(jax.device_get(dsub.min()))
             best = cand if best is None else min(best, cand)
         spot_ok &= best == int(out_d[r, 0])
