@@ -1267,33 +1267,44 @@ def _ad_coarse_jit(blocks_flat, lib_pad_flat, *, d, g, chan, bc, cap, real_l):
     worst kept value — part of the non-candidate bound).
     """
     blocks = blocks_flat.reshape(-1, d)
-    libp = lib_pad_flat.reshape(-1, d)
-    lp = libp.shape[0]
+    banks = (
+        lib_pad_flat
+        if isinstance(lib_pad_flat, (tuple, list))
+        else (lib_pad_flat,)
+    )
+    bank_rows = [bf.size // d for bf in banks]
+    lp = sum(bank_rows)
     nseg = lp // _TL_SEG
     w = lp // nseg
+
     # chunked projection: _ad_project casts its input to bf16, and a
     # whole-library cast materializes lib_bytes*2 transient HBM (6.1 GB
     # at a 1M-row mode-32 library — an OOM at the scales this scorer
-    # exists for). Row-independent, so chunking is bit-equal; lp is a
-    # multiple of 128, so 8 always divides it. The map runs over chunk
-    # INDICES with a dynamic_slice of the FLAT operand in the body: a
-    # map over `libp.reshape(8, ...)` materializes the whole reshaped
-    # library as the map operand (measured 6.44 GB of coarse temp at a
-    # 2M-row library, tools/tpu_r19_flatdma.py — the allocation that
-    # OOM'd the L2 envelope probe), while the flat slice keeps only one
-    # lib_bytes/8 chunk in flight.
-    n8 = lp // 8
-    cl = jax.lax.map(
-        lambda i: _ad_project(
-            jax.lax.dynamic_slice(
-                lib_pad_flat, (i * (n8 * d),), (n8 * d,)
-            ).reshape(n8, d),
-            d,
-            g,
-            chan,
-        ),
-        jnp.arange(8, dtype=jnp.int32),
-    ).reshape(lp, -1)
+    # exists for). Row-independent, so chunking is bit-equal; every
+    # bank's row count is a multiple of 128 (see _lib_banks), so 8
+    # always divides it. The map runs over chunk INDICES with a
+    # dynamic_slice of the FLAT operand in the body: a map over
+    # `libp.reshape(8, ...)` materializes the whole reshaped library as
+    # the map operand (measured 6.44 GB of coarse temp at a 2M-row
+    # library, tools/tpu_r19_flatdma.py — the allocation that OOM'd the
+    # L2 envelope probe), while the flat slice keeps only one
+    # bank_bytes/8 chunk in flight.
+    def proj_bank(bf, rows):
+        n8 = rows // 8
+        return jax.lax.map(
+            lambda i: _ad_project(
+                jax.lax.dynamic_slice(bf, (i * (n8 * d),), (n8 * d,)).reshape(
+                    n8, d
+                ),
+                d,
+                g,
+                chan,
+            ),
+            jnp.arange(8, dtype=jnp.int32),
+        ).reshape(rows, -1)
+
+    parts = [proj_bank(bf, r) for bf, r in zip(banks, bank_rows)]
+    cl = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     # f32 abs-diff stripe over the projected values (exact: group sums
     # <= g*255 and row sums < 2^24; ~1.5x the i32 lane rate, see
     # _STRIPE_F32_MAX_BYTES note) — the projected library is small.
@@ -1338,6 +1349,43 @@ _ROWS_DMA_VMEM = 8 << 20
 #: ~1 MB; the kernel chunks over block rows to stay under this)
 _SMEM_CAND_BUDGET = 256 << 10
 
+#: per-buffer byte ceiling for the DMA kernel's dynamic `.at[row]` slice:
+#: the row byte offset wraps mod 2^32 past 4 GiB (a 2M-row x 3072 B
+#: library returned mod-2^32-aliased rows — certified-but-wrong top-1s in
+#: the first L2_ad2M envelope run — while the 1M-row / 3.07 GB library is
+#: exact; measured signature in SCALE_r03 M_dma_limit,
+#: tools/tpu_r21_dmalimit.py). Libraries above this are split into
+#: power-of-two-row banks, each its own XLA buffer (64-bit base pointer).
+_DMA_LIB_BYTES_MAX = 1 << 32
+
+
+def _dma_bank_rows(dp: int) -> int:
+    """Rows per library bank: the largest power of two whose bank stays
+    under `_DMA_LIB_BYTES_MAX` at the (zero-padded) row width dp."""
+    rb = 1
+    while rb * 2 * dp <= _DMA_LIB_BYTES_MAX:
+        rb *= 2
+    return rb
+
+
+def _lib_banks(lib_pad: np.ndarray, d: int):
+    """Upload a host [lp, d] u8 library as the flat device bank tuple the
+    adaptive-scorer jits take: one bank when it fits the DMA addressing
+    limit (the proven single-buffer path, byte-identical), else
+    `_dma_bank_rows` power-of-two-row banks plus a smaller last bank.
+    Callers pad lp to a multiple of 128 (`_TL_SEG`), so every bank's row
+    count is a multiple of 128 and the coarse projection's 8-way chunking
+    divides it."""
+    dp = -(-d // 1024) * 1024 if d % 128 == 0 else d
+    rb = _dma_bank_rows(dp)
+    lp = lib_pad.shape[0]
+    if lp <= rb:
+        return (jnp.asarray(np.ascontiguousarray(lib_pad).reshape(-1)),)
+    return tuple(
+        jnp.asarray(np.ascontiguousarray(lib_pad[i : i + rb]).reshape(-1))
+        for i in range(0, lp, rb)
+    )
+
 
 def _rows_dma_mc(m: int, d: int) -> int:
     """Candidate rows fetched per grid step: the largest power of two
@@ -1353,24 +1401,48 @@ def _rows_dma_mc(m: int, d: int) -> int:
     return mc
 
 
-def _l1_rows_kernel(cand_ref, x_ref, lib_hbm, out_ref, scratch, sems, *, mc):
+def _l1_rows_kernel(cand_ref, x_ref, *rest, mc, nb, rb_log):
     """dist of one block against mc scalar-prefetched candidate rows.
 
     Same structure as composite._dma_kernel: statically unrolled DMA
     issue/wait loops (the path is scalar-core issue-rate bound, ~20 ns
     per row copy measured on v5e; an XLA row gather of the same rows
     measures ~87 ns/row), then one fused abs-diff-reduce over the VMEM
-    scratch."""
+    scratch.
+
+    `rest` is nb library bank refs followed by (out_ref, scratch, sems).
+    nb > 1 banks exist only when the library exceeds the DMA row-offset
+    addressing limit (`_DMA_LIB_BYTES_MAX`): the dynamic `.at[row]` byte
+    offset wraps past 4 GiB (measured: a 2M-row x 3072 B library returns
+    mod-2^32-aliased rows while 1M rows is exact — SCALE_r03 M_dma_limit,
+    tools/tpu_r21_dmalimit.py). Each bank is a separate XLA buffer with
+    its own 64-bit base pointer; the issue loop predicates on the bank id
+    (row >> rb_log), so in-bank offsets stay under the limit."""
+    libs = rest[:nb]
+    out_ref, scratch, sems = rest[nb], rest[nb + 1], rest[nb + 2]
     i = pl.program_id(0)
     j = pl.program_id(1)
     base = (i * pl.num_programs(1) + j) * mc
     for c in range(mc):
-        pltpu.make_async_copy(
-            lib_hbm.at[cand_ref[base + c]], scratch.at[c], sems.at[c]
-        ).start()
+        row = cand_ref[base + c]
+        if nb == 1:
+            pltpu.make_async_copy(
+                libs[0].at[row], scratch.at[c], sems.at[c]
+            ).start()
+        else:
+            bank = jax.lax.shift_right_logical(row, rb_log)
+            sub = jax.lax.bitwise_and(row, (1 << rb_log) - 1)
+            for t in range(nb):
+
+                @pl.when(bank == t)
+                def _(t=t):
+                    pltpu.make_async_copy(
+                        libs[t].at[sub], scratch.at[c], sems.at[c]
+                    ).start()
+
     x = x_ref[0].astype(jnp.int32)  # [sl, lw]
     for c in range(mc):
-        pltpu.make_async_copy(lib_hbm.at[0], scratch.at[c], sems.at[c]).wait()
+        pltpu.make_async_copy(libs[0].at[0], scratch.at[c], sems.at[c]).wait()
     # keep every value >= 2D (Mosaic layouts don't support 1D vectors):
     # reduce sublanes, then contract the lane axis against ones with a
     # dot_general whose result is already [1, mc]. Exact in f32: row sums
@@ -1399,7 +1471,10 @@ def _l1_rows_dma(blocks, cand, libp, *, mc, interpret=False):
     """dist[i, j] = exact L1(blocks[i], libp[cand[i, j]]).
 
     blocks [B, D] u8, cand [B, m] i32 (m % mc == 0; mc % 128 == 0 or
-    mc == m — Mosaic's trailing-block-dim rule), libp [LP, D] u8 in HBM.
+    mc == m — Mosaic's trailing-block-dim rule), libp [LP, D] u8 in HBM —
+    or a tuple of bank arrays [RB_i, D] as produced by `_lib_banks` when
+    LP*D exceeds the DMA addressing limit (all but the last bank have the
+    same power-of-two row count; global row index = bank * RB + sub).
     The shortlist-rescore primitive for the adaptive scorer (and any
     candidate-list rescoring): fetches arbitrary library rows at DMA
     issue rate instead of XLA gather rate.
@@ -1415,6 +1490,7 @@ def _l1_rows_dma(blocks, cand, libp, *, mc, interpret=False):
     (VERDICT r2 #2; reference analogue: all modes share one search path,
     rendering.rs:124-230).
     """
+    banks = libp if isinstance(libp, (tuple, list)) else (libp,)
     b, d = blocks.shape
     m = cand.shape[1]
     if d % 128 == 0:
@@ -1424,8 +1500,30 @@ def _l1_rows_dma(blocks, cand, libp, *, mc, interpret=False):
         dp, sl, lw = d, 1, d
     if dp != d:
         blocks = jnp.pad(blocks, ((0, 0), (0, dp - d)))
-        libp = jnp.pad(libp, ((0, 0), (0, dp - d)))
-    libp3 = libp.reshape(-1, sl, lw)
+        banks = tuple(jnp.pad(bk, ((0, 0), (0, dp - d))) for bk in banks)
+    nb = len(banks)
+    rb = banks[0].shape[0]
+    if nb > 1:
+        if rb & (rb - 1):
+            raise ValueError(f"bank rows must be a power of two, got {rb}")
+        if any(bk.shape[0] != rb for bk in banks[1:-1]) or (
+            banks[-1].shape[0] > rb
+        ):
+            raise ValueError("banks must be equal-sized except a smaller last")
+    rb_log = rb.bit_length() - 1
+    over = max(bk.shape[0] for bk in banks) * dp
+    if not interpret and over > _DMA_LIB_BYTES_MAX:
+        # the dynamic .at[row] byte offset wraps mod 2^32 past this —
+        # rows come back mod-2^32-aliased, SILENTLY (SCALE_r03
+        # M_dma_limit). Refuse rather than return wrong distances;
+        # callers split oversized libraries with _lib_banks.
+        raise ValueError(
+            f"library bank of {over} bytes exceeds the DMA row-offset "
+            f"addressing limit ({_DMA_LIB_BYTES_MAX}); split it with "
+            "_lib_banks"
+        )
+    lp = sum(bk.shape[0] for bk in banks)
+    banks3 = tuple(bk.reshape(-1, sl, lw) for bk in banks)
     # the prefetched candidate slab lives in SMEM (~1 MB total): chunk the
     # call over block rows so each chunk's indices fit comfortably
     bs = max(1, min(b, _SMEM_CAND_BUDGET // (4 * m)))
@@ -1435,15 +1533,13 @@ def _l1_rows_dma(blocks, cand, libp, *, mc, interpret=False):
     )
     # clamp: a DMA from an out-of-range row would read OOB; callers mask
     # distances of rows >= real_l afterwards anyway
-    cand = jnp.minimum(cand, libp3.shape[0] - 1)
+    cand = jnp.minimum(cand, lp - 1)
     cand_p = jnp.pad(cand, ((0, bp - b), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bs, m // mc),
-        in_specs=[
-            pl.BlockSpec((1, sl, lw), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec((1, sl, lw), lambda i, j, *_: (i, 0, 0))]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * nb,
         out_specs=pl.BlockSpec((1, 1, mc), lambda i, j, *_: (i, 0, j)),
         scratch_shapes=[
             pltpu.VMEM((mc, sl, lw), jnp.uint8),
@@ -1451,7 +1547,7 @@ def _l1_rows_dma(blocks, cand, libp, *, mc, interpret=False):
         ],
     )
     call = pl.pallas_call(
-        functools.partial(_l1_rows_kernel, mc=mc),
+        functools.partial(_l1_rows_kernel, mc=mc, nb=nb, rb_log=rb_log),
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((bs, 1, m), jnp.int32),
@@ -1460,7 +1556,7 @@ def _l1_rows_dma(blocks, cand, libp, *, mc, interpret=False):
 
     def per_chunk(args):
         cc, bl = args
-        return call(cc.reshape(-1), bl, libp3)
+        return call(cc.reshape(-1), bl, *banks3)
 
     out = jax.lax.map(
         per_chunk,
@@ -1483,9 +1579,18 @@ def _ad_rescore_jit(
 
     use_dma=True routes the candidate-row distances through the Pallas
     DMA kernel (TPU; requires d % 128 == 0); False uses the XLA row
-    gather (CPU/portable oracle, bit-identical results)."""
+    gather (CPU/portable oracle, bit-identical results).
+
+    `lib_pad_flat` is a flat array or the `_lib_banks` tuple (DMA
+    addressing limit — see _DMA_LIB_BYTES_MAX); the gather fallback only
+    concatenates banks at CPU-oracle scales."""
     blocks = blocks_flat.reshape(-1, d)
-    libp = lib_pad_flat.reshape(-1, d)
+    banks = (
+        lib_pad_flat
+        if isinstance(lib_pad_flat, (tuple, list))
+        else (lib_pad_flat,)
+    )
+    banks2 = tuple(bf.reshape(-1, d) for bf in banks)
     b = blocks.shape[0]
     nb = b // bc
     s = vals.shape[-1]
@@ -1504,8 +1609,9 @@ def _ad_rescore_jit(
 
     mc = _rows_dma_mc(m, d)
     if use_dma and (mc % 128 == 0 or mc == m) and d % 128 == 0:
-        dist = _l1_rows_dma(blocks, cand, libp, mc=mc)
+        dist = _l1_rows_dma(blocks, cand, banks2, mc=mc)
     else:
+        libp = banks2[0] if len(banks2) == 1 else jnp.concatenate(banks2)
 
         def dist_chunk(args):
             xc, cc = args
@@ -1616,7 +1722,7 @@ def l1_topk_adaptive(
     bp = -(-b // bc) * bc
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
     b_slice = min(bp, _ad_b_slice(nseg, cap, bc))
-    lf = jnp.asarray(lib_pad.reshape(-1))
+    lf = _lib_banks(lib_pad, d)  # 1-tuple below the DMA addressing limit
     bc2 = min(64, bc)  # divides bc and every slice length (multiples of bc)
 
     def run(flat_blocks):

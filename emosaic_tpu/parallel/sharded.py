@@ -355,7 +355,6 @@ def sharded_l1_topk_adaptive(
 
     lib_pad = np.zeros((lp, d), np.uint8)
     lib_pad[:l] = lib
-    lf_host = lib_pad.reshape(-1)
     n_dev = mesh.size
     bc = dd._STRIPE_BC if b >= dd._STRIPE_BC * n_dev else 8
     unit = bc * n_dev  # every slice shards evenly into bc-row chunks
@@ -374,7 +373,10 @@ def sharded_l1_topk_adaptive(
     # be pruned by any lossy projection — reroute before paying the
     # sharded adaptive pass
     bf0 = jnp.asarray(blocks_p[:bc].reshape(-1))
-    lf_dev = jnp.asarray(lf_host)
+    # bank tuple: 1-tuple below the DMA addressing limit; a replicated
+    # megascale library splits into <4 GiB banks exactly like the
+    # single-device scorer (distance._DMA_LIB_BYTES_MAX)
+    lf_dev = dd._lib_banks(lib_pad, d)
     v0, c0, s0 = dd._ad_coarse_jit(
         bf0, lf_dev, d=d, g=g, chan=chan, bc=bc, cap=cap, real_l=l
     )

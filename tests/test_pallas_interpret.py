@@ -112,6 +112,107 @@ def test_l1_rows_dma_interpret_matches_gather(rng, b, lp, d, m):
     np.testing.assert_array_equal(np.asarray(got), ref.astype(np.int32))
 
 
+def test_l1_rows_dma_banked_interpret_matches_gather(rng):
+    """Banked library form (DMA addressing limit, _DMA_LIB_BYTES_MAX):
+    the predicated per-bank issue loop must fetch the same rows as the
+    single-buffer form for candidates spanning every bank, including
+    bank-boundary rows and a smaller ragged last bank."""
+    import jax.numpy as jnp
+
+    b, d, m, rb = 6, 128, 16, 128
+    rows = [rb, rb, 64]  # ragged last bank
+    lp = sum(rows)
+    blocks = rng.integers(0, 256, size=(b, d), dtype=np.uint8)
+    libp = rng.integers(0, 256, size=(lp, d), dtype=np.uint8)
+    cand = rng.integers(0, lp, size=(b, m)).astype(np.int32)
+    cand[0, :6] = [0, rb - 1, rb, 2 * rb - 1, 2 * rb, lp - 1]
+    banks = []
+    o = 0
+    for r in rows:
+        banks.append(jnp.asarray(libp[o : o + r]))
+        o += r
+    mc = distance._rows_dma_mc(m, d)
+    got = distance._l1_rows_dma(
+        jnp.asarray(blocks), jnp.asarray(cand), tuple(banks),
+        mc=mc, interpret=True,
+    )
+    single = distance._l1_rows_dma(
+        jnp.asarray(blocks), jnp.asarray(cand), jnp.asarray(libp),
+        mc=mc, interpret=True,
+    )
+    ref = np.abs(
+        blocks.astype(np.int64)[:, None, :] - libp.astype(np.int64)[cand]
+    ).sum(-1)
+    np.testing.assert_array_equal(np.asarray(got), ref.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(single))
+
+
+def test_lib_banks_split_and_reassemble(monkeypatch, rng):
+    """_lib_banks honors the byte ceiling: power-of-two full banks whose
+    rows stay multiples of 128, a smaller last bank, exact content; and a
+    single bank (the proven path) below the limit."""
+    d = 48  # not % 128 -> dp = d
+    lp = 128 * 7
+    lib = rng.integers(0, 256, size=(lp, d), dtype=np.uint8)
+    one = distance._lib_banks(lib, d)
+    assert len(one) == 1 and one[0].size == lp * d
+    monkeypatch.setattr(distance, "_DMA_LIB_BYTES_MAX", 2 * 128 * d)
+    banks = distance._lib_banks(lib, d)
+    assert [bf.size // d for bf in banks] == [256, 256, 256, 128]
+    joined = np.concatenate([np.asarray(bf).reshape(-1, d) for bf in banks])
+    np.testing.assert_array_equal(joined, lib)
+
+
+def test_rows_dma_refuses_oversized_bank(monkeypatch, rng):
+    """A bank past the DMA row-offset addressing limit must raise (the
+    wrap returns mod-2^32-aliased rows SILENTLY — SCALE_r03 M_dma_limit),
+    never compute; interpret mode (no real DMA engine) stays exempt."""
+    import jax.numpy as jnp
+
+    b, d, m = 2, 128, 8
+    lib = jnp.asarray(rng.integers(0, 256, size=(256, d), dtype=np.uint8))
+    blocks = jnp.asarray(rng.integers(0, 256, size=(b, d), dtype=np.uint8))
+    cand = jnp.asarray(rng.integers(0, 256, size=(b, m)).astype(np.int32))
+    monkeypatch.setattr(distance, "_DMA_LIB_BYTES_MAX", 128 * 1024)
+    with pytest.raises(ValueError, match="addressing limit"):
+        distance._l1_rows_dma(blocks, cand, lib, mc=m, interpret=False)
+    # interpret path still runs (CPU oracle has no addressing limit)
+    distance._l1_rows_dma(blocks, cand, lib, mc=m, interpret=True)
+
+
+def test_ad_scorer_banked_library_bit_identical(rng):
+    """The adaptive-scorer jits accept the banked library tuple and must
+    produce bit-identical (dists, rows, ok) to the single-flat form (the
+    gather rescore path; the DMA path's bank parity is pinned above)."""
+    import jax.numpy as jnp
+
+    b, l, d, g, cap, m, k = 16, 2000, 48, 4, 4, 32, 6
+    lp = -(-l // 128) * 128  # 2048 -> two 1024-row banks
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = lib[rng.integers(0, l, size=b)]
+    lib_pad = np.zeros((lp, d), np.uint8)
+    lib_pad[:l] = lib
+    bf = jnp.asarray(blocks.reshape(-1))
+    lf = jnp.asarray(lib_pad.reshape(-1))
+    lf2 = (
+        jnp.asarray(lib_pad[:1024].reshape(-1)),
+        jnp.asarray(lib_pad[1024:].reshape(-1)),
+    )
+    outs = []
+    for lib_arg in (lf, lf2):
+        vals, cols, s_min = distance._ad_coarse_jit(
+            bf, lib_arg, d=d, g=g, chan=True, bc=8, cap=cap, real_l=l
+        )
+        outs.append(
+            distance._ad_rescore_jit(
+                bf, vals, cols, s_min, lib_arg,
+                d=d, bc=8, m=m, k=k, real_l=l, use_dma=False,
+            )
+        )
+    for a, bb in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
 def test_ad_rescore_dma_path_equivalent(rng):
     """The DMA rescore path must reach the same (dists, rows, ok) as
     _ad_rescore_jit's gather path: re-derive selection/certification in

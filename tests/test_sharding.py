@@ -245,6 +245,36 @@ def test_sharded_adaptive_topk_bit_identical(rng, devices, data, model, b):
     assert (r_sh == np.asarray(r_o)).all()
 
 
+def test_sharded_adaptive_topk_banked_library(rng, devices, monkeypatch):
+    """With the DMA addressing limit forced small, the replicated library
+    splits into banks (distance._lib_banks) and the sharded scorer must
+    stay exact — the banked tuple rides shard_map's replicated in_spec."""
+    from emosaic_tpu.ops import distance as dd
+    from emosaic_tpu.ops.distance import l1_topk_stripes
+    from emosaic_tpu.parallel import sharded_l1_topk_adaptive
+
+    mesh = make_mesh(8, model=2)
+    d, l, k = 48, 9000, 4
+    monkeypatch.setattr(dd, "_DMA_LIB_BYTES_MAX", 4096 * d)
+    assert len(dd._lib_banks(np.zeros((9088, d), np.uint8), d)) == 3
+    bases = rng.integers(0, 256, size=(50, d))
+    lib = np.clip(
+        np.repeat(bases, l // 50, axis=0) + rng.integers(-5, 6, size=(l, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks = np.clip(
+        lib[rng.integers(0, l, size=64)].astype(np.int32)
+        + rng.integers(-3, 4, size=(64, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    d_sh, r_sh = sharded_l1_topk_adaptive(blocks, lib, k, mesh)
+    d_o, r_o = l1_topk_stripes(blocks, lib, k)
+    assert (d_sh == np.asarray(d_o)).all()
+    assert (r_sh == np.asarray(r_o)).all()
+
+
 def test_sharded_adaptive_topk_concentrated_reroutes(rng, devices, monkeypatch):
     # concentrated (uniform-random) data: the SAMPLE gate (not the
     # eligibility gate — the library is adaptive-eligible) must reroute

@@ -37,6 +37,7 @@ from emosaic_tpu.ops.distance import (  # noqa: E402
     _ad_coarse_jit,
     _ad_params,
     _ad_rescore_jit,
+    _dma_bank_rows,
     l1_argmin_xla,
 )
 
@@ -63,21 +64,30 @@ def sync(x):
 
 
 def build_library(lp, n_chunks, seed=100):
-    """Clusterable u8 [lp, D] library in device chunks (per-tile base
-    color + ±10 texture; the SCALE phase-B model). Chunks are placed
-    into a preallocated buffer with DONATED dynamic_update_slice — a
-    concatenate would hold chunks + result simultaneously (12.3 GB at
-    the 2M-row library, the OOM that killed the first L2 attempt);
-    donation keeps the peak at lib + one chunk."""
+    """Clusterable u8 library in device chunks (per-tile base color +
+    ±10 texture; the SCALE phase-B model), returned as the BANK TUPLE
+    the adaptive-scorer jits take (one bank while lp fits the DMA
+    addressing limit — tools/tpu_r21_dmalimit.py; content is chunk-
+    placement identical to the pre-bank builds, chunks straddling a bank
+    boundary are split). Chunks are placed into preallocated buffers
+    with DONATED dynamic_update_slice — a concatenate would hold chunks
+    + result simultaneously (12.3 GB at the 2M-row library, the OOM that
+    killed the first L2 attempt); donation keeps the peak at lib + one
+    chunk."""
     nc = D // 3
     n = lp // n_chunks
+    rb = _dma_bank_rows(D)
+    bank_rows = [min(rb, lp - o) for o in range(0, lp, rb)]
 
     place = jax.jit(
         lambda a, c, r0: jax.lax.dynamic_update_slice(a, c, (r0, 0)),
         donate_argnums=0,
     )
-    libp = jnp.zeros((lp, D), jnp.uint8)
-    sync(libp)
+    banks = []
+    for r in bank_rows:
+        bk = jnp.zeros((r, D), jnp.uint8)
+        sync(bk)
+        banks.append(bk)
     for c in range(n_chunks):
         kc, km = jax.random.split(jax.random.PRNGKey(seed + c))
         colors = jax.random.randint(kc, (n, 3), 0, 256, dtype=jnp.int32)
@@ -85,30 +95,53 @@ def build_library(lp, n_chunks, seed=100):
         chunk = jnp.clip(jnp.tile(colors, (1, nc)) + tex, 0, 255).astype(
             jnp.uint8
         )
-        libp = place(libp, chunk, jnp.int32(c * n))
+        lo = c * n
+        while lo < (c + 1) * n:
+            t = lo // rb
+            take = min((c + 1) * n - lo, (t + 1) * rb - lo)
+            banks[t] = place(
+                banks[t], chunk[lo - c * n : lo - c * n + take],
+                jnp.int32(lo - t * rb),
+            )
+            lo += take
         del chunk
-    sync(libp)
-    log(f"library [{lp}, {D}] ready ({n_chunks} donated chunks)")
-    return libp
+    for bk in banks:
+        sync(bk)
+    log(
+        f"library [{lp}, {D}] ready ({n_chunks} donated chunks, "
+        f"{len(banks)} bank(s))"
+    )
+    return tuple(banks)
 
 
-def run_adaptive(libp, real_l, b, b_slice, tag, brute_rows=2, k=K):
+def gather_rows(banks, idx):
+    """libp[idx] across banks: per-bank clipped gather + mask-select."""
+    rb = banks[0].shape[0]
+    out = jnp.zeros((idx.shape[0], D), jnp.uint8)
+    for t, bk in enumerate(banks):
+        local = jnp.clip(idx - t * rb, 0, bk.shape[0] - 1)
+        hit = (idx >= t * rb) & (idx < t * rb + bk.shape[0])
+        out = jnp.where(hit[:, None], bk[local], out)
+    return out
+
+
+def run_adaptive(banks, real_l, b, b_slice, tag, brute_rows=2, k=K):
     """Flagship-k adaptive scoring through the production jits with
     (m, cap) from the production _ad_params rule; returns the ledger
-    entry dict."""
-    lp = libp.shape[0]
+    entry dict. `banks` is the build_library tuple."""
+    lp = sum(bk.shape[0] for bk in banks)
     m, cap = _ad_params(lp // 128)
     # only binds at CPU-smoke scale (production gate: m + 1 <= nseg*cap)
     m = min(m, (lp // 128) * cap // 2)
     use_dma = jax.devices()[0].platform == "tpu"  # CPU smoke: XLA gather
-    lf = libp.reshape(-1)
+    lf = tuple(bk.reshape(-1) for bk in banks)
     pick = jax.random.randint(
         jax.random.PRNGKey(51), (b,), 0, real_l, dtype=jnp.int32
     )
     bn = jax.random.randint(jax.random.PRNGKey(52), (b, D), -6, 7, dtype=jnp.int32)
-    blocks = jnp.clip(libp[pick].astype(jnp.int32) + bn, 0, 255).astype(
-        jnp.uint8
-    )
+    blocks = jnp.clip(
+        gather_rows(banks, pick).astype(jnp.int32) + bn, 0, 255
+    ).astype(jnp.uint8)
     sync(blocks)
     log(f"{tag}: inputs ready (m={m}, cap={cap})")
 
@@ -142,14 +175,22 @@ def run_adaptive(libp, real_l, b, b_slice, tag, brute_rows=2, k=K):
     # pull at these scales): chunked i32 stripe over the real library
     spot = np.flatnonzero(ok_all)[:brute_rows]
     spot_ok = True
+    rb = banks[0].shape[0]
     for r in spot:
         x = blocks[int(r)][None]
         best = None
-        step = 50_000  # i16 diff keeps the chunk transient ~0.3 GB
+        # i16 diff keeps the chunk transient ~0.3 GB; <= rb so a chunk
+        # straddles at most one bank boundary
+        step = min(50_000, rb)
         for lo in range(0, real_l, step):
             hi = min(lo + step, real_l)
+            t = lo // rb
+            sl_ = banks[t][lo - t * rb : hi - t * rb]
+            if sl_.shape[0] < hi - lo:  # bank-straddling chunk
+                t2 = (t + 1) * rb
+                sl_ = jnp.concatenate([sl_, banks[t + 1][: hi - t2]])
             dsub = jnp.abs(
-                libp[lo:hi].astype(jnp.int16) - x.astype(jnp.int16)
+                sl_.astype(jnp.int16) - x.astype(jnp.int16)
             ).sum(1, dtype=jnp.int32)
             cand = int(jax.device_get(dsub.min()))
             best = cand if best is None else min(best, cand)
