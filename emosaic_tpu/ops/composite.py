@@ -44,6 +44,15 @@ _CH = 128
 _DMA_MAX_ROWS = 131072
 #: VMEM budget for the DMA path's scratch + out blocks
 _DMA_VMEM_BUDGET = 10 * 2**20
+#: stack-byte ceiling for the DMA path: Pallas dynamic `.at[row]` byte
+#: offsets wrap mod 2^32 (measured on the distance DMA kernel at a
+#: 6.1 GB buffer — distance._DMA_LIB_BYTES_MAX / SCALE_r03 M_dma_limit),
+#: so a >4 GiB augmented stack (e.g. ~131k tiles at ts=64 after
+#: mirroring + lane padding) would fetch mod-aliased tile rows. Route
+#: such stacks to `_compose_rows_pallas`: its row gather is XLA
+#: (64-bit-safe; the megascale scale runs sliced 6.1 GB buffers via XLA
+#: exactly), only its band-sized transpose input enters Pallas.
+_DMA_STACK_BYTES_MAX = 1 << 32
 
 
 def _lane(ts: int) -> int:
@@ -141,6 +150,13 @@ def _compose_rows_dma(
     nby, nbx = items.shape
     t = aug3.shape[0] // 2
     lane = aug3.shape[2]
+    if not interpret and aug3.size > _DMA_STACK_BYTES_MAX:
+        # .at[row] offsets wrap mod 2^32 — aliased tile rows, silently
+        raise ValueError(
+            f"augmented stack of {aug3.size} bytes exceeds the DMA "
+            f"row-offset addressing limit ({_DMA_STACK_BYTES_MAX}); "
+            "use _compose_rows_pallas (see _compose_rows_2d dispatch)"
+        )
     rows = _rows_of(items, t).astype(jnp.int32)
     nj = nbx // _CH
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -174,10 +190,20 @@ def _compose_rows_2d(items: jax.Array, aug3: jax.Array, *, ts: int):
     nby, nbx = items.shape
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu and ts % 8 == 0 and nbx % _CH == 0:
-        if nby * nbx <= _DMA_MAX_ROWS and _dma_vmem_ok(ts):
+        if _dma_dispatch_ok(nby, nbx, ts, aug3.size):
             return _compose_rows_dma(items, aug3, ts=ts)
         return _compose_rows_pallas(items, aug3, ts=ts)
     return _compose_rows_xla(items, aug3, ts=ts)
+
+
+def _dma_dispatch_ok(nby: int, nbx: int, ts: int, stack_bytes: int) -> bool:
+    """DMA fast-path admission: scalar-prefetch budget, VMEM budget, and
+    the 4 GiB row-offset addressing limit (`_DMA_STACK_BYTES_MAX`)."""
+    return (
+        nby * nbx <= _DMA_MAX_ROWS
+        and _dma_vmem_ok(ts)
+        and stack_bytes <= _DMA_STACK_BYTES_MAX
+    )
 
 
 def augment_stack2d(stack) -> tuple[jax.Array, int]:

@@ -82,6 +82,25 @@ def test_compose_rows_dma_interpret_multi_step_grid(rng):
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_x))
 
 
+def test_compose_dma_dispatch_respects_stack_limit(monkeypatch, rng):
+    """Stacks past the DMA addressing limit must be denied the DMA fast
+    path (they would fetch mod-2^32-aliased tile rows) and the direct
+    call must refuse; the pallas/XLA routes stay exact for the same
+    stack."""
+    items, aug3, ts = _composite_case(rng, nby=2)
+    assert composite._dma_dispatch_ok(2, composite._CH, ts, aug3.size)
+    monkeypatch.setattr(composite, "_DMA_STACK_BYTES_MAX", aug3.size - 1)
+    assert not composite._dma_dispatch_ok(2, composite._CH, ts, aug3.size)
+    with pytest.raises(ValueError, match="addressing limit"):
+        composite._compose_rows_dma(items, aug3, ts=ts, interpret=False)
+    # interpret mode (no DMA engine) and the fallback path still run
+    out_d = composite._compose_rows_dma(items, aug3, ts=ts, interpret=True)
+    out_p = composite._compose_rows_pallas(items, aug3, ts=ts, interpret=True)
+    out_x = composite._compose_rows_xla(items, aug3, ts=ts)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_x))
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
+
 @pytest.mark.parametrize(
     "b,lp,d,m",
     [
