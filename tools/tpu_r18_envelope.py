@@ -269,8 +269,9 @@ def phase_ad2M():
     entry["note"] = (
         "1M-tile (2M flip-row) library = 60x the reference's 32767-tile "
         "cap; _ad_params extrapolated point (nseg=15625 -> m=8192, cap=8); "
-        "survivor lists sliced to 2048 blocks to fit the 6.1 GB library "
-        "alongside them in 16 GB HBM."
+        "survivor lists sliced to 1024 blocks to fit the 6.1 GB library "
+        "alongside them in 16 GB HBM (a 2048-block slice OOM'd); library "
+        "split into 2 banks under the DMA addressing limit."
     )
     save("L2_ad2M", entry)
     del libp
