@@ -232,6 +232,39 @@ def test_ad_scorer_banked_library_bit_identical(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
 
 
+def test_ad_scorer_ragged_banks_bit_identical(monkeypatch, rng):
+    """Same bit-identity with a RAGGED `_lib_banks` split (full
+    power-of-two banks + a smaller last) — the shape class the 2M-row
+    library produces ([2^20, 951424] rows at D=3072); the coarse
+    projection's per-bank 8-way chunking must handle the short bank."""
+    import jax.numpy as jnp
+
+    b, l, d, g, cap, m, k = 16, 2250, 48, 4, 4, 32, 6
+    lp = -(-l // 128) * 128  # 2304
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = lib[rng.integers(0, l, size=b)]
+    lib_pad = np.zeros((lp, d), np.uint8)
+    lib_pad[:l] = lib
+    bf = jnp.asarray(blocks.reshape(-1))
+    lf = jnp.asarray(lib_pad.reshape(-1))
+    monkeypatch.setattr(distance, "_DMA_LIB_BYTES_MAX", 50_000)
+    banks = distance._lib_banks(lib_pad, d)  # rb=1024 -> [1024, 1024, 256]
+    assert [bk.size // d for bk in banks] == [1024, 1024, 256]
+    outs = []
+    for lib_arg in (lf, banks):
+        vals, cols, s_min = distance._ad_coarse_jit(
+            bf, lib_arg, d=d, g=g, chan=True, bc=8, cap=cap, real_l=l
+        )
+        outs.append(
+            distance._ad_rescore_jit(
+                bf, vals, cols, s_min, lib_arg,
+                d=d, bc=8, m=m, k=k, real_l=l, use_dma=False,
+            )
+        )
+    for a, bb in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
 def test_ad_rescore_dma_path_equivalent(rng):
     """The DMA rescore path must reach the same (dists, rows, ok) as
     _ad_rescore_jit's gather path: re-derive selection/certification in
