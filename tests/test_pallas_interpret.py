@@ -166,6 +166,22 @@ def test_l1_rows_dma_banked_interpret_matches_gather(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(single))
 
 
+def test_dma_bank_rows_boundary_math():
+    """_dma_bank_rows picks the largest power-of-two row count whose bank
+    stays within the addressing limit: rb*dp <= LIMIT < 2*rb*dp. At the
+    flagship D=3072 this is exactly 2^20 rows (a 3 GiB bank, matching the
+    measured-exact 1M-row single-buffer run), and a bank may land exactly
+    AT the 4 GiB limit (row rb-1's byte offset is LIMIT - dp < 2^32)."""
+    limit = distance._DMA_LIB_BYTES_MAX
+    for dp in (3072, 1024, 2048, 49152, 768):
+        rb = distance._dma_bank_rows(dp)
+        assert rb & (rb - 1) == 0
+        assert rb * dp <= limit < 2 * rb * dp
+    assert distance._dma_bank_rows(3072) == 1 << 20
+    # power-of-two dp fills the limit exactly — allowed (offsets < 2^32)
+    assert distance._dma_bank_rows(1024) * 1024 == limit
+
+
 def test_lib_banks_split_and_reassemble(monkeypatch, rng):
     """_lib_banks honors the byte ceiling: power-of-two full banks whose
     rows stay multiples of 128, a smaller last bank, exact content; and a
