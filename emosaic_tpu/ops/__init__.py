@@ -7,6 +7,7 @@ from emosaic_tpu.ops.distance import (  # noqa: F401
     l1_argmin_xla,
     l1_dist_matrix,
     l1_topk,
+    l1_topk_streamed,
     l2_argmin,
 )
 from emosaic_tpu.ops.lut import (  # noqa: F401

@@ -307,6 +307,12 @@ def l1_argmin(blocks, lib, *, force_xla: bool = False):
     lib = np.asarray(lib, dtype=np.uint8)
     b, d = blocks.shape
     l = lib.shape[0]
+    if not force_xla and lib.size > _DEVICE_LIB_BYTES_MAX and l > _TL_SEG:
+        # beyond the device-resident budget every direct kernel would OOM
+        # uploading the library; stream host banks (exact — k=1 keeps the
+        # lowest-row tie-break through the cross-bank merge). numpy out.
+        da, ra = l1_topk_streamed(blocks, lib, 1)
+        return da[:, 0], ra[:, 0]
     on_tpu = jax.devices()[0].platform == "tpu"
     if force_xla or not on_tpu:
         return l1_argmin_xla(blocks, lib)
@@ -619,6 +625,8 @@ class DeviceRefiller:
         """Upload blocks/library and compile both refill shapes ahead of
         assignment — otherwise the first refill event pays the upload
         (~1.2 GB at flagship scale) plus a fresh XLA compile mid-run."""
+        if self._lib.nbytes > _DEVICE_LIB_BYTES_MAX:
+            return  # beyond-budget library: events stay on the host scan
         if self._blocks_dev is None:
             self._blocks_dev = jnp.asarray(self._blocks.reshape(-1))
             self._lib_dev = jnp.asarray(self._lib.reshape(-1))
@@ -642,6 +650,11 @@ class DeviceRefiller:
         unused = np.flatnonzero(np.asarray(used) == 0).astype(np.int32)
         if unused.size == 0:
             return out_d, out_r
+        if self._lib.nbytes > _DEVICE_LIB_BYTES_MAX:
+            # beyond the device-resident budget the lazy upload would OOM
+            # the chip; keep EVERY event on the engine's exact host scan
+            # (the C++ engine treats the raise as a per-event fallback)
+            raise _DeferRefill(-1)
         if self._blocks_dev is None and self.n_deferred < self.defer_events:
             # cold: absorb early events on the host scan until the upload
             # is worth paying (the engine falls back per-event on raise)
@@ -781,6 +794,11 @@ def l1_topk_hybrid(
     lib = np.asarray(lib, dtype=np.uint8)
     b, d = blocks.shape
     l = lib.shape[0]
+    if lib.size > _DEVICE_LIB_BYTES_MAX and l > _TL_SEG:
+        # the MXU prefilter needs the whole library device-resident;
+        # past the budget, stream exact host banks instead — a STRONGER
+        # result (exact candidate set) at streamed-bank cost
+        return l1_topk_streamed(blocks, lib, k)
     if l <= max(k * 2, 256):
         return l1_topk_stripes(blocks, lib, k)  # small library: exact
     kp = min(k_pre or max(2 * k, 64), l)
@@ -1676,6 +1694,11 @@ def l1_topk_adaptive(
     lib = np.asarray(lib, dtype=np.uint8)
     b, d = blocks.shape
     l = lib.shape[0]
+    if lib.size > _DEVICE_LIB_BYTES_MAX and l > _TL_SEG:
+        # beyond the proven device-resident budget: stream host banks
+        # (terminates — streamed banks are clamped under this gate, and
+        # un-subdividable libraries of <= _TL_SEG rows stay direct)
+        return l1_topk_streamed(blocks, lib, k)
     # prefer grouping whole cells per channel (palette coords interleave
     # RGB; see _ad_project); fall back to consecutive coords otherwise
     chan = d % 3 == 0
@@ -1750,3 +1773,86 @@ def l1_topk_adaptive(
     bad = np.flatnonzero(~ok_all[:b])
     out_d, out_r = _stripe_fallback(out_d, out_r, bad, blocks, lib, kk)
     return _pad_topk(out_d, out_r, b, k, kk)
+
+
+#: device-resident library budget for the certified scorers (u8 bytes of
+#: the [L, D] library): the proven on-chip ceiling is the 2M-row x 3072 B
+#: envelope point — a 6.14 GB library resident alongside the sliced
+#: survivor lists and the rescore workspace in 16 GiB HBM (SCALE_r03
+#: L2_ad2M). Libraries above this stream through `l1_topk_streamed`:
+#: host-resident banks scored one at a time, folded with an exact merge.
+_DEVICE_LIB_BYTES_MAX = 6_200_000_000
+
+
+def _stream_bank_rows(d: int) -> int:
+    """Rows per streamed-scorer host bank: the largest `_TL_SEG` multiple
+    whose bank stays within ONE DMA addressing bank at the zero-padded
+    row width `_l1_rows_dma` allocates — each uploaded bank then takes
+    the proven single-buffer device path (`_lib_banks` returns 1-tuples),
+    and sits far below `_DEVICE_LIB_BYTES_MAX` (recursion-free)."""
+    dp = -(-d // 1024) * 1024 if d % 128 == 0 else d
+    return max(_TL_SEG, _DMA_LIB_BYTES_MAX // dp // _TL_SEG * _TL_SEG)
+
+
+def l1_topk_streamed(
+    blocks, lib, k: int, *, bank_rows: int | None = None, scorer=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact k nearest rows per block — same contract and results as
+    `l1_topk_stripes` (ascending (distance, row), lowest-row ties) — for
+    host-resident libraries too large to keep on the device
+    (`_DEVICE_LIB_BYTES_MAX`): each `bank_rows`-row host bank is scored
+    with the certified adaptive scorer (exact after per-row fallback),
+    and banks fold together with an exact lexicographic
+    (distance, global row) merge on the host.
+
+    Exactness: distances are bank-independent, so every global top-k
+    member is inside its own bank's exact top-k; the union of per-bank
+    lists therefore contains the global top-k, and the fold keeps the
+    running k best under the same (distance, lowest-row) key the device
+    kernels use, ties included.
+
+    `scorer` overrides the per-bank exact scorer (default
+    `l1_topk_adaptive`) — `parallel.sharded_l1_topk_adaptive` passes a
+    mesh-sharded closure so bank streaming composes with block sharding.
+
+    Complements `parallel.sharded_l1_topk_adaptive` (blocks sharded
+    across a chip mesh): streaming raises the PER-chip library ceiling
+    from HBM to host RAM at the cost of one bank upload per ~4 GiB.
+    Reference analogue: none — the reference hard-caps libraries at
+    32 767 tiles (tileset.rs:178-183, main.rs:791); this extends the
+    no-cap design axis past device memory.
+    """
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    score = l1_topk_adaptive if scorer is None else scorer
+    b, d = blocks.shape
+    l = lib.shape[0]
+    rb = _stream_bank_rows(d) if bank_rows is None else bank_rows
+    # clamp banks under the device budget so the per-bank adaptive calls
+    # never re-enter this path (the floor case — a budget below one
+    # _TL_SEG-row bank — stays direct via the gate's `l > _TL_SEG` arm)
+    rb = max(_TL_SEG, min(rb, _DEVICE_LIB_BYTES_MAX // d // _TL_SEG * _TL_SEG))
+    if l <= rb or b == 0:
+        return score(blocks, lib, k)
+    kk = min(k, l)
+    best_d = best_r = None
+    for off in range(0, l, rb):
+        dd, rr = score(blocks, lib[off : off + rb], kk)
+        rr = rr + off  # global rows (padding entries re-zeroed below)
+        if best_d is None:
+            best_d, best_r = dd, rr
+            continue
+        cd = np.concatenate([best_d, dd], axis=1)
+        cr = np.concatenate([best_r, rr], axis=1)
+        # packed int64 (distance, row) key — the same exact lexicographic
+        # selection as l1_topk's matrix path, incl. lowest-row tie-break
+        # (padding entries carry I32_MAX distances and always lose)
+        key = cd.astype(np.int64) * (l + 1) + cr
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        order = np.argsort(np.take_along_axis(key, part, axis=1), axis=1)
+        sel = np.take_along_axis(part, order, axis=1)
+        best_d = np.take_along_axis(cd, sel, axis=1)
+        best_r = np.take_along_axis(cr, sel, axis=1)
+    # entries short of k real rows keep the shared padding convention
+    best_r = np.where(best_d == I32_MAX, 0, best_r)
+    return _pad_topk(best_d, best_r, b, k, kk)

@@ -327,6 +327,17 @@ def sharded_l1_topk_adaptive(
     lib = np.asarray(lib, dtype=np.uint8)
     b, d = blocks.shape
     l = lib.shape[0]
+    if lib.size > dd._DEVICE_LIB_BYTES_MAX and l > dd._TL_SEG:
+        # the library replicates per device, so past the device-resident
+        # budget stream host banks — each bank scored by THIS sharded
+        # scorer (bank streaming composes with block sharding; banks are
+        # clamped under the budget so this gate never re-enters)
+        return dd.l1_topk_streamed(
+            blocks,
+            lib,
+            k,
+            scorer=lambda bb, ll, kx: sharded_l1_topk_adaptive(bb, ll, kx, mesh),
+        )
     # eligibility mirrors l1_topk_adaptive (ops/distance.py)
     chan = d % 3 == 0
     nc = d // 3 if chan else d

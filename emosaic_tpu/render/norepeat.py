@@ -27,6 +27,7 @@ import numpy as np
 from emosaic_tpu.ops.analysis import source_blocks
 from emosaic_tpu.ops.composite import compose_mosaic
 from emosaic_tpu.ops.distance import (
+    _DEVICE_LIB_BYTES_MAX,
     DeviceRefiller,
     build_library,
     l1_dist_matrix,
@@ -91,7 +92,11 @@ def render_nto1_no_repeat(
         scorer_used = "hybrid"
     elif mesh is not None:
         scorer_used = "sharded-exact"
-    elif b * l <= _EXACT_BUDGET:
+    elif b * l <= _EXACT_BUDGET and lib.nbytes <= _DEVICE_LIB_BYTES_MAX:
+        # exact-full uploads the whole library for the dense matrix;
+        # beyond-budget libraries take the adaptive route, whose gate
+        # streams host banks (truncation to K does not change assignment
+        # results — see _TRUNCATED_K)
         scorer_used = "exact-full"
     else:
         scorer_used = "adaptive-exact"
@@ -142,7 +147,7 @@ def render_nto1_no_repeat(
         want_dev = (
             mode == "1"
             or (mode not in ("0", "off") and l * lib.shape[1] >= _DEVICE_REFILL_MIN_LD)
-        )
+        ) and lib.nbytes <= _DEVICE_LIB_BYTES_MAX  # refiller uploads lib whole
         refiller = DeviceRefiller(blocks, lib) if want_dev else None
         rows, dists = native.greedy_global(
             cd, cr, blocks, lib, num_tiles,

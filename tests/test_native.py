@@ -324,3 +324,27 @@ def test_refill_deferral_silent_but_real_failures_log_once(rng, capfd):
     assert len(calls) > 1  # it really failed on multiple events
     assert err.count("refill callback failed") == 1
     assert (r_c == base_r).all() and (d_c == base_d).all()
+
+
+def test_device_refiller_oversized_library_stays_on_host(rng, monkeypatch):
+    """Past the device-resident budget the refiller must never upload:
+    warm() is a no-op and every event raises the defer signal (the C++
+    engine's exact host scan serves it) — assignments identical."""
+    from emosaic_tpu.ops import distance
+    from emosaic_tpu.ops.distance import DeviceRefiller, _DeferRefill
+
+    t, b, d, k = 120, 200, 96, 6
+    blocks, lib, cd, cr = _clustered(rng, t, b, d, k)
+    base_r, base_d = native.greedy_global(cd, cr, blocks, lib, t)
+
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", lib.nbytes - 1)
+    dev = DeviceRefiller(blocks, lib, defer_events=0)
+    dev.warm()
+    assert dev._blocks_dev is None  # warm refused the upload
+    with pytest.raises(_DeferRefill):
+        dev(np.arange(3, dtype=np.int64), np.zeros(2 * t, np.uint8))
+    r_c, d_c = native.greedy_global(
+        cd, cr, blocks, lib, t, refill_cb=dev, cb_max_batch=dev._m2
+    )
+    assert dev.n_calls == 0  # no event ever reached the device path
+    assert (r_c == base_r).all() and (d_c == base_d).all()

@@ -812,3 +812,148 @@ def test_l1_topk_adaptive_block_slicing(rng, monkeypatch):
     d_a, r_a = distance.l1_topk_adaptive(blocks, lib, k, m=32)
     np.testing.assert_array_equal(d_a, np.asarray(d_o))
     np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+def test_l1_topk_streamed_parity_ragged_banks_with_ties(rng):
+    """Host-bank streaming (library > device budget) must be bit-equal
+    to the direct scorer, including ties that straddle bank boundaries:
+    low-cardinality palettes make equal distances land in DIFFERENT
+    banks, so the cross-bank merge's lowest-global-row tie-break
+    genuinely engages. bank_rows=256 over L=1000 gives three full banks
+    plus a 232-row ragged tail."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 1000, 12, 20
+    lib = (rng.integers(0, 3, size=(l, d)) * 16).astype(np.uint8)
+    blocks = (rng.integers(0, 3, size=(32, d)) * 16).astype(np.uint8)
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    d_s, r_s = distance.l1_topk_streamed(blocks, lib, k, bank_rows=256)
+    np.testing.assert_array_equal(d_s, np.asarray(d_o))
+    np.testing.assert_array_equal(r_s, np.asarray(r_o))
+
+
+def test_l1_topk_streamed_k_exceeds_bank_and_library(rng):
+    """k larger than a bank (every bank contributes ALL its rows) and k
+    larger than the whole library (trailing I32_MAX/row-0 padding) both
+    keep the shared top-k conventions through the merge."""
+    from emosaic_tpu.ops import distance
+    from emosaic_tpu.ops.distance import I32_MAX
+
+    l, d = 600, 12
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(9, d), dtype=np.uint8)
+    for k in (300, 1200):  # > bank_rows=256 / > L
+        d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+        d_s, r_s = distance.l1_topk_streamed(blocks, lib, k, bank_rows=256)
+        np.testing.assert_array_equal(d_s, np.asarray(d_o))
+        np.testing.assert_array_equal(r_s, np.asarray(r_o))
+    assert (d_s[:, l:] == I32_MAX).all() and (r_s[:, l:] == 0).all()
+
+
+def test_l1_topk_adaptive_gate_routes_oversized_to_streamed(rng, monkeypatch):
+    """Above _DEVICE_LIB_BYTES_MAX the adaptive entry streams host banks
+    (this is how production no-repeat runs reach beyond-HBM libraries);
+    banks are clamped under the budget so the per-bank adaptive calls
+    never re-enter the gate, and results stay bit-identical."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 3000, 48, 4
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(33, d), dtype=np.uint8)
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    calls = []
+    real = distance.l1_topk_streamed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(distance, "l1_topk_streamed", spy)
+    # budget of 8 banks' worth: 3000*48 bytes split into 1024-row banks
+    monkeypatch.setattr(
+        distance, "_DEVICE_LIB_BYTES_MAX", 1024 * d
+    )
+    d_a, r_a = distance.l1_topk_adaptive(blocks, lib, k)
+    assert len(calls) == 1  # gated once; per-bank calls stay direct
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+def test_stream_bank_rows_fits_one_dma_bank():
+    """Default streamed banks must stay inside ONE DMA addressing bank
+    at the zero-padded width (so `_lib_banks` keeps the proven
+    single-buffer path), for both 1024-aligned and unaligned widths."""
+    from emosaic_tpu.ops import distance
+
+    for d in (12, 48, 192, 768, 3072, 49152):
+        rb = distance._stream_bank_rows(d)
+        dp = -(-d // 1024) * 1024 if d % 128 == 0 else d
+        assert rb % distance._TL_SEG == 0
+        assert rb * dp <= distance._DMA_LIB_BYTES_MAX
+        assert (rb + distance._TL_SEG) * dp > distance._DMA_LIB_BYTES_MAX
+        assert rb * d <= distance._DEVICE_LIB_BYTES_MAX
+
+
+def test_l1_argmin_oversized_library_streams(rng, monkeypatch):
+    """Past the device-resident budget l1_argmin must stream host banks
+    instead of uploading the library whole; k=1 through the cross-bank
+    merge keeps the exact lowest-row tie-break (low-cardinality palette
+    forces ties across bank boundaries)."""
+    from emosaic_tpu.ops import distance
+
+    l, d = 3000, 48
+    lib = (rng.integers(0, 3, size=(l, d)) * 16).astype(np.uint8)
+    blocks = (rng.integers(0, 3, size=(25, d)) * 16).astype(np.uint8)
+    d_o, r_o = distance.l1_argmin_xla(blocks, lib)
+    calls = []
+    real = distance.l1_topk_streamed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(distance, "l1_topk_streamed", spy)
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", 1024 * d)
+    d_a, r_a = distance.l1_argmin(blocks, lib)
+    assert calls  # the gate engaged
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_o))
+    np.testing.assert_array_equal(np.asarray(r_a), np.asarray(r_o))
+
+
+def test_l1_topk_hybrid_oversized_library_streams_exact(rng, monkeypatch):
+    """Past the budget the hybrid's MXU prefilter cannot hold the
+    library; the gate reroutes to the streamed scorer — which upgrades
+    the hybrid contract to a fully EXACT candidate set."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 3000, 48, 7
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(21, d), dtype=np.uint8)
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", 1024 * d)
+    d_h, r_h = distance.l1_topk_hybrid(blocks, lib, k)
+    np.testing.assert_array_equal(d_h, np.asarray(d_o))
+    np.testing.assert_array_equal(r_h, np.asarray(r_o))
+
+
+def test_l1_topk_streamed_custom_scorer(rng):
+    """The per-bank scorer is pluggable (the mesh-sharded scorer passes a
+    closure): every bank must route through it, results unchanged."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 1000, 12, 5
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(16, d), dtype=np.uint8)
+    banks = []
+
+    def scorer(bb, ll, kx):
+        banks.append(ll.shape[0])
+        return distance.l1_topk_stripes(bb, ll, kx)
+
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    d_s, r_s = distance.l1_topk_streamed(
+        blocks, lib, k, bank_rows=256, scorer=scorer
+    )
+    assert banks == [256, 256, 256, 232]
+    np.testing.assert_array_equal(d_s, np.asarray(d_o))
+    np.testing.assert_array_equal(r_s, np.asarray(r_o))

@@ -329,3 +329,37 @@ def test_sharded_adaptive_topk_multi_slice(rng, devices, monkeypatch):
     d_o, r_o = l1_topk_stripes(blocks, lib, k)
     assert (d_sh == np.asarray(d_o)).all()
     assert (r_sh == np.asarray(r_o)).all()
+
+
+def test_sharded_adaptive_oversized_library_streams(rng, devices, monkeypatch):
+    """Past the device-resident budget the sharded scorer streams host
+    banks, each bank scored by the SAME mesh-sharded scorer (bank
+    streaming composes with block sharding) — bit-identical to the
+    stripes oracle, duplicate-row ties included."""
+    from emosaic_tpu.ops import distance as dd
+    from emosaic_tpu.ops.distance import l1_topk_stripes
+    from emosaic_tpu.parallel import sharded_l1_topk_adaptive
+
+    mesh = make_mesh(8)
+    d, l, k = 48, 9000, 4
+    bases = rng.integers(0, 256, size=(50, d))
+    lib = np.clip(
+        np.repeat(bases, l // 50, axis=0) + rng.integers(-5, 6, size=(l, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks = np.clip(
+        lib[rng.integers(0, l, size=64)].astype(np.int32)
+        + rng.integers(-3, 4, size=(64, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks[5] = lib[7]
+    lib[100] = lib[7]
+    # budget of 4096 rows' worth -> three banks (4096, 4096, 808); the
+    # per-bank sharded calls stay under the gate (no re-entry)
+    monkeypatch.setattr(dd, "_DEVICE_LIB_BYTES_MAX", 4096 * d)
+    d_sh, r_sh = sharded_l1_topk_adaptive(blocks, lib, k, mesh)
+    d_o, r_o = l1_topk_stripes(blocks, lib, k)
+    assert (d_sh == np.asarray(d_o)).all()
+    assert (r_sh == np.asarray(r_o)).all()
