@@ -1007,10 +1007,15 @@ def l1_topk(blocks, lib, k: int) -> tuple[np.ndarray, np.ndarray]:
     blocks = np.asarray(blocks, dtype=np.uint8)
     lib = np.asarray(lib, dtype=np.uint8)
     b, l = blocks.shape[0], lib.shape[0]
-    if b * l > _TOPK_MATRIX_BUDGET:
+    if b * l > _TOPK_MATRIX_BUDGET or (
+        lib.size > _DEVICE_LIB_BYTES_MAX and l > _TL_SEG
+    ):
         # the adaptive certified scorer self-gates: unsuitable shapes or
         # concentrated data reroute to the direct two-level scorer, so
-        # this is exact everywhere and ~3x faster on clusterable data
+        # this is exact everywhere and ~3x faster on clusterable data.
+        # Beyond-budget libraries must also go this way regardless of B:
+        # l1_dist_matrix would upload the whole library, while the
+        # adaptive gate streams host banks (l1_topk_streamed)
         return l1_topk_adaptive(blocks, lib, k)
     kk = min(k, l)
     dist = l1_dist_matrix(blocks, lib)
@@ -1377,6 +1382,14 @@ _SMEM_CAND_BUDGET = 256 << 10
 _DMA_LIB_BYTES_MAX = 1 << 32
 
 
+def _pad_width(d: int) -> int:
+    """Zero-padded row width `_l1_rows_dma` actually allocates: D % 128
+    == 0 widths pad up to the 1024-lane slab alignment (pad bytes cost
+    |0-0| = 0 on the issue-rate-bound DMA path); other widths travel
+    unpadded (they take the non-DMA routes)."""
+    return -(-d // 1024) * 1024 if d % 128 == 0 else d
+
+
 def _dma_bank_rows(dp: int) -> int:
     """Rows per library bank: the largest power of two whose bank stays
     under `_DMA_LIB_BYTES_MAX` at the (zero-padded) row width dp."""
@@ -1394,8 +1407,7 @@ def _lib_banks(lib_pad: np.ndarray, d: int):
     Callers pad lp to a multiple of 128 (`_TL_SEG`), so every bank's row
     count is a multiple of 128 and the coarse projection's 8-way chunking
     divides it."""
-    dp = -(-d // 1024) * 1024 if d % 128 == 0 else d
-    rb = _dma_bank_rows(dp)
+    rb = _dma_bank_rows(_pad_width(d))
     lp = lib_pad.shape[0]
     if lp <= rb:
         return (jnp.asarray(np.ascontiguousarray(lib_pad).reshape(-1)),)
@@ -1410,8 +1422,7 @@ def _rows_dma_mc(m: int, d: int) -> int:
     dividing m that keeps the scratch under budget (and <= 128 so the
     unrolled issue loop stays reasonable). The budget is computed on the
     zero-padded row width `_l1_rows_dma` actually allocates."""
-    if d % 128 == 0:
-        d = -(-d // 1024) * 1024
+    d = _pad_width(d)
     cap_rows = max(1, min(128, _ROWS_DMA_VMEM // max(d, 1)))
     mc = 1
     while mc * 2 <= cap_rows and m % (mc * 2) == 0:
@@ -1785,13 +1796,13 @@ _DEVICE_LIB_BYTES_MAX = 6_200_000_000
 
 
 def _stream_bank_rows(d: int) -> int:
-    """Rows per streamed-scorer host bank: the largest `_TL_SEG` multiple
-    whose bank stays within ONE DMA addressing bank at the zero-padded
-    row width `_l1_rows_dma` allocates — each uploaded bank then takes
-    the proven single-buffer device path (`_lib_banks` returns 1-tuples),
-    and sits far below `_DEVICE_LIB_BYTES_MAX` (recursion-free)."""
-    dp = -(-d // 1024) * 1024 if d % 128 == 0 else d
-    return max(_TL_SEG, _DMA_LIB_BYTES_MAX // dp // _TL_SEG * _TL_SEG)
+    """Rows per streamed-scorer host bank: the `_dma_bank_rows` power of
+    two at the zero-padded row width — each uploaded bank then IS one
+    DMA addressing bank (`_lib_banks` returns a 1-tuple: the proven
+    single-buffer device path), sits far below `_DEVICE_LIB_BYTES_MAX`,
+    and, being a power of two >= `_TL_SEG`, keeps the coarse
+    projection's chunking divisible (recursion-free)."""
+    return max(_TL_SEG, _dma_bank_rows(_pad_width(d)))
 
 
 def l1_topk_streamed(
@@ -1832,7 +1843,14 @@ def l1_topk_streamed(
     # never re-enter this path (the floor case — a budget below one
     # _TL_SEG-row bank — stays direct via the gate's `l > _TL_SEG` arm)
     rb = max(_TL_SEG, min(rb, _DEVICE_LIB_BYTES_MAX // d // _TL_SEG * _TL_SEG))
-    if l <= rb or b == 0:
+    if b == 0:
+        # direct empty result: re-entering a scorer here would bounce off
+        # the oversized-library gates straight back (mutual recursion)
+        return (
+            np.full((0, k), I32_MAX, np.int32),
+            np.zeros((0, k), np.int32),
+        )
+    if l <= rb:
         return score(blocks, lib, k)
     kk = min(k, l)
     best_d = best_r = None

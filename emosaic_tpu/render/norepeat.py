@@ -144,10 +144,16 @@ def render_nto1_no_repeat(
     t0 = time.perf_counter()
     if native.available():
         mode = os.environ.get("EMOSAIC_DEVICE_REFILL", "auto")
+        oversized = lib.nbytes > _DEVICE_LIB_BYTES_MAX  # refiller uploads lib whole
         want_dev = (
             mode == "1"
             or (mode not in ("0", "off") and l * lib.shape[1] >= _DEVICE_REFILL_MIN_LD)
-        ) and lib.nbytes <= _DEVICE_LIB_BYTES_MAX  # refiller uploads lib whole
+        ) and not oversized
+        if mode == "1" and oversized:
+            log(
+                "   EMOSAIC_DEVICE_REFILL=1 overridden: library exceeds the"
+                " device-resident budget; refills use the exact host scan"
+            )
         refiller = DeviceRefiller(blocks, lib) if want_dev else None
         rows, dists = native.greedy_global(
             cd, cr, blocks, lib, num_tiles,

@@ -869,7 +869,7 @@ def test_l1_topk_adaptive_gate_routes_oversized_to_streamed(rng, monkeypatch):
         return real(*a, **kw)
 
     monkeypatch.setattr(distance, "l1_topk_streamed", spy)
-    # budget of 8 banks' worth: 3000*48 bytes split into 1024-row banks
+    # budget of 1024 rows' worth -> three banks (1024 + 1024 + 952)
     monkeypatch.setattr(
         distance, "_DEVICE_LIB_BYTES_MAX", 1024 * d
     )
@@ -880,17 +880,18 @@ def test_l1_topk_adaptive_gate_routes_oversized_to_streamed(rng, monkeypatch):
 
 
 def test_stream_bank_rows_fits_one_dma_bank():
-    """Default streamed banks must stay inside ONE DMA addressing bank
-    at the zero-padded width (so `_lib_banks` keeps the proven
-    single-buffer path), for both 1024-aligned and unaligned widths."""
+    """Default streamed banks must equal `_dma_bank_rows` at the
+    zero-padded width — the property that makes `_lib_banks` return a
+    1-tuple (the proven single-buffer device path) for every uploaded
+    bank, full or ragged — for 1024-aligned and unaligned widths."""
     from emosaic_tpu.ops import distance
 
     for d in (12, 48, 192, 768, 3072, 49152):
         rb = distance._stream_bank_rows(d)
-        dp = -(-d // 1024) * 1024 if d % 128 == 0 else d
+        dp = distance._pad_width(d)
+        assert rb == max(distance._TL_SEG, distance._dma_bank_rows(dp))
         assert rb % distance._TL_SEG == 0
         assert rb * dp <= distance._DMA_LIB_BYTES_MAX
-        assert (rb + distance._TL_SEG) * dp > distance._DMA_LIB_BYTES_MAX
         assert rb * d <= distance._DEVICE_LIB_BYTES_MAX
 
 
@@ -957,3 +958,46 @@ def test_l1_topk_streamed_custom_scorer(rng):
     assert banks == [256, 256, 256, 232]
     np.testing.assert_array_equal(d_s, np.asarray(d_o))
     np.testing.assert_array_equal(r_s, np.asarray(r_o))
+
+
+def test_oversized_gates_zero_blocks_no_recursion(rng, monkeypatch):
+    """b=0 against a beyond-budget library must return empty results
+    directly — re-entering a scorer would bounce between the gates and
+    the streamer forever (review finding: mutual recursion)."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 3000, 48, 5
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = np.empty((0, d), np.uint8)
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", 1024 * d)
+    d_a, r_a = distance.l1_topk_adaptive(blocks, lib, k)
+    assert d_a.shape == (0, k) and r_a.shape == (0, k)
+    d_m, r_m = distance.l1_argmin(blocks, lib)
+    assert np.asarray(d_m).shape == (0,) and np.asarray(r_m).shape == (0,)
+    d_h, r_h = distance.l1_topk_hybrid(blocks, lib, k)
+    assert d_h.shape == (0, k) and r_h.shape == (0, k)
+
+
+def test_l1_topk_small_b_oversized_library_streams(rng, monkeypatch):
+    """The dense-matrix dispatch (small B*L) must not upload a
+    beyond-budget library: small-B shapes route through the adaptive
+    gate's streamer instead (review finding), results unchanged."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 3000, 48, 6
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(5, d), dtype=np.uint8)  # b*l tiny
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    calls = []
+    real = distance.l1_topk_streamed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(distance, "l1_topk_streamed", spy)
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", 1024 * d)
+    d_t, r_t = distance.l1_topk(blocks, lib, k)
+    assert calls  # streamed, not dense-matrix uploaded
+    np.testing.assert_array_equal(d_t, np.asarray(d_o))
+    np.testing.assert_array_equal(r_t, np.asarray(r_o))

@@ -6,9 +6,10 @@ L2_ad2M ceiling) by streaming host banks through the certified adaptive
 scorer and exact-merging across banks.
 
 Shape: lp = 2,228,224 rows x D = 3072 = 6.84 GB (> the budget, so the
-production `l1_topk_adaptive` gate itself reroutes here) -> 2 default
-banks (`_stream_bank_rows(3072)` = 1,398,016 rows + an 830,208-row
-tail), B = 2048 flagship-k (512) queries.
+production `l1_topk_adaptive` gate itself reroutes here) -> 3 default
+banks (`_stream_bank_rows(3072)` = 2^20 = 1,048,576 rows twice + a
+131,072-row tail; each bank is ONE DMA addressing bank, so `_lib_banks`
+takes the proven single-buffer path), B = 2048 flagship-k (512) queries.
 
 Verification is direct (no device oracle can hold this library):
 host-brute FULL top-k (distance + lowest-row lex key) on sample rows
@@ -105,7 +106,8 @@ def main():
         0,
         255,
     ).astype(np.uint8)
-    log(f"blocks [{B}, {D}] ready; banks: {rb} + {LP - rb} rows")
+    banks = [min(rb, LP - off) for off in range(0, LP, rb)]
+    log(f"blocks [{B}, {D}] ready; banks: {banks} rows")
 
     # through the PRODUCTION gate: l1_topk_adaptive reroutes to streamed
     t0 = time.perf_counter()
@@ -139,7 +141,7 @@ def main():
     results["N_stream6p8G"] = {
         "B": B, "L": LP, "D": D, "k": K,
         "lib_gb": round(LP * D / 1e9, 2),
-        "banks": [rb, LP - rb],
+        "banks": banks,
         "wall_cold_s": round(wall_s, 2),
         "wall_warm_s": round(warm_s, 2),
         "deterministic_rerun": det,
