@@ -26,8 +26,8 @@ import numpy as np
 
 from emosaic_tpu.ops.analysis import source_blocks
 from emosaic_tpu.ops.composite import compose_mosaic
+from emosaic_tpu.ops import distance as _distance
 from emosaic_tpu.ops.distance import (
-    _DEVICE_LIB_BYTES_MAX,
     DeviceRefiller,
     build_library,
     l1_dist_matrix,
@@ -92,7 +92,7 @@ def render_nto1_no_repeat(
         scorer_used = "hybrid"
     elif mesh is not None:
         scorer_used = "sharded-exact"
-    elif b * l <= _EXACT_BUDGET and lib.nbytes <= _DEVICE_LIB_BYTES_MAX:
+    elif b * l <= _EXACT_BUDGET and lib.nbytes <= _distance._DEVICE_LIB_BYTES_MAX:
         # exact-full uploads the whole library for the dense matrix;
         # beyond-budget libraries take the adaptive route, whose gate
         # streams host banks (truncation to K does not change assignment
@@ -144,7 +144,9 @@ def render_nto1_no_repeat(
     t0 = time.perf_counter()
     if native.available():
         mode = os.environ.get("EMOSAIC_DEVICE_REFILL", "auto")
-        oversized = lib.nbytes > _DEVICE_LIB_BYTES_MAX  # refiller uploads lib whole
+        # read the budget at call time (via the module) so tuning or
+        # test monkeypatching of distance._DEVICE_LIB_BYTES_MAX applies
+        oversized = lib.nbytes > _distance._DEVICE_LIB_BYTES_MAX  # refiller uploads whole lib
         want_dev = (
             mode == "1"
             or (mode not in ("0", "off") and l * lib.shape[1] >= _DEVICE_REFILL_MIN_LD)

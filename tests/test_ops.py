@@ -1001,3 +1001,27 @@ def test_l1_topk_small_b_oversized_library_streams(rng, monkeypatch):
     assert calls  # streamed, not dense-matrix uploaded
     np.testing.assert_array_equal(d_t, np.asarray(d_o))
     np.testing.assert_array_equal(r_t, np.asarray(r_o))
+
+
+def test_streamed_dispatch_fuzz(rng):
+    """Seeded sweep over the streamed/banked dispatch space: random
+    shapes, tie-dense palettes, k, and bank widths — streamed output
+    must equal the stripes oracle bit-for-bit in every draw (ragged
+    banks, k spanning banks, duplicate rows, single-bank degenerate)."""
+    from emosaic_tpu.ops import distance
+
+    for trial in range(8):
+        l = int(rng.integers(10, 1200))
+        d = int(rng.integers(1, 5)) * 3
+        b = int(rng.integers(1, 33))
+        k = int(rng.integers(1, min(l, 600) + 1))
+        card = int(rng.integers(2, 9))
+        q = 255 // (card - 1)
+        lib = (rng.integers(0, card, size=(l, d)) * q).astype(np.uint8)
+        blocks = (rng.integers(0, card, size=(b, d)) * q).astype(np.uint8)
+        bank = int(rng.integers(1, 9)) * distance._TL_SEG
+        d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+        d_s, r_s = distance.l1_topk_streamed(blocks, lib, k, bank_rows=bank)
+        msg = f"trial {trial}: l={l} d={d} b={b} k={k} bank={bank}"
+        np.testing.assert_array_equal(d_s, np.asarray(d_o), err_msg=msg)
+        np.testing.assert_array_equal(r_s, np.asarray(r_o), err_msg=msg)

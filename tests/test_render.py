@@ -196,3 +196,33 @@ def test_no_repeat_hybrid_scorer_small_scale(rng, monkeypatch):
     )
     assert (exact.items == trunc.items).all()
     assert (exact.items == hybrid.items).all()
+
+
+def test_no_repeat_streamed_scorer_end_to_end(rng, monkeypatch):
+    """A beyond-budget library through the FULL no-repeat pipeline: the
+    adaptive route's gate streams host banks (tiny forced budget ->
+    several ragged banks) and the final mosaic must be bit-identical to
+    the unstreamed exact render — scoring, greedy assignment (host-scan
+    refills only), and composition included."""
+    from emosaic_tpu.ops import distance
+    from emosaic_tpu.render import norepeat as nr
+
+    src = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(300, 1, 3), dtype=np.uint8)
+    stack = rng.integers(0, 256, size=(300, 4, 4, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(300)])
+    exact = render_nto1_no_repeat(src, ts, 4, stack=stack, **quiet)
+    monkeypatch.setattr(nr, "_EXACT_BUDGET", 0)  # leave the dense path
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", 128 * 3)
+    calls = []
+    real = distance.l1_topk_streamed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(distance, "l1_topk_streamed", spy)
+    streamed = render_nto1_no_repeat(src, ts, 4, stack=stack, **quiet)
+    assert calls  # the production gate engaged
+    assert (exact.items == streamed.items).all()
+    assert (np.asarray(exact.image) == np.asarray(streamed.image)).all()
