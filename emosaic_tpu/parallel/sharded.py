@@ -104,11 +104,25 @@ def sharded_l1_argmin(
     """Exact L1 nearest library row, sharded over a ("data", "model") mesh.
 
     Same contract (and bit-identical results) as ops.distance.l1_argmin.
-    blocks: [B, D] uint8; lib: [L, D] uint8.
+    blocks: [B, D] uint8; lib: [L, D] uint8. Libraries whose per-"model"
+    shard exceeds the device-resident budget stream host banks through
+    this same kernel (numpy outputs on that route).
     """
+    from emosaic_tpu.ops import distance as dd
+
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
     b, l = blocks.shape[0], lib.shape[0]
+    if lib.size // n_model > dd._DEVICE_LIB_BYTES_MAX and l > dd._TL_SEG:
+
+        def bank_scorer(bb, ll, kx):
+            d_, r_ = sharded_l1_argmin(bb, ll, mesh)
+            return np.asarray(d_)[:, None], np.asarray(r_)[:, None]
+
+        da, ra = dd.l1_topk_streamed(blocks, lib, 1, scorer=bank_scorer)
+        return da[:, 0], ra[:, 0]
     blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n_data)
     lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n_model)
     ls = lib_p.shape[0] // n_model
@@ -157,10 +171,24 @@ def sharded_l1_argmin_ring(
     block count dwarfs the library. Results are bit-identical to the
     single-chip kernel (lexicographic fold preserves the lowest-row
     tie-break regardless of hop order). Uses the flattened mesh (both axes)
-    as one ring.
+    as one ring. Libraries whose per-ring shard exceeds the
+    device-resident budget stream host banks through this same kernel
+    (numpy outputs on that route).
     """
+    from emosaic_tpu.ops import distance as dd
+
     devs = mesh.devices.reshape(-1)
     n = len(devs)
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    if lib.size // n > dd._DEVICE_LIB_BYTES_MAX and lib.shape[0] > dd._TL_SEG:
+
+        def bank_scorer(bb, ll, kx):
+            d_, r_ = sharded_l1_argmin_ring(bb, ll, mesh)
+            return np.asarray(d_)[:, None], np.asarray(r_)[:, None]
+
+        da, ra = dd.l1_topk_streamed(blocks, lib, 1, scorer=bank_scorer)
+        return da[:, 0], ra[:, 0]
     ring = Mesh(devs, axis_names=("ring",))
     blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n)
     lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n)
@@ -253,11 +281,23 @@ def sharded_l1_topk(
     ops.distance.l1_topk_stripes including tie order and the
     I32_MAX/row-0 padding convention when k > L.
     """
+    from emosaic_tpu.ops import distance as dd
+
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
     blocks = np.asarray(blocks, dtype=np.uint8)
     lib = np.asarray(lib, dtype=np.uint8)
     b, l = blocks.shape[0], lib.shape[0]
+    if lib.size // n_model > dd._DEVICE_LIB_BYTES_MAX and l > dd._TL_SEG:
+        # per-"model" shard exceeds the device-resident budget: stream
+        # host banks through this same sharded kernel (no re-entry —
+        # banks are clamped under the whole-device budget)
+        return dd.l1_topk_streamed(
+            blocks,
+            lib,
+            k,
+            scorer=lambda bb, ll, kx: sharded_l1_topk(bb, ll, kx, mesh),
+        )
     kk = min(k, l)
     blocks_p = _pad_rows_with_first(jnp.asarray(blocks), n_data)
     lib_p = _pad_rows_with_first(jnp.asarray(lib), n_model)

@@ -363,3 +363,35 @@ def test_sharded_adaptive_oversized_library_streams(rng, devices, monkeypatch):
     d_o, r_o = l1_topk_stripes(blocks, lib, k)
     assert (d_sh == np.asarray(d_o)).all()
     assert (r_sh == np.asarray(r_o)).all()
+
+
+def test_sharded_argmin_topk_oversized_per_shard_streams(rng, devices, monkeypatch):
+    """All three library-sharding kernels (argmin all-gather, argmin
+    ring, top-k) must stream host banks through THEMSELVES when the
+    per-shard library share exceeds the device budget — bit-identical
+    to the single-chip oracles, ties included."""
+    from emosaic_tpu.ops import distance as dd
+    from emosaic_tpu.ops.distance import l1_argmin_xla, l1_topk_stripes
+    from emosaic_tpu.parallel import (
+        sharded_l1_argmin,
+        sharded_l1_argmin_ring,
+        sharded_l1_topk,
+    )
+
+    mesh = make_mesh(8, model=2)
+    l, d, k = 2000, 12, 5
+    lib = (rng.integers(0, 3, size=(l, d)) * 16).astype(np.uint8)
+    blocks = (rng.integers(0, 3, size=(40, d)) * 16).astype(np.uint8)
+    d_o, r_o = l1_argmin_xla(blocks, lib)
+    d_t, r_t = l1_topk_stripes(blocks, lib, k)
+    # per-"model"-shard share (l/2 rows) over budget -> banks of 256 rows
+    monkeypatch.setattr(dd, "_DEVICE_LIB_BYTES_MAX", 256 * d)
+    d_a, r_a = sharded_l1_argmin(blocks, lib, mesh)
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_o))
+    np.testing.assert_array_equal(np.asarray(r_a), np.asarray(r_o))
+    d_r, r_r = sharded_l1_argmin_ring(blocks, lib, mesh)
+    np.testing.assert_array_equal(np.asarray(d_r), np.asarray(d_o))
+    np.testing.assert_array_equal(np.asarray(r_r), np.asarray(r_o))
+    d_k, r_k = sharded_l1_topk(blocks, lib, k, mesh)
+    np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_t))
+    np.testing.assert_array_equal(np.asarray(r_k), np.asarray(r_t))
