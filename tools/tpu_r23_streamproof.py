@@ -83,8 +83,12 @@ def host_topk(x: np.ndarray, lib: np.ndarray, k: int):
 
 def main():
     def watchdog():
-        time.sleep(3000)
-        log("watchdog: 50 min elapsed; exiting")
+        # budget: ~2 min host library build + 2 x 6.84 GB bank uploads
+        # over the ~30 MB/s tunnel (~8 min each pass) + 2 bank-shape
+        # remote compiles (30-240 s each, several kernels) + ~4 min of
+        # host-brute spot checks — ~25 min nominal, 70 min hard stop
+        time.sleep(4200)
+        log("watchdog: 70 min elapsed; exiting")
         os._exit(1)
 
     threading.Thread(target=watchdog, daemon=True).start()
