@@ -1792,7 +1792,13 @@ def l1_topk_adaptive(
 #: survivor lists and the rescore workspace in 16 GiB HBM (SCALE_r03
 #: L2_ad2M). Libraries above this stream through `l1_topk_streamed`:
 #: host-resident banks scored one at a time, folded with an exact merge.
-_DEVICE_LIB_BYTES_MAX = 6_200_000_000
+#: The default is the measured v5e (16 GiB HBM) envelope; on larger-HBM
+#: parts (v5p: 95 GiB) raise it via EMOSAIC_DEVICE_LIB_BYTES to keep
+#: bigger libraries device-resident (streaming stays exact either way —
+#: this knob only trades bank-upload passes against HBM headroom).
+_DEVICE_LIB_BYTES_MAX = int(
+    os.environ.get("EMOSAIC_DEVICE_LIB_BYTES", 6_200_000_000)
+)
 
 
 def _stream_bank_rows(d: int) -> int:
