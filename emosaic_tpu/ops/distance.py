@@ -26,6 +26,7 @@ reference's kd-tree tie order is unspecified, so the parity oracle is
 
 from __future__ import annotations
 
+import concurrent.futures
 import functools
 import math
 import os
@@ -1687,6 +1688,22 @@ def _run_block_slices(blocks_p, b_slice: int, kk: int, run_slice):
     return out_d, out_r, ok_all
 
 
+def _ad_prepare(lib, d: int):
+    """Pad + upload a host library for `l1_topk_adaptive(prepared=...)`:
+    exactly the `lib_pad` + `_lib_banks` steps the scorer performs
+    internally, factored out so `l1_topk_streamed` can start the next
+    bank's host->device transfer while the current bank scores (the
+    transfer is the `jnp.asarray` inside `_lib_banks`; issuing it from a
+    worker thread overlaps it with the main thread's blocked result
+    pulls). Returns the opaque `(bank_tuple, rows)` handle."""
+    lib = np.asarray(lib, dtype=np.uint8)
+    l = lib.shape[0]
+    lp = -(-l // _TL_SEG) * _TL_SEG
+    lib_pad = np.zeros((lp, d), np.uint8)
+    lib_pad[:l] = lib
+    return (_lib_banks(lib_pad, d), l)
+
+
 def l1_topk_adaptive(
     blocks,
     lib,
@@ -1694,12 +1711,19 @@ def l1_topk_adaptive(
     *,
     m: int = _AD_M,
     cap: int = _AD_CAP,
+    prepared=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact k nearest rows per block — same contract and results as
     `l1_topk_stripes` — via the adaptive coarse-to-fine certified scorer
     (module comment above). Falls back to `l1_topk_twolevel` wholesale
     when the coarse pass cannot prune (concentrated data), and per-row to
     the stripe kernel for uncertified rows.
+
+    `prepared` is an `_ad_prepare(lib, d)` handle: the already-uploaded
+    device bank tuple for THIS `lib`, used instead of re-uploading it
+    (the streamed scorer's prefetch). The host `lib` is still required —
+    the two-level/stripe fallback routes score it directly. Results are
+    bit-identical with or without `prepared`.
     """
     blocks = np.asarray(blocks, dtype=np.uint8)
     lib = np.asarray(lib, dtype=np.uint8)
@@ -1742,8 +1766,14 @@ def l1_topk_adaptive(
         or (not use_dma and d > 256 and b * l > 10**7)
     ):
         return l1_topk_twolevel(blocks, lib, k)
-    lib_pad = np.zeros((lp, d), np.uint8)
-    lib_pad[:l] = lib
+    if prepared is not None:
+        banks_pre, rows_pre = prepared
+        if rows_pre != l or sum(bk.size for bk in banks_pre) != lp * d:
+            raise ValueError(
+                f"prepared banks cover {rows_pre} rows x "
+                f"{sum(bk.size for bk in banks_pre)} elements; this "
+                f"library needs {l} rows x {lp * d}"
+            )
     bc = min(_STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
     # the coarse survivor lists ([slice, nseg*cap] i32 x2) are the only
     # arrays that scale with BOTH b and l: slice the block axis so their
@@ -1756,7 +1786,12 @@ def l1_topk_adaptive(
     bp = -(-b // bc) * bc
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
     b_slice = min(bp, _ad_b_slice(nseg, cap, bc))
-    lf = _lib_banks(lib_pad, d)  # 1-tuple below the DMA addressing limit
+    if prepared is not None:
+        lf = prepared[0]
+    else:
+        lib_pad = np.zeros((lp, d), np.uint8)
+        lib_pad[:l] = lib
+        lf = _lib_banks(lib_pad, d)  # 1-tuple below the DMA limit
     bc2 = min(64, bc)  # divides bc and every slice length (multiples of bc)
 
     def run(flat_blocks):
@@ -1784,6 +1819,11 @@ def l1_topk_adaptive(
     bad = np.flatnonzero(~ok_all[:b])
     out_d, out_r = _stripe_fallback(out_d, out_r, bad, blocks, lib, kk)
     return _pad_topk(out_d, out_r, b, k, kk)
+
+
+#: the streamed scorer's prefetch protocol: scorers exposing `prepare`
+#: get next-bank uploads issued from a worker thread (l1_topk_streamed)
+l1_topk_adaptive.prepare = _ad_prepare
 
 
 #: device-resident library budget for the certified scorers (u8 bytes of
@@ -1832,6 +1872,17 @@ def l1_topk_streamed(
     `l1_topk_adaptive`) — `parallel.sharded_l1_topk_adaptive` passes a
     mesh-sharded closure so bank streaming composes with block sharding.
 
+    Bank prefetch: when the scorer exposes a `prepare(lib_slice, d)`
+    attribute (the default does — `_ad_prepare`), the NEXT bank's
+    host->device upload is issued from a worker thread while the current
+    bank scores, and the handle is passed back via the scorer's
+    `prepared=` kwarg. So one bank-upload latency is paid up front and
+    the rest hide under scoring (~0.5 s/bank PCIe on a TPU VM). Two banks
+    are then device-resident at once, so auto-sized banks halve to keep
+    the total inside the proven `_DEVICE_LIB_BYTES_MAX` envelope
+    (explicit `bank_rows` is honored as given). Disable with
+    EMOSAIC_STREAM_PREFETCH=0. Results are bit-identical either way.
+
     Complements `parallel.sharded_l1_topk_adaptive` (blocks sharded
     across a chip mesh): streaming raises the PER-chip library ceiling
     from HBM to host RAM at the cost of one bank upload per ~4 GiB.
@@ -1858,10 +1909,39 @@ def l1_topk_streamed(
         )
     if l <= rb:
         return score(blocks, lib, k)
+    prep = getattr(score, "prepare", None)
+    prefetch = prep is not None and os.environ.get(
+        "EMOSAIC_STREAM_PREFETCH", "1"
+    ) != "0"
+    if prefetch and bank_rows is None:
+        # two banks resident at once: halve the auto bank so current +
+        # prefetched stay inside the proven device envelope
+        rb = max(
+            _TL_SEG,
+            min(rb, _DEVICE_LIB_BYTES_MAX // 2 // d // _TL_SEG * _TL_SEG),
+        )
     kk = min(k, l)
+    offs = range(0, l, rb)
+
+    def bank_results():
+        if not prefetch:
+            for off in offs:
+                dd, rr = score(blocks, lib[off : off + rb], kk)
+                yield off, dd, rr
+            return
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(prep, lib[:rb], d)
+            for i, off in enumerate(offs):
+                handle = fut.result()
+                if off + rb < l:
+                    fut = ex.submit(prep, lib[off + rb : off + 2 * rb], d)
+                dd, rr = score(
+                    blocks, lib[off : off + rb], kk, prepared=handle
+                )
+                yield off, dd, rr
+
     best_d = best_r = None
-    for off in range(0, l, rb):
-        dd, rr = score(blocks, lib[off : off + rb], kk)
+    for off, dd, rr in bank_results():
         rr = rr + off  # global rows (padding entries re-zeroed below)
         if best_d is None:
             best_d, best_r = dd, rr

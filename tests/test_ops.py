@@ -1025,3 +1025,124 @@ def test_streamed_dispatch_fuzz(rng):
         msg = f"trial {trial}: l={l} d={d} b={b} k={k} bank={bank}"
         np.testing.assert_array_equal(d_s, np.asarray(d_o), err_msg=msg)
         np.testing.assert_array_equal(r_s, np.asarray(r_o), err_msg=msg)
+
+
+def test_l1_topk_adaptive_prepared_banks_bit_identical(rng):
+    """An `_ad_prepare` handle (the streamed scorer's prefetch) must make
+    the adaptive scorer skip its internal upload yet return bit-identical
+    results; a handle from a DIFFERENT library shape is refused rather
+    than silently scoring wrong banks."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 2000, 48, 4
+    bases = rng.integers(0, 256, size=(40, d))
+    lib = np.clip(
+        np.repeat(bases, l // 40, axis=0) + rng.integers(-5, 6, size=(l, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks = np.clip(
+        lib[rng.integers(0, l, size=33)].astype(np.int32)
+        + rng.integers(-3, 4, size=(33, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    d_o, r_o = distance.l1_topk_adaptive(blocks, lib, k, m=32)
+    handle = distance._ad_prepare(lib, d)
+    d_p, r_p = distance.l1_topk_adaptive(
+        blocks, lib, k, m=32, prepared=handle
+    )
+    np.testing.assert_array_equal(d_p, d_o)
+    np.testing.assert_array_equal(r_p, r_o)
+    with pytest.raises(ValueError, match="prepared banks"):
+        distance.l1_topk_adaptive(
+            blocks, lib[: l - 500], k, m=32, prepared=handle
+        )
+
+
+def test_l1_topk_streamed_prefetch_delivers_prepared(rng, monkeypatch):
+    """Scorers exposing `prepare` must receive every bank's pre-uploaded
+    handle (issued one bank ahead from the worker thread); with
+    EMOSAIC_STREAM_PREFETCH=0 the same scorer runs without handles.
+    Results bit-equal the stripes oracle both ways."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 900, 12, 6
+    lib = (rng.integers(0, 3, size=(l, d)) * 16).astype(np.uint8)
+    blocks = (rng.integers(0, 3, size=(17, d)) * 16).astype(np.uint8)
+    got = []
+
+    def scorer(bb, ll, kx, prepared=None):
+        got.append(None if prepared is None else prepared[1])
+        if prepared is not None:
+            banks, rows = prepared
+            assert rows == ll.shape[0]
+            lp = -(-rows // distance._TL_SEG) * distance._TL_SEG
+            assert sum(bk.size for bk in banks) == lp * d
+        return distance.l1_topk_stripes(bb, ll, kx)
+
+    scorer.prepare = distance._ad_prepare
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    d_s, r_s = distance.l1_topk_streamed(
+        blocks, lib, k, bank_rows=256, scorer=scorer
+    )
+    assert got == [256, 256, 256, 132]  # every bank got its handle
+    np.testing.assert_array_equal(d_s, np.asarray(d_o))
+    np.testing.assert_array_equal(r_s, np.asarray(r_o))
+    got.clear()
+    monkeypatch.setenv("EMOSAIC_STREAM_PREFETCH", "0")
+    d_n, r_n = distance.l1_topk_streamed(
+        blocks, lib, k, bank_rows=256, scorer=scorer
+    )
+    assert got == [None, None, None, None]
+    np.testing.assert_array_equal(d_n, d_s)
+    np.testing.assert_array_equal(r_n, r_s)
+
+
+def test_l1_topk_streamed_prefetch_halves_auto_banks(rng, monkeypatch):
+    """With prefetch, two banks are device-resident at once, so AUTO bank
+    sizing must halve to stay inside _DEVICE_LIB_BYTES_MAX; an explicit
+    bank_rows is honored as given (prior test). Prefetch off keeps the
+    full-budget bank."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 3000, 48, 3
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(9, d), dtype=np.uint8)
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", 1024 * d)
+    seen = []
+
+    def scorer(bb, ll, kx, prepared=None):
+        seen.append(ll.shape[0])
+        return distance.l1_topk_stripes(bb, ll, kx)
+
+    scorer.prepare = distance._ad_prepare
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    d_s, r_s = distance.l1_topk_streamed(blocks, lib, k, scorer=scorer)
+    assert seen == [512] * 5 + [440]  # halved from the 1024-row budget
+    np.testing.assert_array_equal(d_s, np.asarray(d_o))
+    np.testing.assert_array_equal(r_s, np.asarray(r_o))
+    seen.clear()
+    monkeypatch.setenv("EMOSAIC_STREAM_PREFETCH", "0")
+    distance.l1_topk_streamed(blocks, lib, k, scorer=scorer)
+    assert seen == [1024, 1024, 952]
+
+
+def test_l1_topk_streamed_prefetch_error_propagates(rng):
+    """An exception inside the worker-thread prepare must surface to the
+    caller (fut.result re-raises), not be swallowed."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 600, 12, 3
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(4, d), dtype=np.uint8)
+
+    def scorer(bb, ll, kx, prepared=None):
+        return distance.l1_topk_stripes(bb, ll, kx)
+
+    def bad_prepare(ll, dd):
+        raise RuntimeError("prefetch boom")
+
+    scorer.prepare = bad_prepare
+    with pytest.raises(RuntimeError, match="prefetch boom"):
+        distance.l1_topk_streamed(blocks, lib, k, bank_rows=256, scorer=scorer)
