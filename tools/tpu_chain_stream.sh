@@ -7,7 +7,7 @@
 # leaves the device quiet for 5 minutes (CLAUDE.md rule 3), then runs
 # the streamed-scorer proof once. Self-bounded: polls every 10 min for
 # at most ~16h, never signals any device-holding process; streamproof
-# arms its own 50-min watchdog.
+# arms its own 90-min watchdog.
 for a in $(seq 1 100); do
   if grep -q "bench rc=" /tmp/chain.log 2>/dev/null; then
     echo "bench done; quiet period, then streamproof ($(date +%T))" >> /tmp/chain2.log

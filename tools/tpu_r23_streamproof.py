@@ -18,6 +18,16 @@ sanity. Wall time in this env is upload-dominated (the 6.84 GB of banks
 ride the ~30 MB/s tunnel once each) — the ledger records wall and the
 post-warm per-bank estimate separately.
 
+Passes 1-2 pin EMOSAIC_STREAM_PREFETCH=0: the serial narrative above is
+what the bank arithmetic and the host-brute oracle were sized for, and
+its compile shapes (2^20-row banks) are the known ones. Pass 3 then
+validates the production-default PREFETCH path (worker-thread bank
+uploads) at the same explicit bank_rows — reusing the compiled shapes,
+bit-compared against pass 1 — inside a try/except so a tunnel-specific
+prefetch failure is RECORDED (prefetch_ok=None + error) without burning
+the core proof's device claim; wrong prefetch RESULTS still fail the
+run (shipped-default correctness).
+
 ONE device process (CLAUDE.md rule 4); self-bounded watchdog (rule 2).
 Ledger: SCALE_r03.json key N_stream6p8G.
 """
@@ -83,12 +93,13 @@ def host_topk(x: np.ndarray, lib: np.ndarray, k: int):
 
 def main():
     def watchdog():
-        # budget: ~2 min host library build + 2 x 6.84 GB bank uploads
-        # over the ~30 MB/s tunnel (~8 min each pass) + 2 bank-shape
-        # remote compiles (30-240 s each, several kernels) + ~4 min of
-        # host-brute spot checks — ~25 min nominal, 70 min hard stop
-        time.sleep(4200)
-        log("watchdog: 70 min elapsed; exiting")
+        # budget: ~2 min host library build + 3 x 6.84 GB bank uploads
+        # over the ~30 MB/s tunnel (~8 min each pass: serial cold, serial
+        # warm, prefetch) + 2 bank-shape remote compiles (30-240 s each,
+        # several kernels; the prefetch pass reuses them) + ~4 min of
+        # host-brute spot checks — ~35 min nominal, 90 min hard stop
+        time.sleep(5400)
+        log("watchdog: 90 min elapsed; exiting")
         os._exit(1)
 
     threading.Thread(target=watchdog, daemon=True).start()
@@ -113,6 +124,9 @@ def main():
     banks = [min(rb, LP - off) for off in range(0, LP, rb)]
     log(f"blocks [{B}, {D}] ready; banks: {banks} rows")
 
+    # passes 1-2 serial (module docstring): the planned bank narrative
+    # and the known 2^20-row compile shapes
+    os.environ["EMOSAIC_STREAM_PREFETCH"] = "0"
     # through the PRODUCTION gate: l1_topk_adaptive reroutes to streamed
     t0 = time.perf_counter()
     out_d, out_r = distance.l1_topk_adaptive(blocks, lib, K)
@@ -125,6 +139,27 @@ def main():
     warm_s = time.perf_counter() - t0
     det = bool((out_d2 == out_d).all() and (out_r2 == out_r).all())
     log(f"warm re-run {warm_s:.2f}s; deterministic={det}")
+
+    # pass 3: the production-default PREFETCH path (worker-thread bank
+    # uploads, same explicit bank_rows -> same compiled shapes; two
+    # banks resident = 6.4 GB, inside the 16 GiB envelope at B=2048).
+    # Exceptions are recorded, wrong results fail the run.
+    os.environ["EMOSAIC_STREAM_PREFETCH"] = "1"
+    prefetch_ok = None
+    prefetch_s = prefetch_err = None
+    try:
+        t0 = time.perf_counter()
+        out_d3, out_r3 = distance.l1_topk_streamed(
+            blocks, lib, K, bank_rows=rb
+        )
+        prefetch_s = round(time.perf_counter() - t0, 2)
+        prefetch_ok = bool(
+            (out_d3 == out_d).all() and (out_r3 == out_r).all()
+        )
+        log(f"prefetch pass {prefetch_s}s; bit-equal serial={prefetch_ok}")
+    except Exception as e:  # noqa: BLE001 — record, don't burn the claim
+        prefetch_err = f"{type(e).__name__}: {e}"
+        log(f"prefetch pass raised: {prefetch_err}")
 
     spot = rng.integers(0, B, size=SPOT_ROWS)
     spot_ok = True
@@ -148,7 +183,10 @@ def main():
         "banks": banks,
         "wall_cold_s": round(wall_s, 2),
         "wall_warm_s": round(warm_s, 2),
+        "wall_prefetch_s": prefetch_s,
         "deterministic_rerun": det,
+        "prefetch_bit_equal_serial": prefetch_ok,
+        "prefetch_error": prefetch_err,
         "brute_full_topk_rows_ok": bool(spot_ok),
         "topk_rows_unique_sampled": bool(uniq),
         "note": "host-streamed banked scorer at 6.84 GB (> the 6.2 GB "
@@ -162,7 +200,10 @@ def main():
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
     log(f"ledger written: {json.dumps(results['N_stream6p8G'])}")
-    return 0 if (spot_ok and uniq and det) else 1
+    # prefetch_ok False = the shipped default returns WRONG results ->
+    # fail; None (raised) is recorded for follow-up but keeps the core
+    # proof's rc
+    return 0 if (spot_ok and uniq and det and prefetch_ok is not False) else 1
 
 
 if __name__ == "__main__":
