@@ -59,6 +59,36 @@ def _pad_rows_with_first(x: jax.Array, multiple: int) -> jax.Array:
     return jnp.concatenate([x, reps], axis=0)
 
 
+def _pad_prepare(multiple: int):
+    """Streamed-scorer `prepare` for the library-sharding kernels: the
+    same pad + upload they perform internally (an uncommitted device
+    array; each kernel's jit in_shardings distribute it at dispatch), so
+    `l1_topk_streamed`'s worker thread can overlap the next bank's
+    transfer with the current bank's scoring. Handle: (padded_lib, rows)."""
+
+    def prepare(lib_slice, d):
+        lib_slice = np.asarray(lib_slice, dtype=np.uint8)
+        return (
+            _pad_rows_with_first(jnp.asarray(lib_slice), multiple),
+            lib_slice.shape[0],
+        )
+
+    return prepare
+
+
+def _check_pad_prepared(prepared, l: int, multiple: int):
+    """Shape-validate a `_pad_prepare` handle against THIS library (a
+    mismatched handle would silently score wrong banks)."""
+    lib_p, rows = prepared
+    target = -(-l // multiple) * multiple
+    if rows != l or lib_p.shape[0] != target:
+        raise ValueError(
+            f"prepared library covers {rows} rows (padded "
+            f"{lib_p.shape[0]}); this call needs {l} (padded {target})"
+        )
+    return lib_p
+
+
 def _local_l1_argmin(blocks: jax.Array, lib: jax.Array):
     """Traceable dense L1 argmin (runs inside shard_map on each shard).
 
@@ -99,14 +129,15 @@ def _combine_over_model(dist, row):
 
 
 def sharded_l1_argmin(
-    blocks, lib, mesh: Mesh
+    blocks, lib, mesh: Mesh, *, prepared=None
 ) -> tuple[jax.Array, jax.Array]:
     """Exact L1 nearest library row, sharded over a ("data", "model") mesh.
 
     Same contract (and bit-identical results) as ops.distance.l1_argmin.
     blocks: [B, D] uint8; lib: [L, D] uint8. Libraries whose per-"model"
     shard exceeds the device-resident budget stream host banks through
-    this same kernel (numpy outputs on that route).
+    this same kernel (numpy outputs on that route; `prepared` is the
+    streamer's prefetched `_pad_prepare` handle for THIS lib).
     """
     from emosaic_tpu.ops import distance as dd
 
@@ -117,14 +148,18 @@ def sharded_l1_argmin(
     b, l = blocks.shape[0], lib.shape[0]
     if lib.size // n_model > dd._DEVICE_LIB_BYTES_MAX and l > dd._TL_SEG:
 
-        def bank_scorer(bb, ll, kx):
-            d_, r_ = sharded_l1_argmin(bb, ll, mesh)
+        def bank_scorer(bb, ll, kx, prepared=None):
+            d_, r_ = sharded_l1_argmin(bb, ll, mesh, prepared=prepared)
             return np.asarray(d_)[:, None], np.asarray(r_)[:, None]
 
+        bank_scorer.prepare = _pad_prepare(n_model)
         da, ra = dd.l1_topk_streamed(blocks, lib, 1, scorer=bank_scorer)
         return da[:, 0], ra[:, 0]
     blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n_data)
-    lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n_model)
+    if prepared is not None:
+        lib_p = _check_pad_prepared(prepared, l, n_model)
+    else:
+        lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n_model)
     ls = lib_p.shape[0] // n_model
 
     @functools.partial(
@@ -159,7 +194,7 @@ def sharded_l1_argmin(
 
 
 def sharded_l1_argmin_ring(
-    blocks, lib, mesh: Mesh
+    blocks, lib, mesh: Mesh, *, prepared=None
 ) -> tuple[jax.Array, jax.Array]:
     """Exact L1 argmin with *ring rotation* of library shards (the
     sequence/context-parallel analogue called out in SURVEY §2.6: blocks
@@ -183,15 +218,19 @@ def sharded_l1_argmin_ring(
     lib = np.asarray(lib, dtype=np.uint8)
     if lib.size // n > dd._DEVICE_LIB_BYTES_MAX and lib.shape[0] > dd._TL_SEG:
 
-        def bank_scorer(bb, ll, kx):
-            d_, r_ = sharded_l1_argmin_ring(bb, ll, mesh)
+        def bank_scorer(bb, ll, kx, prepared=None):
+            d_, r_ = sharded_l1_argmin_ring(bb, ll, mesh, prepared=prepared)
             return np.asarray(d_)[:, None], np.asarray(r_)[:, None]
 
+        bank_scorer.prepare = _pad_prepare(n)
         da, ra = dd.l1_topk_streamed(blocks, lib, 1, scorer=bank_scorer)
         return da[:, 0], ra[:, 0]
     ring = Mesh(devs, axis_names=("ring",))
     blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n)
-    lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n)
+    if prepared is not None:
+        lib_p = _check_pad_prepared(prepared, lib.shape[0], n)
+    else:
+        lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n)
     b, l = np.asarray(blocks).shape[0], np.asarray(lib).shape[0]
     ls = lib_p.shape[0] // n
     perm = [(i, (i + 1) % n) for i in range(n)]  # shard i -> i+1
@@ -271,7 +310,7 @@ def _local_l1_topk(blocks, lib, k: int, row_offset, real_l: int, ls: int):
 
 
 def sharded_l1_topk(
-    blocks, lib, k: int, mesh: Mesh
+    blocks, lib, k: int, mesh: Mesh, *, prepared=None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact k nearest rows per block over a ("data", "model") mesh.
 
@@ -292,15 +331,17 @@ def sharded_l1_topk(
         # per-"model" shard exceeds the device-resident budget: stream
         # host banks through this same sharded kernel (no re-entry —
         # banks are clamped under the whole-device budget)
-        return dd.l1_topk_streamed(
-            blocks,
-            lib,
-            k,
-            scorer=lambda bb, ll, kx: sharded_l1_topk(bb, ll, kx, mesh),
-        )
+        def bank_scorer(bb, ll, kx, prepared=None):
+            return sharded_l1_topk(bb, ll, kx, mesh, prepared=prepared)
+
+        bank_scorer.prepare = _pad_prepare(n_model)
+        return dd.l1_topk_streamed(blocks, lib, k, scorer=bank_scorer)
     kk = min(k, l)
     blocks_p = _pad_rows_with_first(jnp.asarray(blocks), n_data)
-    lib_p = _pad_rows_with_first(jnp.asarray(lib), n_model)
+    if prepared is not None:
+        lib_p = _check_pad_prepared(prepared, l, n_model)
+    else:
+        lib_p = _pad_rows_with_first(jnp.asarray(lib), n_model)
     ls = lib_p.shape[0] // n_model
 
     @functools.partial(
@@ -348,7 +389,7 @@ def sharded_l1_topk(
 
 
 def sharded_l1_topk_adaptive(
-    blocks, lib, k: int, mesh: Mesh
+    blocks, lib, k: int, mesh: Mesh, *, prepared=None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact k nearest rows per block via the adaptive certified scorer,
     blocks sharded over EVERY mesh device (the scorer is block-parallel;
@@ -372,12 +413,15 @@ def sharded_l1_topk_adaptive(
         # budget stream host banks — each bank scored by THIS sharded
         # scorer (bank streaming composes with block sharding; banks are
         # clamped under the budget so this gate never re-enters)
-        return dd.l1_topk_streamed(
-            blocks,
-            lib,
-            k,
-            scorer=lambda bb, ll, kx: sharded_l1_topk_adaptive(bb, ll, kx, mesh),
-        )
+        def bank_scorer(bb, ll, kx, prepared=None):
+            return sharded_l1_topk_adaptive(
+                bb, ll, kx, mesh, prepared=prepared
+            )
+
+        # same zero-padded bank-tuple handle as the single-chip scorer:
+        # the jit's P(None) in_sharding replicates it at dispatch
+        bank_scorer.prepare = dd._ad_prepare
+        return dd.l1_topk_streamed(blocks, lib, k, scorer=bank_scorer)
     # eligibility mirrors l1_topk_adaptive (ops/distance.py)
     chan = d % 3 == 0
     nc = d // 3 if chan else d
@@ -404,8 +448,14 @@ def sharded_l1_topk_adaptive(
     ):
         return sharded_l1_topk(blocks, lib, k, mesh)
 
-    lib_pad = np.zeros((lp, d), np.uint8)
-    lib_pad[:l] = lib
+    if prepared is not None:
+        banks_pre, rows_pre = prepared
+        if rows_pre != l or sum(bk.size for bk in banks_pre) != lp * d:
+            raise ValueError(
+                f"prepared banks cover {rows_pre} rows x "
+                f"{sum(bk.size for bk in banks_pre)} elements; this "
+                f"library needs {l} rows x {lp * d}"
+            )
     n_dev = mesh.size
     bc = dd._STRIPE_BC if b >= dd._STRIPE_BC * n_dev else 8
     unit = bc * n_dev  # every slice shards evenly into bc-row chunks
@@ -427,7 +477,12 @@ def sharded_l1_topk_adaptive(
     # bank tuple: 1-tuple below the DMA addressing limit; a replicated
     # megascale library splits into <4 GiB banks exactly like the
     # single-device scorer (distance._DMA_LIB_BYTES_MAX)
-    lf_dev = dd._lib_banks(lib_pad, d)
+    if prepared is not None:
+        lf_dev = prepared[0]
+    else:
+        lib_pad = np.zeros((lp, d), np.uint8)
+        lib_pad[:l] = lib
+        lf_dev = dd._lib_banks(lib_pad, d)
     v0, c0, s0 = dd._ad_coarse_jit(
         bf0, lf_dev, d=d, g=g, chan=chan, bc=bc, cap=cap, real_l=l
     )

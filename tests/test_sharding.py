@@ -395,3 +395,104 @@ def test_sharded_argmin_topk_oversized_per_shard_streams(rng, devices, monkeypat
     d_k, r_k = sharded_l1_topk(blocks, lib, k, mesh)
     np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_t))
     np.testing.assert_array_equal(np.asarray(r_k), np.asarray(r_t))
+
+
+def test_sharded_prepared_library_bit_identical(rng, devices):
+    """A pre-uploaded library handle (the streamed scorer's prefetch)
+    must give bit-identical results to the internal upload on every
+    library-sharding kernel, and a handle for a DIFFERENT library shape
+    is refused."""
+    import emosaic_tpu.parallel.sharded as sh
+    from emosaic_tpu.parallel import (
+        sharded_l1_argmin,
+        sharded_l1_argmin_ring,
+        sharded_l1_topk,
+    )
+
+    mesh = make_mesh(8, model=2)
+    l, d, k = 500, 12, 5
+    lib = (rng.integers(0, 3, size=(l, d)) * 16).astype(np.uint8)
+    blocks = (rng.integers(0, 3, size=(24, d)) * 16).astype(np.uint8)
+    prep2 = sh._pad_prepare(2)(lib, d)
+    prep8 = sh._pad_prepare(8)(lib, d)
+    d0, r0 = sharded_l1_topk(blocks, lib, k, mesh)
+    d1, r1 = sharded_l1_topk(blocks, lib, k, mesh, prepared=prep2)
+    np.testing.assert_array_equal(d1, d0)
+    np.testing.assert_array_equal(r1, r0)
+    da0, ra0 = sharded_l1_argmin(blocks, lib, mesh)
+    da1, ra1 = sharded_l1_argmin(blocks, lib, mesh, prepared=prep2)
+    np.testing.assert_array_equal(np.asarray(da1), np.asarray(da0))
+    np.testing.assert_array_equal(np.asarray(ra1), np.asarray(ra0))
+    dr0, rr0 = sharded_l1_argmin_ring(blocks, lib, mesh)
+    dr1, rr1 = sharded_l1_argmin_ring(blocks, lib, mesh, prepared=prep8)
+    np.testing.assert_array_equal(np.asarray(dr1), np.asarray(dr0))
+    np.testing.assert_array_equal(np.asarray(rr1), np.asarray(rr0))
+    with pytest.raises(ValueError, match="prepared library"):
+        sharded_l1_topk(blocks, lib[: l - 100], k, mesh, prepared=prep2)
+
+
+def test_sharded_adaptive_prepared_banks_bit_identical(rng, devices):
+    """The mesh-sharded adaptive scorer must accept the same
+    `_ad_prepare` bank-tuple handle as the single-chip scorer (its jit
+    replicates it at dispatch) with bit-identical results, and refuse a
+    mismatched handle."""
+    from emosaic_tpu.ops import distance as dd
+    from emosaic_tpu.parallel import sharded_l1_topk_adaptive
+
+    mesh = make_mesh(8)
+    d, l, k = 48, 9000, 4
+    bases = rng.integers(0, 256, size=(50, d))
+    lib = np.clip(
+        np.repeat(bases, l // 50, axis=0) + rng.integers(-5, 6, size=(l, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    blocks = np.clip(
+        lib[rng.integers(0, l, size=64)].astype(np.int32)
+        + rng.integers(-3, 4, size=(64, d)),
+        0,
+        255,
+    ).astype(np.uint8)
+    handle = dd._ad_prepare(lib, d)
+    d0, r0 = sharded_l1_topk_adaptive(blocks, lib, k, mesh)
+    d1, r1 = sharded_l1_topk_adaptive(blocks, lib, k, mesh, prepared=handle)
+    np.testing.assert_array_equal(d1, d0)
+    np.testing.assert_array_equal(r1, r0)
+    with pytest.raises(ValueError, match="prepared banks"):
+        sharded_l1_topk_adaptive(
+            blocks, lib[: l - 500], k, mesh, prepared=handle
+        )
+
+
+def test_sharded_streamed_prefetch_delivers_handles(rng, devices, monkeypatch):
+    """The oversized-library gates' bank scorers expose `prepare`, so the
+    streamer's worker thread prefetches every bank's padded upload;
+    results stay bit-identical to the single-chip oracle."""
+    import emosaic_tpu.parallel.sharded as sh
+    from emosaic_tpu.ops import distance as dd
+    from emosaic_tpu.ops.distance import l1_topk_stripes
+    from emosaic_tpu.parallel import sharded_l1_topk
+
+    mesh = make_mesh(8, model=2)
+    l, d, k = 2000, 12, 5
+    lib = (rng.integers(0, 3, size=(l, d)) * 16).astype(np.uint8)
+    blocks = (rng.integers(0, 3, size=(40, d)) * 16).astype(np.uint8)
+    d_t, r_t = l1_topk_stripes(blocks, lib, k)
+    prepared_rows = []
+    real_pp = sh._pad_prepare
+
+    def spy_pp(mult):
+        inner = real_pp(mult)
+
+        def wrapped(ll, dd_):
+            prepared_rows.append(ll.shape[0])
+            return inner(ll, dd_)
+
+        return wrapped
+
+    monkeypatch.setattr(sh, "_pad_prepare", spy_pp)
+    monkeypatch.setattr(dd, "_DEVICE_LIB_BYTES_MAX", 256 * d)
+    d_k, r_k = sharded_l1_topk(blocks, lib, k, mesh)
+    assert prepared_rows and sum(prepared_rows) == l  # every bank prefetched
+    np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_t))
+    np.testing.assert_array_equal(np.asarray(r_k), np.asarray(r_t))
