@@ -1688,20 +1688,84 @@ def _run_block_slices(blocks_p, b_slice: int, kk: int, run_slice):
     return out_d, out_r, ok_all
 
 
-def _ad_prepare(lib, d: int):
+def _ad_plan(b: int, l: int, d: int, k: int, m: int = _AD_M, cap: int = _AD_CAP):
+    """Shared adaptive-scorer eligibility + derived parameters, used by
+    `l1_topk_adaptive`, the mesh-sharded scorer (parallel/sharded.py),
+    and `_ad_prepare`'s prefetch decision. Returns
+    (eligible, g, chan, kk, lp, nseg, m, cap, use_dma); when `eligible`
+    is False the caller routes to the two-level/stripe scorers."""
+    # prefer grouping whole cells per channel (palette coords interleave
+    # RGB; see _ad_project); fall back to consecutive coords otherwise
+    chan = d % 3 == 0
+    nc = d // 3 if chan else d
+    g = next(
+        (
+            gg
+            for gg in _AD_GROUPS
+            if nc % gg == 0 and (nc // gg) * (3 if chan else 1) >= 4
+        ),
+        None,
+    )
+    kk = min(k, l)
+    lp = -(-l // _TL_SEG) * _TL_SEG
+    nseg = lp // _TL_SEG
+    m, cap = _ad_params(nseg, m, cap)
+    use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
+    eligible = not (
+        g is None
+        or b == 0
+        or kk > m // 2
+        or m + 1 > nseg * cap
+        or l <= 2 * m
+        # without the DMA shortlist kernel the rescore is an XLA row
+        # gather (~87 ns/row, D-independent per index): at production
+        # scale and mid/high D that loses to the direct two-level scorer
+        # — small shapes keep exercising the adaptive path (CI parity on
+        # the gather route). Mid-D modes with D % 128 == 0 (e.g. mode 16,
+        # D=768) take the DMA route via zero-padded rows.
+        or (not use_dma and d > 256 and b * l > 10**7)
+    )
+    return eligible, g, chan, kk, lp, nseg, m, cap, use_dma
+
+
+def _ad_prepare(lib, d: int, b: int | None = None, k: int | None = None):
     """Pad + upload a host library for `l1_topk_adaptive(prepared=...)`:
     exactly the `lib_pad` + `_lib_banks` steps the scorer performs
     internally, factored out so `l1_topk_streamed` can start the next
     bank's host->device transfer while the current bank scores (the
     transfer is the `jnp.asarray` inside `_lib_banks`; issuing it from a
     worker thread overlaps it with the main thread's blocked result
-    pulls). Returns the opaque `(bank_tuple, rows)` handle."""
+    pulls). Returns the opaque `(bank_tuple, rows)` handle.
+
+    When the streamer supplies the query shape (`b`, `k`), ineligible
+    banks — shapes `_ad_plan` would route to the two-level scorer, which
+    uploads the library in its own form and ignores `prepared` — return
+    None instead of paying a wasted upload (the scorer then uploads
+    internally, serially, as before). The data-dependent adaptivity
+    sample gate cannot be predicted here: concentrated data still
+    spends one prefetched upload per bank before its two-level reroute."""
     lib = np.asarray(lib, dtype=np.uint8)
     l = lib.shape[0]
+    if b is not None and k is not None and not _ad_plan(b, l, d, k)[0]:
+        return None
     lp = -(-l // _TL_SEG) * _TL_SEG
     lib_pad = np.zeros((lp, d), np.uint8)
     lib_pad[:l] = lib
     return (_lib_banks(lib_pad, d), l)
+
+
+def _check_ad_prepared(prepared, l: int, lp: int, d: int):
+    """Shape-validate an `_ad_prepare` handle against THIS library (a
+    mismatched handle would silently score wrong banks). Returns the
+    bank tuple. Shared by the single-chip and mesh-sharded scorers."""
+    banks_pre, rows_pre = prepared
+    if rows_pre != l or sum(bk.size for bk in banks_pre) != lp * d:
+        raise ValueError(
+            f"prepared banks cover {rows_pre} rows x "
+            f"{sum(bk.size for bk in banks_pre)} elements; this "
+            f"library needs {l} rows x {lp * d}"
+        )
+    return banks_pre
 
 
 def l1_topk_adaptive(
@@ -1734,46 +1798,13 @@ def l1_topk_adaptive(
         # (terminates — streamed banks are clamped under this gate, and
         # un-subdividable libraries of <= _TL_SEG rows stay direct)
         return l1_topk_streamed(blocks, lib, k)
-    # prefer grouping whole cells per channel (palette coords interleave
-    # RGB; see _ad_project); fall back to consecutive coords otherwise
-    chan = d % 3 == 0
-    nc = d // 3 if chan else d
-    g = next(
-        (
-            gg
-            for gg in _AD_GROUPS
-            if nc % gg == 0 and (nc // gg) * (3 if chan else 1) >= 4
-        ),
-        None,
+    eligible, g, chan, kk, lp, nseg, m, cap, use_dma = _ad_plan(
+        b, l, d, k, m, cap
     )
-    kk = min(k, l)
-    lp = -(-l // _TL_SEG) * _TL_SEG
-    nseg = lp // _TL_SEG
-    m, cap = _ad_params(nseg, m, cap)
-    use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
-    if (
-        g is None
-        or b == 0
-        or kk > m // 2
-        or m + 1 > nseg * cap
-        or l <= 2 * m
-        # without the DMA shortlist kernel the rescore is an XLA row
-        # gather (~87 ns/row, D-independent per index): at production
-        # scale and mid/high D that loses to the direct two-level scorer
-        # — small shapes keep exercising the adaptive path (CI parity on
-        # the gather route). Mid-D modes with D % 128 == 0 (e.g. mode 16,
-        # D=768) take the DMA route via zero-padded rows.
-        or (not use_dma and d > 256 and b * l > 10**7)
-    ):
+    if not eligible:
         return l1_topk_twolevel(blocks, lib, k)
     if prepared is not None:
-        banks_pre, rows_pre = prepared
-        if rows_pre != l or sum(bk.size for bk in banks_pre) != lp * d:
-            raise ValueError(
-                f"prepared banks cover {rows_pre} rows x "
-                f"{sum(bk.size for bk in banks_pre)} elements; this "
-                f"library needs {l} rows x {lp * d}"
-            )
+        _check_ad_prepared(prepared, l, lp, d)
     bc = min(_STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
     # the coarse survivor lists ([slice, nseg*cap] i32 x2) are the only
     # arrays that scale with BOTH b and l: slice the block axis so their
@@ -1872,11 +1903,12 @@ def l1_topk_streamed(
     `l1_topk_adaptive`) — `parallel.sharded_l1_topk_adaptive` passes a
     mesh-sharded closure so bank streaming composes with block sharding.
 
-    Bank prefetch: when the scorer exposes a `prepare(lib_slice, d)`
-    attribute (the default does — `_ad_prepare`), the NEXT bank's
-    host->device upload is issued from a worker thread while the current
-    bank scores, and the handle is passed back via the scorer's
-    `prepared=` kwarg. So one bank-upload latency is paid up front and
+    Bank prefetch: when the scorer exposes a `prepare(lib_slice, d, b,
+    k) -> handle | None` attribute (the default does — `_ad_prepare`),
+    the NEXT bank's host->device upload is issued from a worker thread
+    while the current bank scores, and the handle is passed back via the
+    scorer's `prepared=` kwarg (None = the scorer would reroute this
+    bank to a handle-ignoring fallback; it uploads internally instead). So one bank-upload latency is paid up front and
     the rest hide under scoring (~0.5 s/bank PCIe on a TPU VM). Two banks
     are then device-resident at once, so auto-sized banks halve to keep
     the total inside the proven `_DEVICE_LIB_BYTES_MAX` envelope
@@ -1930,11 +1962,15 @@ def l1_topk_streamed(
                 yield off, dd, rr
             return
         with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(prep, lib[:rb], d)
-            for i, off in enumerate(offs):
+            # b/kk let prepare decline banks its scorer would reroute to
+            # a handle-ignoring fallback (handle=None -> internal upload)
+            fut = ex.submit(prep, lib[:rb], d, b, kk)
+            for off in offs:
                 handle = fut.result()
                 if off + rb < l:
-                    fut = ex.submit(prep, lib[off + rb : off + 2 * rb], d)
+                    fut = ex.submit(
+                        prep, lib[off + rb : off + 2 * rb], d, b, kk
+                    )
                 dd, rr = score(
                     blocks, lib[off : off + rb], kk, prepared=handle
                 )

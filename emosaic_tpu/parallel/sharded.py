@@ -64,9 +64,12 @@ def _pad_prepare(multiple: int):
     same pad + upload they perform internally (an uncommitted device
     array; each kernel's jit in_shardings distribute it at dispatch), so
     `l1_topk_streamed`'s worker thread can overlap the next bank's
-    transfer with the current bank's scoring. Handle: (padded_lib, rows)."""
+    transfer with the current bank's scoring. Handle: (padded_lib, rows).
+    b/k are part of the prepare protocol (scorers with fallback routes
+    decline ineligible banks by returning None) — these direct kernels
+    consume every handle, so b/k are ignored here."""
 
-    def prepare(lib_slice, d):
+    def prepare(lib_slice, d, b=None, k=None):
         lib_slice = np.asarray(lib_slice, dtype=np.uint8)
         return (
             _pad_rows_with_first(jnp.asarray(lib_slice), multiple),
@@ -76,17 +79,31 @@ def _pad_prepare(multiple: int):
     return prepare
 
 
-def _check_pad_prepared(prepared, l: int, multiple: int):
+def _check_pad_prepared(prepared, l: int, d: int, multiple: int):
     """Shape-validate a `_pad_prepare` handle against THIS library (a
     mismatched handle would silently score wrong banks)."""
     lib_p, rows = prepared
     target = -(-l // multiple) * multiple
-    if rows != l or lib_p.shape[0] != target:
+    if rows != l or lib_p.shape != (target, d):
         raise ValueError(
-            f"prepared library covers {rows} rows (padded "
-            f"{lib_p.shape[0]}); this call needs {l} (padded {target})"
+            f"prepared library covers {rows} rows, shape "
+            f"{tuple(lib_p.shape)}; this call needs {l} rows, shape "
+            f"({target}, {d})"
         )
     return lib_p
+
+
+def _argmin_bank_scorer(kernel, mesh: Mesh, multiple: int):
+    """Shared stream-gate closure for the argmin kernels: adapts the
+    (dist, row) pair to the streamer's top-k column shape and exposes
+    the padded-upload `prepare` hook."""
+
+    def bank_scorer(bb, ll, kx, prepared=None):
+        d_, r_ = kernel(bb, ll, mesh, prepared=prepared)
+        return np.asarray(d_)[:, None], np.asarray(r_)[:, None]
+
+    bank_scorer.prepare = _pad_prepare(multiple)
+    return bank_scorer
 
 
 def _local_l1_argmin(blocks: jax.Array, lib: jax.Array):
@@ -130,7 +147,7 @@ def _combine_over_model(dist, row):
 
 def sharded_l1_argmin(
     blocks, lib, mesh: Mesh, *, prepared=None
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array] | tuple[np.ndarray, np.ndarray]:
     """Exact L1 nearest library row, sharded over a ("data", "model") mesh.
 
     Same contract (and bit-identical results) as ops.distance.l1_argmin.
@@ -147,17 +164,16 @@ def sharded_l1_argmin(
     lib = np.asarray(lib, dtype=np.uint8)
     b, l = blocks.shape[0], lib.shape[0]
     if lib.size // n_model > dd._DEVICE_LIB_BYTES_MAX and l > dd._TL_SEG:
-
-        def bank_scorer(bb, ll, kx, prepared=None):
-            d_, r_ = sharded_l1_argmin(bb, ll, mesh, prepared=prepared)
-            return np.asarray(d_)[:, None], np.asarray(r_)[:, None]
-
-        bank_scorer.prepare = _pad_prepare(n_model)
-        da, ra = dd.l1_topk_streamed(blocks, lib, 1, scorer=bank_scorer)
+        da, ra = dd.l1_topk_streamed(
+            blocks,
+            lib,
+            1,
+            scorer=_argmin_bank_scorer(sharded_l1_argmin, mesh, n_model),
+        )
         return da[:, 0], ra[:, 0]
     blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n_data)
     if prepared is not None:
-        lib_p = _check_pad_prepared(prepared, l, n_model)
+        lib_p = _check_pad_prepared(prepared, l, blocks.shape[1], n_model)
     else:
         lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n_model)
     ls = lib_p.shape[0] // n_model
@@ -195,7 +211,7 @@ def sharded_l1_argmin(
 
 def sharded_l1_argmin_ring(
     blocks, lib, mesh: Mesh, *, prepared=None
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array] | tuple[np.ndarray, np.ndarray]:
     """Exact L1 argmin with *ring rotation* of library shards (the
     sequence/context-parallel analogue called out in SURVEY §2.6: blocks
     stay resident per shard; library shards rotate around the ring via
@@ -217,18 +233,17 @@ def sharded_l1_argmin_ring(
     blocks = np.asarray(blocks, dtype=np.uint8)
     lib = np.asarray(lib, dtype=np.uint8)
     if lib.size // n > dd._DEVICE_LIB_BYTES_MAX and lib.shape[0] > dd._TL_SEG:
-
-        def bank_scorer(bb, ll, kx, prepared=None):
-            d_, r_ = sharded_l1_argmin_ring(bb, ll, mesh, prepared=prepared)
-            return np.asarray(d_)[:, None], np.asarray(r_)[:, None]
-
-        bank_scorer.prepare = _pad_prepare(n)
-        da, ra = dd.l1_topk_streamed(blocks, lib, 1, scorer=bank_scorer)
+        da, ra = dd.l1_topk_streamed(
+            blocks,
+            lib,
+            1,
+            scorer=_argmin_bank_scorer(sharded_l1_argmin_ring, mesh, n),
+        )
         return da[:, 0], ra[:, 0]
     ring = Mesh(devs, axis_names=("ring",))
     blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n)
     if prepared is not None:
-        lib_p = _check_pad_prepared(prepared, lib.shape[0], n)
+        lib_p = _check_pad_prepared(prepared, lib.shape[0], blocks.shape[1], n)
     else:
         lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n)
     b, l = np.asarray(blocks).shape[0], np.asarray(lib).shape[0]
@@ -339,7 +354,7 @@ def sharded_l1_topk(
     kk = min(k, l)
     blocks_p = _pad_rows_with_first(jnp.asarray(blocks), n_data)
     if prepared is not None:
-        lib_p = _check_pad_prepared(prepared, l, n_model)
+        lib_p = _check_pad_prepared(prepared, l, blocks.shape[1], n_model)
     else:
         lib_p = _pad_rows_with_first(jnp.asarray(lib), n_model)
     ls = lib_p.shape[0] // n_model
@@ -422,40 +437,16 @@ def sharded_l1_topk_adaptive(
         # the jit's P(None) in_sharding replicates it at dispatch
         bank_scorer.prepare = dd._ad_prepare
         return dd.l1_topk_streamed(blocks, lib, k, scorer=bank_scorer)
-    # eligibility mirrors l1_topk_adaptive (ops/distance.py)
-    chan = d % 3 == 0
-    nc = d // 3 if chan else d
-    g = next(
-        (
-            gg
-            for gg in dd._AD_GROUPS
-            if nc % gg == 0 and (nc // gg) * (3 if chan else 1) >= 4
-        ),
-        None,
+    # eligibility is the shared plan with l1_topk_adaptive — one gate,
+    # no drift (it is also _ad_prepare's prefetch decision, so a
+    # declined bank never receives a wasted handle)
+    eligible, g, chan, kk, lp, nseg, m, cap, use_dma = dd._ad_plan(
+        b, l, d, k
     )
-    kk = min(k, l)
-    lp = -(-l // dd._TL_SEG) * dd._TL_SEG
-    nseg = lp // dd._TL_SEG
-    m, cap = dd._ad_params(nseg)
-    use_dma = jax.devices()[0].platform == "tpu" and d % 128 == 0
-    if (
-        g is None
-        or b == 0
-        or kk > m // 2
-        or m + 1 > nseg * cap
-        or l <= 2 * m
-        or (not use_dma and d > 256 and b * l > 10**7)
-    ):
+    if not eligible:
         return sharded_l1_topk(blocks, lib, k, mesh)
-
     if prepared is not None:
-        banks_pre, rows_pre = prepared
-        if rows_pre != l or sum(bk.size for bk in banks_pre) != lp * d:
-            raise ValueError(
-                f"prepared banks cover {rows_pre} rows x "
-                f"{sum(bk.size for bk in banks_pre)} elements; this "
-                f"library needs {l} rows x {lp * d}"
-            )
+        dd._check_ad_prepared(prepared, l, lp, d)
     n_dev = mesh.size
     bc = dd._STRIPE_BC if b >= dd._STRIPE_BC * n_dev else 8
     unit = bc * n_dev  # every slice shards evenly into bc-row chunks

@@ -1081,7 +1081,11 @@ def test_l1_topk_streamed_prefetch_delivers_prepared(rng, monkeypatch):
             assert sum(bk.size for bk in banks) == lp * d
         return distance.l1_topk_stripes(bb, ll, kx)
 
-    scorer.prepare = distance._ad_prepare
+    # this scorer consumes every handle: prepare unconditionally (the
+    # b/k protocol args are for scorers with handle-ignoring fallbacks)
+    scorer.prepare = lambda ll, dd_, b=None, kx=None: distance._ad_prepare(
+        ll, dd_
+    )
     d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
     d_s, r_s = distance.l1_topk_streamed(
         blocks, lib, k, bank_rows=256, scorer=scorer
@@ -1128,6 +1132,35 @@ def test_l1_topk_streamed_prefetch_halves_auto_banks(rng, monkeypatch):
     assert seen == [1024, 1024, 952]
 
 
+def test_ad_prepare_declines_ineligible_banks(rng):
+    """With the query shape supplied, `_ad_prepare` must return None for
+    banks `_ad_plan` would route to the two-level scorer (which ignores
+    `prepared` and uploads the library itself — a prefetched handle
+    would be pure waste plus transient extra device memory), and the
+    streamer must still produce exact results with those None handles
+    flowing through the default adaptive scorer."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 900, 12, 6
+    lib = (rng.integers(0, 3, size=(l, d)) * 16).astype(np.uint8)
+    blocks = (rng.integers(0, 3, size=(17, d)) * 16).astype(np.uint8)
+    # a 256-row bank at d=12 fails the l > 2*m eligibility arm
+    assert not distance._ad_plan(17, 256, d, k)[0]
+    assert distance._ad_prepare(lib[:256], d, 17, k) is None
+    # without the query shape (direct use) it still prepares
+    assert distance._ad_prepare(lib[:256], d) is not None
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    d_s, r_s = distance.l1_topk_streamed(blocks, lib, k, bank_rows=256)
+    np.testing.assert_array_equal(d_s, np.asarray(d_o))
+    np.testing.assert_array_equal(r_s, np.asarray(r_o))
+    # an eligible production-like shape DOES get a handle (default
+    # m=1024 needs l > 2m and nseg*cap >= m+1, i.e. l >= 8320)
+    lc, dc = 9000, 48
+    lib_c = rng.integers(0, 256, size=(lc, dc), dtype=np.uint8)
+    assert distance._ad_plan(33, lc, dc, 4)[0]
+    assert distance._ad_prepare(lib_c, dc, 33, 4) is not None
+
+
 def test_l1_topk_streamed_prefetch_error_propagates(rng):
     """An exception inside the worker-thread prepare must surface to the
     caller (fut.result re-raises), not be swallowed."""
@@ -1140,7 +1173,7 @@ def test_l1_topk_streamed_prefetch_error_propagates(rng):
     def scorer(bb, ll, kx, prepared=None):
         return distance.l1_topk_stripes(bb, ll, kx)
 
-    def bad_prepare(ll, dd):
+    def bad_prepare(ll, dd, b=None, kx=None):
         raise RuntimeError("prefetch boom")
 
     scorer.prepare = bad_prepare

@@ -484,9 +484,9 @@ def test_sharded_streamed_prefetch_delivers_handles(rng, devices, monkeypatch):
     def spy_pp(mult):
         inner = real_pp(mult)
 
-        def wrapped(ll, dd_):
+        def wrapped(ll, *a, **kw):
             prepared_rows.append(ll.shape[0])
-            return inner(ll, dd_)
+            return inner(ll, *a, **kw)
 
         return wrapped
 
