@@ -46,6 +46,22 @@ def build_scene(root: Path):
     (root / "out").mkdir(exist_ok=True)
 
 
+def _tiny_budget_setup():
+    """Force the device-library budget far below the 300-row mode-2
+    library (3.6 kB) so the scoring gate streams host banks; the module
+    attribute (read at call time) is patched because the env var is
+    consumed at import. Returns the restore callable."""
+    from emosaic_tpu.ops import distance as dd
+
+    orig = dd._DEVICE_LIB_BYTES_MAX
+    dd._DEVICE_LIB_BYTES_MAX = 1024
+
+    def teardown():
+        dd._DEVICE_LIB_BYTES_MAX = orig
+
+    return teardown
+
+
 def main() -> int:
     root = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/emosaic_e2e")
     build_scene(root)
@@ -108,15 +124,34 @@ def main() -> int:
          lambda: (os.environ.pop("EMOSAIC_FAST_PREP", None) or True)
          and Image.open(out("fp.png")).size == (96 * 8, 96 * 8)
          and (root / "tiles/.emosaic_1to1_fast").exists()),
+        # beyond-budget streaming through the PRODUCTION CLI on the real
+        # chip: a forced tiny device-library budget makes the no-repeat
+        # scorer stream host banks (with the default prefetch worker
+        # thread) and keeps greedy refills on the C++ host scan; the
+        # render must be bit-identical to the unstreamed baseline
+        ("norepeat-m2-baseline", ["-s", "8", "-o", out("nrb.png"), src, "mosaic", tiles, "-m", "2", "--no-repeat", "--downsample", "8"],
+         # 96^2 src / dim 2 / ds 8 -> 6x6 blocks at ts 8
+         lambda: Image.open(out("nrb.png")).size == (6 * 8, 6 * 8)),
+        ("norepeat-stream-budget", ["-s", "8", "-o", out("nrs.png"), src, "mosaic", tiles, "-m", "2", "--no-repeat", "--downsample", "8"],
+         lambda: np.array_equal(
+             np.asarray(Image.open(out("nrs.png")).convert("RGB")),
+             np.asarray(Image.open(out("nrb.png")).convert("RGB")),
+         ),
+         _tiny_budget_setup),
     ]
     passed = failed = 0
-    for name, argv, check in cases:
+    for entry in cases:
+        name, argv, check = entry[0], entry[1], entry[2]
+        teardown = entry[3]() if len(entry) > 3 else None
         try:
             rc = cli_main(argv)
             ok = rc == 0 and check()
         except Exception as e:  # noqa: BLE001
             ok = False
             log(f"  exception in {name}: {type(e).__name__}: {e}")
+        finally:
+            if teardown is not None:
+                teardown()
         log(f"{'PASS' if ok else 'FAIL'}: {name}")
         passed += ok
         failed += not ok
