@@ -1,7 +1,7 @@
 #!/bin/bash
 # Fourth link in the round-3 outage-recovery chain:
 #   claimloop (fixproof) -> chain_bench (bench.py) -> chain_stream
-#   (streamproof) -> THIS (tools/tpu_e2e.py: the 18-case on-chip CLI
+#   (streamproof) -> THIS (tools/tpu_e2e.py: the 20-case on-chip CLI
 #   matrix, revalidating the session's dispatch-gate changes on the
 #   real chip).
 #
