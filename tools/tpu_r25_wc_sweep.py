@@ -15,6 +15,12 @@ this sweeps the two stages it did not:
      two-key lax.sort((vals, cols)) + slice — positions restricted to
      equal vals are ascending columns either way, so results must be
      bit-identical (checked on-chip per variant).
+  C. the ADAPTIVE coarse per-segment selection (0.47 s of the 0.83 s
+     coarse at the 200k library; r14 killed the Pallas 8-accumulator
+     and landed f32 keys, but sort-slice was only measured for the
+     TWO-level where the full-D stripe fuses the top_k for free):
+     production `_ad_coarse_jit` vs the same body with the per-segment
+     lax.top_k(cap) replaced by one two-key lax.sort + slice.
 
 Everything runs on device-generated uniform-random inputs (the
 worst-case/concentrated regime; no host uploads — CLAUDE.md tunnel
@@ -52,6 +58,9 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from emosaic_tpu.ops.distance import (  # noqa: E402
+    _ad_coarse_jit,
+    _ad_params,
+    _ad_project,
     _l1_topk_twolevel_jit,
     _min_sum_stripe,
     _stripe_f32_ok,
@@ -60,6 +69,65 @@ from emosaic_tpu.ops.distance import (  # noqa: E402
     _TL_SEG,
     I32_MAX,
 )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "g", "chan", "bc", "cap", "real_l")
+)
+def _ad_coarse_sortslice_jit(
+    blocks_flat, lib_pad_flat, *, d, g, chan, bc, cap, real_l
+):
+    """`_ad_coarse_jit` body with the per-segment selection replaced by
+    one two-key (dist, col) lax.sort + slice per segment. Tie semantics
+    match production: top_k(-seg, cap) prefers earlier positions on
+    ties, which in the segment-major layout are lower original rows —
+    exactly the ascending (dist, col) order. Single-bank libraries only
+    (the 200k probe shape)."""
+    blocks = blocks_flat.reshape(-1, d)
+    bf = lib_pad_flat[0] if isinstance(lib_pad_flat, (tuple, list)) else lib_pad_flat
+    lp = bf.size // d
+    nseg = lp // _TL_SEG
+    w = lp // nseg
+
+    def proj_bank(flat, rows):
+        n8 = rows // 8
+        return jax.lax.map(
+            lambda i: _ad_project(
+                jax.lax.dynamic_slice(flat, (i * (n8 * d),), (n8 * d,)).reshape(
+                    n8, d
+                ),
+                d,
+                g,
+                chan,
+            ),
+            jnp.arange(8, dtype=jnp.int32),
+        ).reshape(rows, -1)
+
+    cl = proj_bank(bf, lp)
+    pos = jnp.arange(lp, dtype=jnp.int32)
+    src_row = (pos % w) * nseg + pos // w
+    clf = cl[src_row].astype(jnp.float32)
+    invalid_p = src_row >= real_l
+    seg_base = jnp.arange(nseg, dtype=jnp.int32)[None, :, None]
+
+    def per_chunk(xc):
+        cb = _ad_project(xc, d, g, chan).astype(jnp.float32)
+        dist = jnp.abs(cb[:, None, :] - clf[None]).sum(-1, dtype=jnp.float32)
+        dist = jnp.where(invalid_p[None, :], jnp.float32(_TL_BIG), dist)
+        seg = dist.reshape(bc, nseg, w)
+        colw = jnp.broadcast_to(
+            jnp.arange(w, dtype=jnp.int32)[None, None, :], seg.shape
+        )
+        sv, si = jax.lax.sort((seg, colw), dimension=2, num_keys=2)
+        vals = sv[:, :, :cap].astype(jnp.int32)
+        cols = si[:, :, :cap] * nseg + seg_base
+        s_min = vals[:, :, cap - 1].min(axis=1)
+        return vals.reshape(bc, nseg * cap), cols.reshape(bc, nseg * cap), s_min
+
+    nb = blocks.shape[0] // bc
+    vals, cols, s_min = jax.lax.map(per_chunk, blocks.reshape(nb, bc, d))
+    s = vals.shape[-1]
+    return vals.reshape(-1, s), cols.reshape(-1, s), s_min.reshape(-1)
 
 
 @functools.partial(
@@ -187,6 +255,33 @@ def main() -> int:
         log(f"G1 sort-slice bc={bc}: {t:.3f}s bit-equal={same}")
         results[f"G1_bc{bc}_s"] = round(t, 3)
         results[f"G1_bc{bc}_eq"] = same
+    # phase C: adaptive coarse per-segment selection at the 200k shape
+    if CPU_CHECK:
+        cl_, cd, cg, ccap = 1100, 48, 4, 4
+        cb = 256
+        cbc = 64
+    else:
+        cl_, cd, cg, ccap = 200_004, 3072, 32, None
+        cb = 16384
+        cbc = 1024
+    clp = -(-cl_ // _TL_SEG) * _TL_SEG
+    if ccap is None:
+        _, ccap = _ad_params(clp // _TL_SEG)
+    k3, k4 = jax.random.split(jax.random.PRNGKey(11))
+    clib = jax.random.randint(k3, (clp, cd), 0, 256, dtype=jnp.uint8)
+    clib = jnp.where(jnp.arange(clp)[:, None] < cl_, clib, 0)
+    cblocks = jax.random.randint(k4, (cb, cd), 0, 256, dtype=jnp.uint8)
+    cargs = (cblocks.reshape(-1), clib.reshape(-1))
+    ckw = dict(d=cd, g=cg, chan=True, bc=cbc, cap=int(ccap), real_l=cl_)
+    cbase, t_c0 = run_timed(_ad_coarse_jit, *cargs, **ckw)
+    log(f"C coarse production (cap={ccap}): {t_c0:.3f}s")
+    cvar, t_c1 = run_timed(_ad_coarse_sortslice_jit, *cargs, **ckw)
+    same_c = equal_on_device(cvar, cbase)
+    log(f"C coarse sort-slice: {t_c1:.3f}s bit-equal={same_c}")
+    results["C_coarse_prod_s"] = round(t_c0, 3)
+    results["C_coarse_sort_s"] = round(t_c1, 3)
+    results["C_coarse_eq"] = same_c
+
     log(f"RESULTS {results}")
     all_eq = all(v for kk_, v in results.items() if kk_.endswith("_eq"))
     log(f"DONE all_bit_equal={all_eq}")
