@@ -77,16 +77,18 @@ def handler(event, context):
     except json.JSONDecodeError:
         return _response(400, {"error": "invalid JSON body"})
 
-    if not _check_daily_quota(event):
-        return _response(
-            429, {"error": f"daily quota exceeded ({DAILY_QUOTA}/day)"}
-        )
-
+    # validate before the quota check (ADVICE r3): malformed requests
+    # must not consume daily-quota units
     hashes = body.get("tileHashes")
     if not isinstance(hashes, list) or not hashes:
         return _response(400, {"error": "tileHashes must be a non-empty list"})
     if len(hashes) > MAX_HASHES:
         return _response(400, {"error": f"at most {MAX_HASHES} hashes per request"})
+
+    if not _check_daily_quota(event):
+        return _response(
+            429, {"error": f"daily quota exceeded ({DAILY_QUOTA}/day)"}
+        )
     hashes = [str(h) for h in hashes if str(h).isalnum() and len(str(h)) <= 64]
 
     table = _table()

@@ -80,18 +80,27 @@ def quota_scope(event: dict, api_keys=None) -> str:
 
 
 def check_daily_quota(rate_table, scope: str, quota: int) -> bool:
-    """Atomic per-day counter (UsagePlan Quota parity: Limit 1000/DAY)."""
+    """Atomic per-day counter (UsagePlan Quota parity: Limit 1000/DAY).
+
+    Fail-open on DynamoDB errors (ADVICE r3): a throttled/unavailable
+    rate-limits table must not turn every flag read and write into a 500
+    — the reference's gateway UsagePlan never fails closed either. The
+    error is logged for CloudWatch."""
     now = int(time.time())
     day = time.strftime("%Y%m%d", time.gmtime(now))
-    resp = rate_table.update_item(
-        Key={"key": f"quota#{scope}#{day}"},
-        UpdateExpression=(
-            "ADD #n :one SET expiresAt = if_not_exists(expiresAt, :exp)"
-        ),
-        ExpressionAttributeNames={"#n": "n"},
-        ExpressionAttributeValues={":one": 1, ":exp": now + 2 * 86400},
-        ReturnValues="UPDATED_NEW",
-    )
+    try:
+        resp = rate_table.update_item(
+            Key={"key": f"quota#{scope}#{day}"},
+            UpdateExpression=(
+                "ADD #n :one SET expiresAt = if_not_exists(expiresAt, :exp)"
+            ),
+            ExpressionAttributeNames={"#n": "n"},
+            ExpressionAttributeValues={":one": 1, ":exp": now + 2 * 86400},
+            ReturnValues="UPDATED_NEW",
+        )
+    except Exception as e:  # noqa: BLE001 — botocore ClientError et al.
+        print(f"quota check degraded (fail-open): {type(e).__name__}: {e}")
+        return True
     return int(resp["Attributes"]["n"]) <= quota
 
 
@@ -119,6 +128,11 @@ def handler(event, context):
     if method == "OPTIONS":
         return _response(200, {})
 
+    # validate BEFORE any quota/rate bookkeeping (ADVICE r3): malformed
+    # requests must not consume quota units — the reference UsagePlan only
+    # counts gateway-accepted requests
+    if method not in ("POST", "DELETE"):
+        return _response(405, {"error": f"method {method} not allowed"})
     tile_hash = (event.get("pathParameters") or {}).get("tileHash", "")
     if not tile_hash or len(tile_hash) > 64 or not tile_hash.isalnum():
         return _response(400, {"error": "invalid tileHash"})
@@ -150,8 +164,6 @@ def handler(event, context):
         )
         return _response(200, {"tileHash": tile_hash, "flagged": True})
 
-    if method == "DELETE":
-        table.delete_item(Key={"tileHash": tile_hash})
-        return _response(200, {"tileHash": tile_hash, "flagged": False})
-
-    return _response(405, {"error": f"method {method} not allowed"})
+    # method == "DELETE" (validated above)
+    table.delete_item(Key={"tileHash": tile_hash})
+    return _response(200, {"tileHash": tile_hash, "flagged": False})

@@ -238,7 +238,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     m.add_argument(
         "--extensions",
-        nargs="*",
+        # "+" not "*": clap's Vec<String> requires a value per occurrence
+        # (main.rs:100-104); a bare --extensions must be rejected, not
+        # silently empty the extension set (ADVICE r3)
+        nargs="+",
         action=_ExtendExtensions,
         default=["jpg", "jpeg"],
         help="Extensions of image files in the tiles dir (case-sensitive); "

@@ -57,8 +57,13 @@ def _build(force: bool) -> bool:
                 # inode, and dlopen caches by (dev, inode) — re-CDLL
                 # would return the already-loaded stale handle
                 (_NATIVE_DIR / _LIB_NAME).unlink(missing_ok=True)
+            # -B on force: unlinking the .so alone is not enough — if a
+            # stale object file's mtime is newer than its changed source
+            # (checkout, clock skew), plain make relinks the same stale
+            # objects and the AttributeError recurs, silently degrading
+            # to the Python fallbacks (ADVICE r3)
             subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)],
+                ["make", "-C", str(_NATIVE_DIR)] + (["-B"] if force else []),
                 check=True,
                 capture_output=True,
                 timeout=120,

@@ -1911,9 +1911,13 @@ def l1_topk_streamed(
     bank to a handle-ignoring fallback; it uploads internally instead). So one bank-upload latency is paid up front and
     the rest hide under scoring (~0.5 s/bank PCIe on a TPU VM). Two banks
     are then device-resident at once, so auto-sized banks halve to keep
-    the total inside the proven `_DEVICE_LIB_BYTES_MAX` envelope
-    (explicit `bank_rows` is honored as given). Disable with
-    EMOSAIC_STREAM_PREFETCH=0. Results are bit-identical either way.
+    the total inside the proven `_DEVICE_LIB_BYTES_MAX` envelope. An
+    explicit `bank_rows` skips that halving but is still clamped to the
+    device budget (at most `_DEVICE_LIB_BYTES_MAX // d` rounded down to
+    a `_TL_SEG` multiple, at least `_TL_SEG`) — an over-budget request
+    would re-enter this path from the per-bank scorer and/or OOM the
+    device (ADVICE r3). Disable with EMOSAIC_STREAM_PREFETCH=0. Results
+    are bit-identical either way.
 
     Complements `parallel.sharded_l1_topk_adaptive` (blocks sharded
     across a chip mesh): streaming raises the PER-chip library ceiling

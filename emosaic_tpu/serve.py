@@ -244,6 +244,7 @@ def _make_handler(
     max_request_bytes: int = 64 << 20,
     stream_threshold: int = 1 << 30,
     max_pending: int = 2,
+    io_timeout: float | None = 60.0,
 ):
     import threading
 
@@ -259,6 +260,14 @@ def _make_handler(
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # required for chunked responses
+        # Per-socket-op deadline, applied by StreamRequestHandler.setup()
+        # via connection.settimeout — covers both slow-loris body reads
+        # (rfile.read below) and a dead client stalling the chunked
+        # gigapixel stream writes. Without it one stalled client holds
+        # render_lock (and a pending slot) forever, wedging every other
+        # render (ADVICE r3, medium). A timeout raises, the stream/except
+        # paths close the connection, and the lock/slot are released.
+        timeout = io_timeout
 
         def log_message(self, fmt, *args):  # route to service log
             service.log(f"[serve] {fmt % args}")
@@ -437,6 +446,14 @@ def main(argv=None) -> int:
         "excess concurrent POSTs get 503 before their body is read)",
     )
     p.add_argument(
+        "--io-timeout",
+        type=float,
+        default=60.0,
+        help="Per-socket-operation deadline in seconds (body reads and "
+        "response writes); a stalled client is disconnected instead of "
+        "holding the render lock. 0 disables (not recommended)",
+    )
+    p.add_argument(
         "--fast-prep",
         action="store_true",
         help="DCT-scaled JPEG tile prep (~4x faster cold library builds, "
@@ -481,6 +498,7 @@ def _serve(args, p) -> int:
             max_request_bytes=args.max_request_bytes,
             stream_threshold=args.stream_threshold,
             max_pending=args.max_pending,
+            io_timeout=args.io_timeout or None,
         ),
     )
     print(

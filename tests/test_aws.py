@@ -295,3 +295,42 @@ def test_tile_manager_review_unflag_and_delete_file(
     assert not tile.exists()  # [d] removed the local file
     assert "aa1" not in flags.items and "bb2" not in flags.items
     assert "cc3" in flags.items  # [q] before reaching it
+
+
+def test_quota_fails_open_on_ddb_error(backend):
+    """ADVICE r3: a throttled/unavailable rate-limits table must not turn
+    flag reads/writes into 500s — the quota check fails open (the
+    reference's gateway UsagePlan never fails closed either)."""
+    mods, flags, rates = backend
+
+    def boom(*a, **k):
+        raise RuntimeError("ProvisionedThroughputExceededException")
+
+    rates.update_item = boom
+    r = mods["toggle_flag"].handler(_event("POST", "abc123"), None)
+    assert r["statusCode"] == 200
+    r = mods["get_flags"].handler(
+        _event("POST", body={"tileHashes": ["abc123"]}), None
+    )
+    assert r["statusCode"] == 200
+
+
+def test_invalid_requests_do_not_burn_quota(backend):
+    """ADVICE r3: validation runs before quota bookkeeping — malformed
+    requests must not consume daily-quota units (UsagePlan only counts
+    gateway-accepted requests)."""
+    mods, _, rates = backend
+    # 405 (bad method) and 400 (bad hash) against toggle_flag
+    assert mods["toggle_flag"].handler(_event("PUT", "abc123"), None)[
+        "statusCode"
+    ] == 405
+    assert mods["toggle_flag"].handler(_event("POST", "bad/../h"), None)[
+        "statusCode"
+    ] == 400
+    # 400 against get_flags (empty list)
+    assert mods["get_flags"].handler(
+        _event("POST", body={"tileHashes": []}), None
+    )["statusCode"] == 400
+    assert not any(k.startswith("quota#") for k in rates.items), (
+        "rejected requests consumed quota units"
+    )

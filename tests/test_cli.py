@@ -187,6 +187,11 @@ def test_extensions_append_semantics():
     assert p.parse_args(
         base + ["--extensions", "png", "--extensions", "gif"]
     ).extensions == ["png", "gif"]
+    # a bare --extensions is rejected like clap's Vec<String> (one value
+    # per occurrence required) instead of silently emptying the set
+    # (ADVICE r3)
+    with pytest.raises(SystemExit):
+        p.parse_args(base + ["--extensions"])
 
 
 def test_codecs_invalid_filter_message(tmp_path):

@@ -373,3 +373,43 @@ def test_http_503_when_pending_bound_exceeded(scene, monkeypatch):
     assert not th.is_alive()
     assert result["png"] == svc.render_bytes(src_bytes)  # slot released,
     httpd.shutdown()                                     # service healthy
+
+
+def test_slow_loris_body_times_out_and_frees_the_server(scene):
+    """ADVICE r3 (medium): a client that sends headers but trickles (or
+    never sends) the body must be disconnected by the handler io_timeout
+    instead of holding a pending slot / the render path forever. With
+    max_pending=1 the stalled client would previously wedge the whole
+    server."""
+    import socket
+
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        _make_handler(svc, max_pending=1, io_timeout=1.0),
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    # slow-loris: headers promise a body that never arrives
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    s.sendall(
+        b"POST /mosaic HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 1000\r\n\r\n"
+    )
+    # the server must drop the connection after ~io_timeout
+    s.settimeout(30)
+    assert s.recv(4096) == b""  # EOF: handler timed out and closed
+    s.close()
+
+    # ... and a well-behaved request must now succeed (slot released)
+    req = urllib.request.Request(
+        f"{base}/mosaic", data=src_bytes, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        png = r.read()
+    assert png == svc.render_bytes(src_bytes)
+    httpd.shutdown()
