@@ -19,6 +19,9 @@ one v5e chip), after which gigapixel matching is memory-bound gather only.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,13 +76,28 @@ def _build_l1_lut_jit(lib: jax.Array) -> jax.Array:
     return lattice
 
 
+# Content-keyed cache of built LUTs. The distance-transform build is a
+# real device cost (24 shifted-min sweeps over the 16.7M-entry lattice),
+# and resident callers (emosaic_tpu.serve, repeat CLI runs in one
+# process) re-match against the SAME library every request — rebuilding
+# the table per render was pure waste there. Keyed by the library bytes
+# (md5 of ~600 KB at the 2M-row cap is microseconds next to the build);
+# each cached entry holds 64 MB of device HBM, so the cap stays tiny.
+# EMOSAIC_LUT_CACHE=0 disables.
+_LUT_CACHE: "dict[tuple[bytes, int], jax.Array]" = {}
+_LUT_CACHE_MAX = 2
+
+
 def build_l1_lut(lib) -> jax.Array:
     """Build the [256,256,256] int32 packed (dist, row) nearest-row table.
+
+    Results are cached per library content (see _LUT_CACHE): a resident
+    server's warm mode-1 requests skip the rebuild entirely.
 
     Args:
       lib: [L, 3] uint8 library matrix (mode-1 `build_library` output;
         L = 2T with flip rows — note for N=1 a flip is an identity, the
-        reference still indexes both orientations, tileset.rs:180-188).
+        reference still indexes both orientations, tileset.rs:178-188).
     """
     lib = np.asarray(lib, dtype=np.uint8)
     if lib.ndim != 2 or lib.shape[1] != 3:
@@ -88,9 +106,22 @@ def build_l1_lut(lib) -> jax.Array:
         raise ValueError("empty library")
     if lib.shape[0] > MAX_ROWS:
         raise ValueError(f"library has {lib.shape[0]} rows > LUT cap {MAX_ROWS}")
+    use_cache = os.environ.get("EMOSAIC_LUT_CACHE", "1") != "0"
+    if use_cache:
+        key = (hashlib.md5(lib.tobytes()).digest(), lib.shape[0])
+        hit = _LUT_CACHE.get(key)
+        # a cached device buffer dies with its backend (jax.clear_caches /
+        # backend teardown deletes it); fall through to a rebuild then
+        if hit is not None and not hit.is_deleted():
+            return hit
     # int32 flat boundary (a [L, 3] u8 buffer would pay the minor-dim-3
     # tiled-layout inflation — see ops/composite.py TPU layout note)
-    return _build_l1_lut_jit(jnp.asarray(lib.reshape(-1).astype(np.int32)))
+    lut = _build_l1_lut_jit(jnp.asarray(lib.reshape(-1).astype(np.int32)))
+    if use_cache:
+        while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
+        _LUT_CACHE[key] = lut
+    return lut
 
 
 def pack_rgb(blocks: np.ndarray) -> np.ndarray:

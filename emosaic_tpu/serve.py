@@ -8,10 +8,14 @@ with the tile library analysed, the prepared-tile stack in memory, and
 all jitted kernels warm; each request then costs only its own match +
 composite + PNG encode.
 
-HTTP surface (stdlib ThreadingHTTPServer; renders serialize on a lock —
-device work is sequential anyway — while /healthz and request parsing
-stay responsive, and at most `--max-pending` request bodies are buffered
-at once, excess POSTs getting 503 without their bodies read):
+HTTP surface (stdlib ThreadingHTTPServer; DEVICE work serializes on a
+render lock — device work is sequential anyway — while /healthz and
+request parsing stay responsive; at most `--max-pending` request bodies
+are buffered at once, excess POSTs getting 503 without their bodies
+read. Socket writes happen outside the lock: buffered responses
+PNG-encode after release, streamed responses drain a bounded spool
+(`--stream-spool-bytes` / `--spool-stall-secs`) filled by a producer
+thread, so one slow client never paces the device for everyone):
 
     GET  /healthz            -> JSON {status, tiles, mode, tile_size}
     POST /mosaic?{params}    -> image/png
@@ -108,13 +112,20 @@ class MosaicService:
         tint: float = 0.0,
         downsample: int = 1,
         stream_threshold: int = 1 << 30,
+        encode: bool = True,
     ):
         """Source image bytes -> ("buffer", png_bytes) for small outputs,
         or ("stream", out_w, out_h, band_iter) for outputs larger than
         `stream_threshold` bytes (band_iter yields tinted [h, W, 3] u8
         bands top-to-bottom; the caller PNG-encodes them incrementally —
         a gigapixel response never materializes in host RAM). CLI
-        semantics throughout (same renderers, same quirks)."""
+        semantics throughout (same renderers, same quirks).
+
+        `encode=False` returns ("image", tinted u8 ndarray) instead of
+        ("buffer", png_bytes): all DEVICE work (match, composite, tint)
+        is done, but the host-side PNG encode is left to the caller — the
+        serve handler encodes outside the render lock so a large buffered
+        encode never stalls the device pipeline."""
         from emosaic_tpu.cli import preprocess_source
 
         original = Image.open(io.BytesIO(source_bytes))
@@ -148,8 +159,11 @@ class MosaicService:
                     original.convert("RGB"), dtype=np.uint8
                 )
                 image = tint_blend(image, original_rgb, tint)
+            image = np.asarray(image, dtype=np.uint8)
+            if not encode:
+                return ("image", image)
             buf = io.BytesIO()
-            Image.fromarray(np.asarray(image, dtype=np.uint8)).save(buf, "PNG")
+            Image.fromarray(image).save(buf, "PNG")
             return ("buffer", buf.getvalue())
 
         from emosaic_tpu.ops.composite import stream_tinted_bands
@@ -216,6 +230,99 @@ class MosaicService:
         )
 
 
+class _Spool:
+    """Bounded byte spool between the device-side PNG producer and the
+    client socket.
+
+    Streamed responses used to do their device work lazily inside the
+    socket-write loop, so the render lock (i.e. the device) was paced by
+    the CLIENT: one slow-but-alive reader trickling a gigapixel PNG held
+    the lock for the whole drain and serialized every other render
+    behind one socket. The producer thread now renders+encodes into this
+    spool under the lock and the handler drains it to the socket outside
+    the lock — the device moves at device speed as long as the spool has
+    room (`budget` bytes, so the streamed-response memory bound stays
+    explicit), and a consumer that leaves the spool full for longer than
+    `stall_secs` aborts the producer instead of holding the device
+    hostage (0 = wait forever).
+
+    File-like for StreamingPNGWriter (write/flush); the producer calls
+    close() or fail(), the consumer iterates get() and may cancel().
+    """
+
+    def __init__(self, budget: int, stall_secs: float):
+        import threading
+
+        self._cv = threading.Condition()
+        self._chunks: list[bytes] = []
+        self._bytes = 0
+        self._budget = max(1, int(budget))
+        self._stall = float(stall_secs)
+        self._closed = False
+        self.failed = False
+        self._cancelled = False
+
+    # -- producer side (under the render lock) --
+    def write(self, data) -> int:
+        import time
+
+        data = bytes(data)
+        if not data:
+            return 0
+        with self._cv:
+            deadline = (
+                time.monotonic() + self._stall if self._stall > 0 else None
+            )
+            while self._bytes >= self._budget and not self._cancelled:
+                left = None if deadline is None else deadline - time.monotonic()
+                if left is not None and left <= 0:
+                    raise TimeoutError(
+                        f"client stalled >{self._stall:.0f}s with a full "
+                        f"{self._budget}-byte stream spool"
+                    )
+                self._cv.wait(left)
+            if self._cancelled:
+                raise BrokenPipeError("stream consumer gone")
+            self._chunks.append(data)
+            self._bytes += len(data)
+            self._cv.notify_all()
+        return len(data)
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    def fail(self) -> None:
+        with self._cv:
+            self.failed = True
+            self._closed = True
+            self._cv.notify_all()
+
+    # -- consumer side (the handler thread) --
+    def get(self) -> bytes | None:
+        """Next chunk, or None once the spool is drained and closed."""
+        with self._cv:
+            while not self._chunks and not self._closed:
+                self._cv.wait()
+            if not self._chunks:
+                return None
+            data = self._chunks.pop(0)
+            self._bytes -= len(data)
+            self._cv.notify_all()
+            return data
+
+    def cancel(self) -> None:
+        """Consumer is gone: make any pending/future producer write raise
+        immediately so the render lock is released."""
+        with self._cv:
+            self._cancelled = True
+            self._cv.notify_all()
+
+
 class _ChunkedWriter:
     """File-like over an HTTP/1.1 chunked response body."""
 
@@ -245,13 +352,18 @@ def _make_handler(
     stream_threshold: int = 1 << 30,
     max_pending: int = 2,
     io_timeout: float | None = 60.0,
+    spool_bytes: int = 64 << 20,
+    spool_stall_secs: float = 120.0,
 ):
     import threading
 
-    # Render work (device pipeline + stats + band streaming) is serialized;
-    # under ThreadingHTTPServer this keeps /healthz and request parsing
-    # responsive while a render (or a slow client draining a chunked
-    # gigapixel response) is in flight.
+    # Device work (match + composite + tint, and for streamed responses
+    # the band rendering + PNG encode) is serialized on this lock; under
+    # ThreadingHTTPServer /healthz and request parsing stay responsive.
+    # Socket writes happen OUTSIDE the lock: buffered responses are
+    # PNG-encoded and sent after release, streamed responses go through a
+    # _Spool filled by a producer thread — the device is never paced by a
+    # client's read speed (up to the spool budget / stall policy).
     render_lock = threading.Lock()
     # At most max_pending bodies (each up to max_request_bytes) sit in RAM
     # at once — the single-threaded server's implicit one-body bound, kept
@@ -339,28 +451,27 @@ def _make_handler(
                 return
             try:
                 body = self.rfile.read(n)
-                with render_lock:
-                    self._render_locked(body, q)
+                self._respond(body, q)
             finally:
                 pending_slots.release()
 
-        def _render_locked(self, body: bytes, q: dict) -> None:
-            """Render + response write; caller holds the render lock (the
-            chunked-band generator keeps doing device work during the
-            socket writes, so the lock spans the whole response)."""
+        def _respond(self, body: bytes, q: dict) -> None:
+            """Device work under render_lock, socket writes outside it."""
             try:
-                plan = service.render_plan(
-                    body,
-                    no_repeat=q.get("no_repeat", "0") == "1",
-                    greedy=q.get("greedy", "0") == "1",
-                    randomize=(
-                        float(q["randomize"]) if "randomize" in q else None
-                    ),
-                    seed=int(q.get("seed", "0")),
-                    tint=float(q.get("tint", "0")),
-                    downsample=int(q.get("downsample", "1")),
-                    stream_threshold=stream_threshold,
-                )
+                with render_lock:
+                    plan = service.render_plan(
+                        body,
+                        no_repeat=q.get("no_repeat", "0") == "1",
+                        greedy=q.get("greedy", "0") == "1",
+                        randomize=(
+                            float(q["randomize"]) if "randomize" in q else None
+                        ),
+                        seed=int(q.get("seed", "0")),
+                        tint=float(q.get("tint", "0")),
+                        downsample=int(q.get("downsample", "1")),
+                        stream_threshold=stream_threshold,
+                        encode=False,
+                    )
             except ValueError as e:
                 self._json(400, {"error": str(e)})
                 return
@@ -368,30 +479,65 @@ def _make_handler(
                 service.log(f"[serve] request failed: {type(e).__name__}: {e}")
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            if plan[0] == "buffer":
-                self._send(200, plan[1], "image/png")
+            if plan[0] == "image":
+                # PNG encode + send on the handler thread, lock released:
+                # a buffered encode (up to stream_threshold pixel bytes)
+                # never stalls the next request's device work
+                buf = io.BytesIO()
+                Image.fromarray(plan[1]).save(buf, "PNG")
+                self._send(200, buf.getvalue(), "image/png")
                 return
-            # large output: encode bands straight onto the socket as an
-            # HTTP/1.1 chunked PNG — peak host memory stays one band
+            # Large output: the producer thread renders bands and encodes
+            # PNG into a bounded spool UNDER the lock; this thread drains
+            # the spool onto the socket as HTTP/1.1 chunks OUTSIDE it.
+            # Peak host memory stays one band + the spool budget.
             from emosaic_tpu.io.codecs import StreamingPNGWriter
 
             _, out_w, out_h, bands = plan
+            spool = _Spool(spool_bytes, spool_stall_secs)
+
+            def produce():
+                try:
+                    with render_lock:
+                        with StreamingPNGWriter(spool, out_w, out_h) as w:
+                            for band in bands:
+                                w.write_band(band)
+                    spool.close()
+                except BaseException as e:  # noqa: BLE001 — headers already
+                    # sent: the truncated chunked stream tells the client
+                    service.log(
+                        f"[serve] stream aborted: {type(e).__name__}: {e}"
+                    )
+                    spool.fail()
+
+            producer = threading.Thread(target=produce, daemon=True)
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
             sink = _ChunkedWriter(self.wfile)
+            producer.start()
             try:
-                with StreamingPNGWriter(sink, out_w, out_h) as w:
-                    for band in bands:
-                        w.write_band(band)
+                while True:
+                    chunk = spool.get()
+                    if chunk is None:
+                        break
+                    sink.write(chunk)
+                if spool.failed:
+                    self.close_connection = True
+                    return
                 sink.finish()
-            except Exception as e:  # noqa: BLE001 — headers already sent:
-                # the truncated chunked stream tells the client it failed
+            except Exception as e:  # noqa: BLE001 — dead/stalled socket:
+                # wake the producer so it aborts and releases the lock
                 service.log(
-                    f"[serve] stream aborted: {type(e).__name__}: {e}"
+                    f"[serve] stream client lost: {type(e).__name__}: {e}"
                 )
+                spool.cancel()
                 self.close_connection = True
+            finally:
+                # bound the handler's wait; the producer aborts at its
+                # next spool write after cancel() regardless
+                producer.join(timeout=30)
 
     return Handler
 
@@ -454,6 +600,23 @@ def main(argv=None) -> int:
         "holding the render lock. 0 disables (not recommended)",
     )
     p.add_argument(
+        "--stream-spool-bytes",
+        type=int,
+        default=64 << 20,
+        help="Encoded-PNG spool budget per streamed response: the device "
+        "renders ahead of the client by up to this many bytes, so a slow "
+        "reader does not pace the render lock (peak memory per stream = "
+        "one band + this budget)",
+    )
+    p.add_argument(
+        "--spool-stall-secs",
+        type=float,
+        default=120.0,
+        help="If a streaming client leaves the spool full for this long, "
+        "the render is aborted (truncated chunked response) so the device "
+        "is freed. 0 waits forever",
+    )
+    p.add_argument(
         "--fast-prep",
         action="store_true",
         help="DCT-scaled JPEG tile prep (~4x faster cold library builds, "
@@ -499,6 +662,8 @@ def _serve(args, p) -> int:
             stream_threshold=args.stream_threshold,
             max_pending=args.max_pending,
             io_timeout=args.io_timeout or None,
+            spool_bytes=args.stream_spool_bytes,
+            spool_stall_secs=args.spool_stall_secs,
         ),
     )
     print(

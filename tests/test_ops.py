@@ -202,6 +202,36 @@ def test_lut_duplicate_color_lowest_row():
     assert (np.asarray(r) == 0).all()
 
 
+def test_lut_build_cached_per_content(rng, monkeypatch):
+    # resident servers re-match the same library every request: the build
+    # must be a cache hit (same device buffer), keyed by content not id
+    from emosaic_tpu.ops import lut as lut_mod
+
+    monkeypatch.setattr(lut_mod, "_LUT_CACHE", {})
+    lib = rng.integers(0, 256, size=(37, 3), dtype=np.uint8)
+    a = build_l1_lut(lib)
+    b = build_l1_lut(lib.copy())  # different ndarray, same bytes
+    assert a is b
+    other = build_l1_lut(lib[:20])  # different content -> fresh build
+    assert other is not a
+    # capped: inserting beyond _LUT_CACHE_MAX evicts the oldest
+    monkeypatch.setattr(lut_mod, "_LUT_CACHE_MAX", 1)
+    build_l1_lut(lib[:10])
+    assert len(lut_mod._LUT_CACHE) == 1
+    # EMOSAIC_LUT_CACHE=0 bypasses both lookup and insertion
+    monkeypatch.setattr(lut_mod, "_LUT_CACHE", {})
+    monkeypatch.setenv("EMOSAIC_LUT_CACHE", "0")
+    c = build_l1_lut(lib)
+    assert c is not a and len(lut_mod._LUT_CACHE) == 0
+    # cached results stay correct (the hit path returns the right table)
+    monkeypatch.delenv("EMOSAIC_LUT_CACHE")
+    blocks = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    d1, r1 = lut_match(blocks, build_l1_lut(lib))
+    d2, r2 = lut_match(blocks, build_l1_lut(lib))
+    assert (np.asarray(d1) == np.asarray(d2)).all()
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+
+
 # ---------------------------------------------------------------------------
 # composite
 # ---------------------------------------------------------------------------

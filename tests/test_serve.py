@@ -413,3 +413,213 @@ def test_slow_loris_body_times_out_and_frees_the_server(scene):
         png = r.read()
     assert png == svc.render_bytes(src_bytes)
     httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# stream spool: the device is never paced by a client's read speed
+# ---------------------------------------------------------------------------
+
+
+def test_spool_bounds_and_stall():
+    """_Spool unit semantics: FIFO integrity, budget backpressure, stall
+    abort, and consumer-cancel unblocking the producer."""
+    import time
+
+    from emosaic_tpu.serve import _Spool
+
+    # FIFO + drain/close
+    sp = _Spool(budget=1 << 20, stall_secs=0)
+    sp.write(b"ab")
+    sp.write(b"cd")
+    sp.close()
+    assert sp.get() == b"ab" and sp.get() == b"cd" and sp.get() is None
+
+    # budget backpressure: a second write blocks until the consumer drains
+    sp = _Spool(budget=2, stall_secs=0)
+    sp.write(b"xx")  # fills the budget
+    done = threading.Event()
+
+    def blocked_writer():
+        sp.write(b"yy")
+        done.set()
+
+    t = threading.Thread(target=blocked_writer, daemon=True)
+    t.start()
+    time.sleep(0.1)
+    assert not done.is_set()  # writer is waiting for room
+    assert sp.get() == b"xx"
+    assert done.wait(5)
+    sp.close()
+    assert sp.get() == b"yy" and sp.get() is None
+
+    # stall policy: a full spool + no consumer raises in the producer
+    sp = _Spool(budget=1, stall_secs=0.2)
+    sp.write(b"z")
+    with pytest.raises(TimeoutError):
+        sp.write(b"z")
+
+    # cancel: a blocked producer aborts immediately
+    sp = _Spool(budget=1, stall_secs=0)
+    sp.write(b"z")
+    err = {}
+
+    def cancelled_writer():
+        try:
+            sp.write(b"z")
+        except BrokenPipeError as e:
+            err["e"] = e
+
+    t = threading.Thread(target=cancelled_writer, daemon=True)
+    t.start()
+    time.sleep(0.1)
+    sp.cancel()
+    t.join(timeout=5)
+    assert not t.is_alive() and "e" in err
+    # ... and further writes raise without blocking
+    with pytest.raises(BrokenPipeError):
+        sp.write(b"w")
+
+
+def test_stream_slow_client_does_not_block_next_render(scene):
+    """The round-3 design held the render lock across the whole chunked
+    socket drain, so one slow reader serialized every other render. With
+    the spool, the producer finishes at device speed and a concurrent
+    request completes while the slow client is still mid-drain."""
+    import socket
+
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        _make_handler(svc, stream_threshold=1),  # every render streams
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # client A: POST, then read only the status line and stop draining
+        a = socket.create_connection(("127.0.0.1", port), timeout=60)
+        a.sendall(
+            b"POST /mosaic HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(src_bytes)
+        )
+        a.sendall(src_bytes)
+        first = a.recv(64)  # headers started: the render is in flight
+        assert first.startswith(b"HTTP/1.1 200")
+
+        # client B must complete while A is parked mid-response
+        req = urllib.request.Request(
+            f"{base}/mosaic", data=src_bytes, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            png_b = r.read()
+        ref = np.asarray(
+            Image.open(io.BytesIO(svc.render_bytes(src_bytes))).convert("RGB")
+        )
+        got_b = np.asarray(Image.open(io.BytesIO(png_b)).convert("RGB"))
+        assert (got_b == ref).all()  # B completed while A was parked
+
+        # A now drains fully and gets the identical complete PNG
+        a.settimeout(60)
+        data = first
+        while b"0\r\n\r\n" not in data[-8:]:
+            got = a.recv(65536)
+            if not got:
+                break
+            data += got
+        a.close()
+        head, _, rest = data.partition(b"\r\n\r\n")
+        assert b"Transfer-Encoding: chunked" in head
+        # de-chunk
+        body = b""
+        while rest:
+            size, _, rest = rest.partition(b"\r\n")
+            n = int(size, 16)
+            if n == 0:
+                break
+            body += rest[:n]
+            rest = rest[n + 2:]
+        ref = np.asarray(
+            Image.open(io.BytesIO(svc.render_bytes(src_bytes))).convert("RGB")
+        )
+        got_img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+        assert (got_img == ref).all()
+    finally:
+        httpd.shutdown()
+
+
+def test_stream_stalled_client_aborts_render_and_frees_device(scene, rng):
+    """A client that stops reading must not hold the device: with the
+    spool full, the producer aborts after --spool-stall-secs (and the
+    blocked socket write dies at io_timeout), then the next request
+    renders normally. Needs an output big enough that the kernel socket
+    buffers cannot absorb it (a big random source: the streamed PNG is
+    ~28 MB at compress level 1)."""
+    import socket
+    import time
+
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    big = rng.integers(0, 256, size=(384, 384, 3), dtype=np.uint8)
+    big_buf = io.BytesIO()
+    Image.fromarray(big).save(big_buf, "PNG")
+    big_bytes = big_buf.getvalue()
+    # warm every jit/LUT for this shape so the timed section below is
+    # pure pipeline (first-compile cost would outlast the client's park)
+    svc.render_bytes(big_bytes)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        _make_handler(
+            svc,
+            stream_threshold=1,
+            spool_bytes=4096,  # tiny: fills as soon as the socket blocks
+            spool_stall_secs=0.5,
+            io_timeout=3.0,
+        ),
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        # small receive window so the server-side write blocks early
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        s.settimeout(60)
+        s.connect(("127.0.0.1", port))
+        s.sendall(
+            b"POST /mosaic HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(big_bytes)
+        )
+        s.sendall(big_bytes)
+        # park without reading: socket buffers fill -> handler write
+        # blocks -> spool fills -> producer times out (0.5 s) -> handler
+        # write dies at io_timeout (3 s) -> connection closed
+        time.sleep(8.0)
+        s.settimeout(30)
+        data = b""
+        while True:
+            try:
+                got = s.recv(65536)
+            except TimeoutError:
+                raise AssertionError("server kept the stalled stream open")
+            if not got:
+                break
+            data += got
+        s.close()
+        assert not data.endswith(b"0\r\n\r\n")  # truncated, not completed
+
+        # the device is free: a well-behaved request succeeds
+        req = urllib.request.Request(
+            f"{base}/mosaic", data=src_bytes, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            png = r.read()
+        ref = np.asarray(
+            Image.open(io.BytesIO(svc.render_bytes(src_bytes))).convert("RGB")
+        )
+        got = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        assert (got == ref).all()
+    finally:
+        httpd.shutdown()

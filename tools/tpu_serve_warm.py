@@ -22,6 +22,19 @@ def log(msg):
 
 
 def main():
+    # self-bounded: a SIGTERM mid-device-work wedges the tunnel for the
+    # next claimant (CLAUDE.md rule 2), so this exits itself instead of
+    # relying on an external timeout
+    import os
+    import threading
+
+    def watchdog():
+        time.sleep(3600)
+        log("watchdog fired (60 min); exiting")
+        os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
 
     dev = jax.devices()[0]
@@ -71,6 +84,25 @@ def main():
     is_png = png[:4] == b"\x89PNG"
     log(f"first request after warmup: {first_s:.2f}s; second: {second_s:.2f}s; "
         f"output {len(png)} bytes PNG={is_png}")
+
+    # round 4: warm requests skip the per-request LUT rebuild
+    # (ops/lut._LUT_CACHE). Measure the same request with the cache
+    # disabled — the delta is the distance-transform cost every request
+    # used to pay before the cache existed.
+    os.environ["EMOSAIC_LUT_CACHE"] = "0"
+    try:
+        t0 = time.perf_counter()
+        svc.render_bytes(body, seed=2)
+        nocache_s = time.perf_counter() - t0
+    finally:
+        os.environ.pop("EMOSAIC_LUT_CACHE", None)
+    t0 = time.perf_counter()
+    svc.render_bytes(body, seed=3)
+    cached_s = time.perf_counter() - t0
+    log(
+        f"warm request, LUT cache OFF: {nocache_s:.3f}s; ON: {cached_s:.3f}s "
+        f"(delta = per-request LUT rebuild the cache removes)"
+    )
     log("done")
 
 
