@@ -68,6 +68,12 @@ def _last_probe() -> str:
         out.append(f"driver probe {dprobes[-1][0]} at {dprobes[-1][1]}")
     if "[driver] claim ok" in dtxt:
         out.append("DRIVER CLAIMED")
+    d2txt = _read("/tmp/chain_driver2.log")
+    d2probes = re.findall(r"\[driver2\] probe (\d+) (\S+)", d2txt)
+    if d2probes:
+        out.append(f"driver2 probe {d2probes[-1][0]} at {d2probes[-1][1]}")
+    if "[driver2] claim ok" in d2txt:
+        out.append("DRIVER2 CLAIMED")
     return "; ".join(out) or "no probe activity"
 
 
@@ -101,7 +107,8 @@ def main() -> int:
     print(f"chain status at {time.strftime('%F %T')}")
     print(f"  probes: {_last_probe()}")
     drv = _alive("/tmp/chain_driver.pid")
-    print(f"  driver: {drv}")
+    drv2 = _alive("/tmp/chain_driver2.pid")
+    print(f"  driver: {drv}; driver2: {drv2}")
     for name, log, rx, pidf in LINKS:
         m = re.findall(rx, _read(log))
         state = f"DONE rc={m[-1]}" if m else f"waiting [{_alive(pidf)}]"
