@@ -367,6 +367,10 @@ def norepeat_adaptive_phase() -> tuple[float, int]:
 
 
 def main() -> int:
+    if os.environ.get("EMOSAIC_BENCH_SELFTEST_RAISE"):
+        # test hook: lets CI drive the __main__ outage/regression handler
+        # through the real code path (tests/test_bench_outage.py)
+        raise AssertionError(os.environ["EMOSAIC_BENCH_SELFTEST_RAISE"])
     watchdog_done = _arm_watchdog()
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
@@ -468,9 +472,13 @@ if __name__ == "__main__":
             raise
         # Backend-init failure ("Unable to initialize backend 'axon'"),
         # device-claim errors, OOM — the driver needs a parseable line
-        # either way; mark it stale and exit 0.
+        # either way; mark it stale and exit 0. But an AssertionError is
+        # one of bench's own correctness checks failing ON the device — a
+        # real regression, not an outage: still emit the parseable stale
+        # line, but exit nonzero so the chain/driver records a failure
+        # instead of healthy-but-stale.
         import traceback
 
         traceback.print_exc()
         _emit_cached(f"{type(e).__name__}: {e}")
-        sys.exit(0)
+        sys.exit(1 if isinstance(e, AssertionError) else 0)

@@ -84,12 +84,16 @@ def handler(event, context):
         return _response(400, {"error": "tileHashes must be a non-empty list"})
     if len(hashes) > MAX_HASHES:
         return _response(400, {"error": f"at most {MAX_HASHES} hashes per request"})
+    # sanitize BEFORE the quota check too: a list of entirely-invalid
+    # hashes is a malformed request and must not burn a quota unit
+    hashes = [str(h) for h in hashes if str(h).isalnum() and len(str(h)) <= 64]
+    if not hashes:
+        return _response(400, {"error": "no valid tileHashes"})
 
     if not _check_daily_quota(event):
         return _response(
             429, {"error": f"daily quota exceeded ({DAILY_QUOTA}/day)"}
         )
-    hashes = [str(h) for h in hashes if str(h).isalnum() and len(str(h)) <= 64]
 
     table = _table()
     flags: dict[str, bool] = {}

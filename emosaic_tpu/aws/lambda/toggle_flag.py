@@ -105,18 +105,29 @@ def check_daily_quota(rate_table, scope: str, quota: int) -> bool:
 
 
 def _check_rate_limit(rate_table, ip: str) -> bool:
-    """Sliding one-minute window per IP, entries expired via DynamoDB TTL."""
+    """Sliding one-minute window per IP, entries expired via DynamoDB TTL.
+
+    Fail-open on DynamoDB errors, same rationale as check_daily_quota: a
+    throttled/unavailable rate-limits table must not turn every flag
+    toggle into a 500 (the reference's limiter lives in the gateway and
+    never fails closed either)."""
     now = int(time.time())
     window_start = now - 60
     key = f"flag#{ip}"
-    item = rate_table.get_item(Key={"key": key}).get("Item")
-    times = [t for t in (item or {}).get("times", []) if int(t) > window_start]
-    if len(times) >= RATE_LIMIT_PER_MINUTE:
-        return False
-    times.append(now)
-    rate_table.put_item(
-        Item={"key": key, "times": times, "expiresAt": now + 120}
-    )
+    try:
+        item = rate_table.get_item(Key={"key": key}).get("Item")
+        times = [
+            t for t in (item or {}).get("times", []) if int(t) > window_start
+        ]
+        if len(times) >= RATE_LIMIT_PER_MINUTE:
+            return False
+        times.append(now)
+        rate_table.put_item(
+            Item={"key": key, "times": times, "expiresAt": now + 120}
+        )
+    except Exception as e:  # noqa: BLE001 — botocore ClientError et al.
+        print(f"rate limit degraded (fail-open): {type(e).__name__}: {e}")
+        return True
     return True
 
 

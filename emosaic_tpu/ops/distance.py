@@ -1916,8 +1916,10 @@ def l1_topk_streamed(
     device budget (at most `_DEVICE_LIB_BYTES_MAX // d` rounded down to
     a `_TL_SEG` multiple, at least `_TL_SEG`) — an over-budget request
     would re-enter this path from the per-bank scorer and/or OOM the
-    device (ADVICE r3). Disable with EMOSAIC_STREAM_PREFETCH=0. Results
-    are bit-identical either way.
+    device (ADVICE r3) — and when two explicit banks cannot both fit the
+    budget, prefetch is disabled for the run (serial streaming) rather
+    than holding 2x the envelope on device. Disable with
+    EMOSAIC_STREAM_PREFETCH=0. Results are bit-identical either way.
 
     Complements `parallel.sharded_l1_topk_adaptive` (blocks sharded
     across a chip mesh): streaming raises the PER-chip library ceiling
@@ -1956,6 +1958,12 @@ def l1_topk_streamed(
             _TL_SEG,
             min(rb, _DEVICE_LIB_BYTES_MAX // 2 // d // _TL_SEG * _TL_SEG),
         )
+    elif prefetch and 2 * rb * d > _DEVICE_LIB_BYTES_MAX:
+        # an explicit bank_rows is honored as given (no halving), so when
+        # two such banks cannot both fit the proven envelope, fall back to
+        # serial streaming instead of holding 2x the budget on device
+        # (bit-identical; only the upload overlap is lost)
+        prefetch = False
     kk = min(k, l)
     offs = range(0, l, rb)
 

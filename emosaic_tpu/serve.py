@@ -36,6 +36,7 @@ main.rs:450). Errors return JSON with a 4xx/5xx status.
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import os
@@ -254,7 +255,7 @@ class _Spool:
         import threading
 
         self._cv = threading.Condition()
-        self._chunks: list[bytes] = []
+        self._chunks: collections.deque[bytes] = collections.deque()
         self._bytes = 0
         self._budget = max(1, int(budget))
         self._stall = float(stall_secs)
@@ -310,7 +311,7 @@ class _Spool:
                 self._cv.wait()
             if not self._chunks:
                 return None
-            data = self._chunks.pop(0)
+            data = self._chunks.popleft()
             self._bytes -= len(data)
             self._cv.notify_all()
             return data

@@ -313,6 +313,13 @@ def test_quota_fails_open_on_ddb_error(backend):
         _event("POST", body={"tileHashes": ["abc123"]}), None
     )
     assert r["statusCode"] == 200
+    # the per-minute limiter shares the same table and must fail open too
+    # (its get_item/put_item are just as throttled during such an outage)
+    rates.get_item = boom
+    rates.put_item = boom
+    r = mods["toggle_flag"].handler(_event("POST", "def456"), None)
+    assert r["statusCode"] == 200
+    assert "def456" in flags.items
 
 
 def test_invalid_requests_do_not_burn_quota(backend):
@@ -330,6 +337,11 @@ def test_invalid_requests_do_not_burn_quota(backend):
     # 400 against get_flags (empty list)
     assert mods["get_flags"].handler(
         _event("POST", body={"tileHashes": []}), None
+    )["statusCode"] == 400
+    # 400 against get_flags when EVERY hash fails sanitization — a
+    # garbage-only list must not burn a quota unit either
+    assert mods["get_flags"].handler(
+        _event("POST", body={"tileHashes": ["../../etc", "bad/hash"]}), None
     )["statusCode"] == 400
     assert not any(k.startswith("quota#") for k in rates.items), (
         "rejected requests consumed quota units"

@@ -36,3 +36,26 @@ def test_bench_emits_stale_line_on_backend_init_failure():
     assert "stale_reason" in out and out["stale_reason"]
     assert out["metric"] == "gigapixel_mosaic_composited_megapixels_per_sec"
     assert isinstance(out["value"], (int, float)) and out["value"] > 0
+
+
+def test_bench_assertion_failure_is_not_reported_healthy():
+    """An AssertionError is bench's own on-device correctness check
+    failing — a regression, not an outage. The parseable stale line must
+    still appear (the driver parses stdout), but rc must be nonzero so
+    the chain records a failure instead of healthy-but-stale."""
+    import os
+
+    env = dict(os.environ)
+    env["EMOSAIC_BENCH_SELFTEST_RAISE"] = "sharded mismatch"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+        env=env,
+    )
+    assert res.returncode == 1, (res.returncode, res.stderr[-2000:])
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["stale"] is True
+    assert "AssertionError" in out["stale_reason"]

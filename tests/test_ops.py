@@ -1162,6 +1162,47 @@ def test_l1_topk_streamed_prefetch_halves_auto_banks(rng, monkeypatch):
     assert seen == [1024, 1024, 952]
 
 
+def test_l1_topk_streamed_explicit_bank_over_half_budget_goes_serial(
+    rng, monkeypatch
+):
+    """An explicit bank_rows is honored as given (no halving), so when two
+    such banks cannot both fit _DEVICE_LIB_BYTES_MAX the streamer must
+    fall back to SERIAL streaming (no prepared handles) instead of
+    prefetching 2x the proven device envelope; a smaller explicit bank
+    that does fit twice keeps prefetch on. Results bit-equal either way."""
+    from emosaic_tpu.ops import distance
+
+    l, d, k = 3000, 48, 3
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(9, d), dtype=np.uint8)
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", 1024 * d)
+    handles = []
+
+    def scorer(bb, ll, kx, prepared=None):
+        handles.append(prepared is not None)
+        return distance.l1_topk_stripes(bb, ll, kx)
+
+    scorer.prepare = lambda ll, dd_, b=None, kx=None: distance._ad_prepare(
+        ll, dd_
+    )
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    # 1024-row banks: one fits the budget exactly, two do not -> serial
+    d_s, r_s = distance.l1_topk_streamed(
+        blocks, lib, k, bank_rows=1024, scorer=scorer
+    )
+    assert handles == [False, False, False]
+    np.testing.assert_array_equal(d_s, np.asarray(d_o))
+    np.testing.assert_array_equal(r_s, np.asarray(r_o))
+    handles.clear()
+    # 512-row banks: two fit -> prefetch stays on, every bank has a handle
+    d_p, r_p = distance.l1_topk_streamed(
+        blocks, lib, k, bank_rows=512, scorer=scorer
+    )
+    assert handles == [True] * 6
+    np.testing.assert_array_equal(d_p, np.asarray(d_o))
+    np.testing.assert_array_equal(r_p, np.asarray(r_o))
+
+
 def test_ad_prepare_declines_ineligible_banks(rng):
     """With the query shape supplied, `_ad_prepare` must return None for
     banks `_ad_plan` would route to the two-level scorer (which ignores

@@ -19,7 +19,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (name, marker_log, marker_regex, pidfile, result extractor)
+# (name, marker_log, marker_regex, pidfile)
 LINKS = [
     ("fixproof", "/tmp/claimloop.log", r"fixproof rc=(\d+)", "/tmp/claimloop.pid"),
     ("bench", "/tmp/chain.log", r"bench rc=(\d+)", "/tmp/chain.pid"),
@@ -135,4 +135,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # e.g. `chain_status.py | head`
+        sys.exit(0)

@@ -21,9 +21,20 @@ say() { echo "[driver2] $1 $(date +%T)" >> "$LOG"; }
 
 STAGE1_PID="${1:-$(cat /tmp/chain_driver.pid 2>/dev/null)}"
 
-say "start; waiting for stage-1 driver pid=$STAGE1_PID"
-while [ -n "$STAGE1_PID" ] && kill -0 "$STAGE1_PID" 2>/dev/null; do sleep 300; done
-say "stage-1 driver exited"
+if [ -n "$STAGE1_PID" ]; then
+  say "start; waiting for stage-1 driver pid=$STAGE1_PID"
+  while kill -0 "$STAGE1_PID" 2>/dev/null; do sleep 300; done
+  say "stage-1 driver exited"
+else
+  # No pidfile: never probe concurrently with a possibly-live stage 1
+  # (two claimants could launch device work at once — CLAUDE.md rule 2/3).
+  # Wait for stage 1's own log to say it finished or gave up.
+  say "start; no stage-1 pid — waiting on its log instead"
+  while ! grep -qE "gave up|all links accounted" /tmp/chain_driver.log 2>/dev/null; do
+    sleep 300
+  done
+  say "stage-1 log shows it finished"
+fi
 
 if ! grep -q "fixproof rc=" /tmp/claimloop.log 2>/dev/null; then
   say "fixproof still not run; starting stage-2 probe loop"

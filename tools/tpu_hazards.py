@@ -67,11 +67,13 @@ import numpy as np  # noqa: E402
 from emosaic_tpu.ops import composite, distance  # noqa: E402
 
 _T0 = time.time()
-OUT = (
-    sys.argv[sys.argv.index("--out") + 1]
-    if "--out" in sys.argv
-    else "/root/repo/HAZARDS.json"
-)
+if "--out" in sys.argv:
+    _i = sys.argv.index("--out")
+    if _i + 1 >= len(sys.argv):
+        sys.exit("usage: tpu_hazards.py [--cpu-selfcheck] [--out PATH]")
+    OUT = sys.argv[_i + 1]
+else:
+    OUT = "/root/repo/HAZARDS.json"
 RESULTS = {}
 
 
