@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from emosaic_tpu.ops.analysis import _analyse_batch_jit
+from emosaic_tpu.parallel.distributed import fetch
 from emosaic_tpu.ops.distance import I32_MAX, _pad_topk, _stripe_f32_ok
 
 
@@ -100,7 +101,10 @@ def _argmin_bank_scorer(kernel, mesh: Mesh, multiple: int):
 
     def bank_scorer(bb, ll, kx, prepared=None):
         d_, r_ = kernel(bb, ll, mesh, prepared=prepared)
-        return np.asarray(d_)[:, None], np.asarray(r_)[:, None]
+        # fetch, not np.asarray: under multi-controller the sharded
+        # outputs span non-addressable devices (distributed.fetch is a
+        # plain device_get single-process)
+        return fetch(d_)[:, None], fetch(r_)[:, None]
 
     bank_scorer.prepare = _pad_prepare(multiple)
     return bank_scorer
@@ -398,8 +402,8 @@ def sharded_l1_topk(
         )(blocks_s, lib_s)
 
     dist, rows = run(blocks_p, lib_p)
-    out_d = np.asarray(jax.device_get(dist))[:b]
-    out_r = np.asarray(jax.device_get(rows))[:b]
+    out_d = fetch(dist)[:b]
+    out_r = fetch(rows)[:b]
     return _pad_topk(out_d, out_r, b, k, kk)
 
 
@@ -519,7 +523,12 @@ def sharded_l1_topk_adaptive(
         )(blocks_s, lf)
 
     out_d, out_r, ok_all = dd._run_block_slices(
-        blocks_p, b_slice, kk, lambda sl: run(jnp.asarray(sl), lf_dev)
+        blocks_p,
+        b_slice,
+        kk,
+        # fetch each sharded slice result (multi-controller safe; plain
+        # device_get pass-through single-process)
+        lambda sl: tuple(fetch(o) for o in run(jnp.asarray(sl), lf_dev)),
     )
     out_d, out_r = out_d[:b], out_r[:b]
     bad = np.flatnonzero(~ok_all[:b])
@@ -621,4 +630,4 @@ def sharded_mosaic_step(
         jnp.asarray(tiles.reshape(t, -1)),
         jnp.asarray(source.reshape(h, w * 3)),
     )
-    return np.asarray(jax.device_get(out2d)).reshape(nby * ts, nbx * ts, 3)
+    return fetch(out2d).reshape(nby * ts, nbx * ts, 3)
