@@ -18,6 +18,9 @@ independently inside every process):
   - sharded_l1_topk            (segmented top-k + cross-shard merge)
   - sharded_l1_topk_adaptive   (certified adaptive scorer, block-sharded)
   - sharded_mosaic_step        (analysis -> match -> composite, one jit)
+  - beyond-budget bank streaming THROUGH the sharded adaptive scorer
+    (a tiny forced device budget — host banks stream across the
+    multi-process mesh, prefetch worker thread included)
 plus `parallel.distributed.fetch` (the multihost all-gather fetch) on
 every sharded output, and cross-process agreement on the fetched bytes.
 
@@ -133,6 +136,26 @@ def child(rank: int, port: int) -> None:
     ref = np.asarray(compose_mosaic(items, tiles))
     np.testing.assert_array_equal(out, ref)
     say("mosaic step (analysis->match->composite) bit-identical")
+
+    # beyond-budget bank streaming ACROSS process boundaries: a tiny
+    # forced device-library budget makes the sharded adaptive scorer
+    # stream host banks through itself on the global mesh (the same
+    # composition the production no-repeat path takes past HBM)
+    big_l, big_d = 3000, 48
+    big_lib = rng.integers(0, 256, size=(big_l, big_d), dtype=np.uint8)
+    big_blocks = rng.integers(0, 256, size=(9, big_d), dtype=np.uint8)
+    saved = distance._DEVICE_LIB_BYTES_MAX
+    try:
+        distance._DEVICE_LIB_BYTES_MAX = 1024 * big_d
+        ds, rs = sharded_l1_topk_adaptive(big_blocks, big_lib, 3, mesh)
+    finally:
+        distance._DEVICE_LIB_BYTES_MAX = saved
+    do_, ro_ = map(
+        np.asarray, distance.l1_topk_stripes(big_blocks, big_lib, 3)
+    )
+    np.testing.assert_array_equal(fetch(ds), do_)
+    np.testing.assert_array_equal(fetch(rs), ro_)
+    say("beyond-budget streamed x sharded (multi-process) bit-identical")
 
     # cross-process agreement: every rank must hold the same fetched
     # bytes (one more collective: psum of the output checksum)
