@@ -443,9 +443,21 @@ def get_image_stack(
 # ---------------------------------------------------------------------------
 
 
+def _write_rank() -> bool:
+    """Host file I/O discipline under EMOSAIC_DISTRIBUTED: one rank
+    writes (the pod convention), everyone computes. Always True outside
+    a multi-controller run."""
+    if not os.environ.get("EMOSAIC_DISTRIBUTED"):
+        return True
+    from emosaic_tpu.parallel.distributed import is_rank0
+
+    return is_rank0()
+
+
 def run_prepare(args) -> None:
     tile = prepare_tile(args.img, args.tile_size, args.crop)
-    Image.fromarray(tile).save(args.output_path)
+    if _write_rank():
+        Image.fromarray(tile).save(args.output_path)
 
 
 def run_mosaic(args, timer=None) -> None:
@@ -588,6 +600,15 @@ def run_mosaic(args, timer=None) -> None:
         )
 
     out_path = args.output_path
+    if not _write_rank():
+        # multi-controller run (EMOSAIC_DISTRIBUTED): every rank computed
+        # the same SPMD result above (matching/scoring ride the global
+        # mesh); host file I/O — output image, stats, HTML — belongs to
+        # rank 0 alone. Composition below is rank-local, so skipping it
+        # here cannot desynchronize any collective.
+        log("🛰  compute done on this rank; rank 0 writes the outputs")
+        return
+
     original_rgb = None
     if args.tint_opacity > 0.0:
         # The tint overlay is built from the *original* source at full
@@ -687,6 +708,15 @@ def main(argv=None) -> int:
             # restored on exit so a later in-process main() without the
             # flag runs exact
             os.environ["EMOSAIC_FAST_PREP"] = "1"
+        if os.environ.get("EMOSAIC_DISTRIBUTED"):
+            # join the multi-controller runtime BEFORE the first device
+            # op (pod auto-discovery, or EMOSAIC_COORDINATOR/
+            # EMOSAIC_NUM_PROCESSES/EMOSAIC_PROCESS_ID off pod); the
+            # sharded kernels then see the pod-wide global mesh and
+            # rank 0 alone writes the output files (_write_rank)
+            from emosaic_tpu.parallel.distributed import init_distributed
+
+            init_distributed()
         cache_dir().mkdir(parents=True, exist_ok=True)
 
         profiling = None

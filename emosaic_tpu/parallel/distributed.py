@@ -83,6 +83,15 @@ def is_multiprocess() -> bool:
     return jax.process_count() > 1
 
 
+def is_rank0() -> bool:
+    """True in single-controller processes and on global rank 0.
+
+    The CLI gates user-facing file writes (output image, stats, HTML) on
+    this under EMOSAIC_DISTRIBUTED, the standard pod discipline: every
+    rank computes the same SPMD program, one rank does host I/O."""
+    return jax.process_index() == 0
+
+
 def fetch(x) -> np.ndarray:
     """`device_get` that survives multi-controller sharding.
 

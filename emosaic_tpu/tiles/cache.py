@@ -31,6 +31,16 @@ def analysis_cache_path(tiles_dir: str | os.PathLike, n_cells: int, crop: bool) 
     return Path(tiles_dir) / f".emosaic_{n_cells}to1{'_cropped' if crop else ''}{fast}"
 
 
+def _atomic_write(path: Path, data: bytes) -> None:
+    """tmp + rename: concurrent writers (parallel CLI invocations, or the
+    ranks of a multi-controller run on one host) each land a complete
+    file instead of tearing each other — same discipline as the prep
+    cache (io/prep.py)."""
+    tmp = path.with_name(f".{path.name}.tmp{os.getpid()}")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
 def save_tileset_cache(path: str | os.PathLike, ts: TileSet) -> None:
     buf = io.BytesIO()
     np.savez_compressed(
@@ -40,7 +50,7 @@ def save_tileset_cache(path: str | os.PathLike, ts: TileSet) -> None:
         paths=np.array([str(p) for p in ts.paths]),
         dates=np.array([d if d is not None else "" for d in ts.dates]),
     )
-    Path(path).write_bytes(buf.getvalue())
+    _atomic_write(Path(path), buf.getvalue())
 
 
 def load_tileset_cache(
@@ -92,7 +102,7 @@ def save_stack_cache(path: str | os.PathLike, paths: list[Path], stack: np.ndarr
         paths=np.array([str(p) for p in paths]),
         stack=stack,
     )
-    Path(path).write_bytes(buf.getvalue())
+    _atomic_write(Path(path), buf.getvalue())
 
 
 def load_stack_cache(
