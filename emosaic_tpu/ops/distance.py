@@ -610,7 +610,10 @@ class DeviceRefiller:
         self.b, self.d = self._blocks.shape
         self.l = self._lib.shape[0]
         self.k = k
-        self._m2 = 1 << (min(self.b, 4096) - 1).bit_length()
+        #: public: the padded query-batch capacity per device call —
+        #: callers cap their refill batches to this (render/norepeat.py)
+        self.max_batch = 1 << (min(self.b, 4096) - 1).bit_length()
+        self._m2 = self.max_batch
         self._l2 = 1 << (self.l - 1).bit_length()
         self._blocks_dev = None
         self._lib_dev = None

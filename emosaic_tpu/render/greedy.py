@@ -26,8 +26,12 @@ pure-Python implementation here is the reference/fallback.
 
 Determinism: the reference's tie order is unstable-sort/HashMap dependent;
 here ties break by block sequence number. Blocks left unassigned when the
-library empties keep row -1 (the reference silently skips them,
-rendering.rs:349-351, leaving black holes — quirk preserved downstream).
+library empties keep row -1 and render black (PARITY deviation 16): the
+reference only skips-with-black-hole the literal LAST starved block
+(rendering.rs:349-351); any earlier starved block's empty refill panics
+in compare_matches' `.last().unwrap()` during the ordered reinsert
+(rendering.rs:386-390, algorithms.rs:11). This port completes the render
+with black tiles for every starved block instead of crashing.
 """
 
 from __future__ import annotations

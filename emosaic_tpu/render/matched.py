@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -66,6 +67,59 @@ def insufficient_tiles_check(n_blocks: int, n_tiles: int) -> None:
             f"❌ Insufficient tiles for no-repeat mode: need {n_blocks} tiles "
             f"but only have {n_tiles * 2} available"
         )
+
+
+def start_render(source_img, tile_set, tile_size, log, *, check_tiles):
+    """Shared render prologue (both renderers; keeps the grid math and
+    the 'Doing WxH tiles...' line — which tests and the e2e matrix
+    compare — in one place). Returns (dim, htiles, vtiles, blocks, lib).
+    """
+    dim = math.isqrt(tile_set.n_cells)
+    h, w = source_img.shape[0], source_img.shape[1]
+    htiles, vtiles = w // dim, h // dim
+    log(
+        f"Doing {htiles}x{vtiles} tiles resulting in a "
+        f"{htiles * tile_size}x{vtiles * tile_size} image (step: {dim})"
+    )
+    if check_tiles:
+        insufficient_tiles_check(htiles * vtiles, len(tile_set))
+    blocks = np.asarray(source_blocks(source_img, dim))  # [B, 3N], y-major
+    lib = np.asarray(build_library(tile_set.palettes))  # [2T, 3N]
+    return dim, htiles, vtiles, blocks, lib
+
+
+def finish_render(
+    rows, dists, vtiles, htiles, tile_set, stats_step, tile_size, *,
+    stack, compose, timed_log=None,
+) -> RenderOutcome:
+    """Shared render epilogue: items grid (unassigned -> black), stats,
+    optional composite. `stats_step` carries the reference's coordinate
+    quirk — SOURCE-pixel coords (dim) for matched modes
+    (rendering.rs:211-214), OUTPUT-pixel coords (tile_size) for global
+    no-repeat (rendering.rs:357-364). `timed_log` adds the no-repeat
+    path's compose timing line."""
+    num_tiles = len(tile_set)
+    items = np.asarray(rows_to_items(rows, num_tiles))
+    items = np.where(rows < 0, 0, items)  # unassigned -> black
+    items_grid = items.reshape(vtiles, htiles)
+    stats = RenderStats.from_grid(
+        items_grid,
+        np.asarray(dists).reshape(vtiles, htiles),
+        stats_step,
+        stats_step,
+        tile_set,
+    )
+    image = None
+    if compose:
+        t0 = time.perf_counter()
+        if stack is None:
+            stack = tile_set.image_stack(tile_size)
+        image = np.asarray(compose_mosaic(items_grid, stack))
+        if timed_log is not None:
+            timed_log(f"   compose: {time.perf_counter() - t0:.2f}s")
+    return RenderOutcome(
+        image=image, stats=stats, tile_set=tile_set, items=items_grid
+    )
 
 
 def match_blocks(
@@ -149,20 +203,28 @@ def render_nto1(
     if len(tile_set) == 0:
         # the reference panics deep in the kd-tree here; fail clearly
         raise ValueError("❌ No tiles available for matching")
-    n = tile_set.n_cells
-    dim = math.isqrt(n)
-    h, w = source_img.shape[0], source_img.shape[1]
-    htiles, vtiles = w // dim, h // dim
-    log(
-        f"Doing {htiles}x{vtiles} tiles resulting in a "
-        f"{htiles * tile_size}x{vtiles * tile_size} image (step: {dim})"
+    dim, htiles, vtiles, blocks, lib = start_render(
+        source_img, tile_set, tile_size, log, check_tiles=no_repeat
     )
-    if no_repeat:
-        insufficient_tiles_check(htiles * vtiles, len(tile_set))
+    if no_repeat or randomize is not None:
+        # these branches always score with the exact L1 top-k: the
+        # match-path-only knobs would otherwise be dropped silently
+        ignored = [
+            name
+            for name, off in (
+                (f"--matcher {use_lut}", use_lut == "auto"),
+                (f"--metric {metric}", metric == "l1"),
+                ("--matcher hybrid", not hybrid),
+            )
+            if not off
+        ]
+        if ignored:
+            log(
+                f"⚠️  {', '.join(ignored)} ignored: "
+                f"{'randomize' if randomize is not None else 'greedy no-repeat'} "
+                "always scores with the exact L1 top-k"
+            )
 
-    blocks = np.asarray(source_blocks(source_img, dim))  # [B, 3N], y-major
-    lib = np.asarray(build_library(tile_set.palettes))  # [2T, 3N]
-    num_tiles = len(tile_set)
     rng = np.random.default_rng(seed)
 
     def topk(k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -209,20 +271,8 @@ def render_nto1(
             mesh=mesh,
         )
 
-    items = np.asarray(rows_to_items(rows, num_tiles))
-    items = np.where(rows < 0, 0, items)  # unassigned -> black
-    items_grid = items.reshape(vtiles, htiles)
-
-    # source-pixel coords (rendering.rs:211-214)
-    stats = RenderStats.from_grid(
-        items_grid, np.asarray(dists).reshape(vtiles, htiles), dim, dim, tile_set
-    )
-
-    image = None
-    if compose:
-        if stack is None:
-            stack = tile_set.image_stack(tile_size)
-        image = np.asarray(compose_mosaic(items_grid, stack))
-    return RenderOutcome(
-        image=image, stats=stats, tile_set=tile_set, items=items_grid
+    # stats_step=dim: source-pixel coords (rendering.rs:211-214)
+    return finish_render(
+        rows, dists, vtiles, htiles, tile_set, dim, tile_size,
+        stack=stack, compose=compose,
     )

@@ -17,27 +17,25 @@ SURVEY.md section 3.5).
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
 
 import numpy as np
 
-from emosaic_tpu.ops.analysis import source_blocks
-from emosaic_tpu.ops.composite import compose_mosaic
 from emosaic_tpu.ops import distance as _distance
 from emosaic_tpu.ops.distance import (
     DeviceRefiller,
-    build_library,
     l1_dist_matrix,
     l1_topk_adaptive,
     l1_topk_hybrid,
-    rows_to_items,
 )
 from emosaic_tpu.render.greedy import greedy_global_assign, make_numpy_refill
-from emosaic_tpu.render.matched import RenderOutcome, insufficient_tiles_check
-from emosaic_tpu.stats import RenderStats
+from emosaic_tpu.render.matched import (
+    RenderOutcome,
+    finish_render,
+    start_render,
+)
 from emosaic_tpu.tiles.tileset import TileSet
 
 #: full-list (exact) mode is used while B * L stays under this many entries
@@ -69,18 +67,12 @@ def render_nto1_no_repeat(
     mesh=None,
     log=lambda *a: print(*a, file=sys.stderr),
 ) -> RenderOutcome:
-    n = tile_set.n_cells
-    dim = math.isqrt(n)
-    h, w = source_img.shape[0], source_img.shape[1]
-    htiles, vtiles = w // dim, h // dim
-    log(
-        f"Doing {htiles}x{vtiles} tiles resulting in a "
-        f"{htiles * tile_size}x{vtiles * tile_size} image (step: {dim})"
+    if scorer not in ("exact", "hybrid"):
+        # fail loud: a typo would otherwise silently run the exact path
+        raise ValueError(f"scorer must be 'exact' or 'hybrid', got {scorer!r}")
+    dim, htiles, vtiles, blocks, lib = start_render(
+        source_img, tile_set, tile_size, log, check_tiles=True
     )
-    insufficient_tiles_check(htiles * vtiles, len(tile_set))
-
-    blocks = np.asarray(source_blocks(source_img, dim))
-    lib = np.asarray(build_library(tile_set.palettes))
     num_tiles = len(tile_set)
     b, l = blocks.shape[0], lib.shape[0]
 
@@ -160,7 +152,7 @@ def render_nto1_no_repeat(
         rows, dists = native.greedy_global(
             cd, cr, blocks, lib, num_tiles,
             refill_cb=refiller,
-            cb_max_batch=refiller._m2 if refiller else 4096,
+            cb_max_batch=refiller.max_batch if refiller else 4096,
         )
         if refiller is not None and refiller.n_calls:
             log(f"   device refill events: {refiller.n_calls}")
@@ -169,26 +161,8 @@ def render_nto1_no_repeat(
         rows, dists = greedy_global_assign(cd, cr, l, num_tiles, refill)
     log(f"   assignment: {time.perf_counter() - t0:.2f}s")
 
-    items = np.asarray(rows_to_items(rows, num_tiles))
-    items = np.where(rows < 0, 0, items)
-    items_grid = items.reshape(vtiles, htiles)
-
-    # output-pixel coords (rendering.rs:357-364)
-    stats = RenderStats.from_grid(
-        items_grid,
-        np.asarray(dists).reshape(vtiles, htiles),
-        tile_size,
-        tile_size,
-        tile_set,
-    )
-
-    image = None
-    if compose:
-        t0 = time.perf_counter()
-        if stack is None:
-            stack = tile_set.image_stack(tile_size)
-        image = np.asarray(compose_mosaic(items_grid, stack))
-        log(f"   compose: {time.perf_counter() - t0:.2f}s")
-    return RenderOutcome(
-        image=image, stats=stats, tile_set=tile_set, items=items_grid
+    # stats_step=tile_size: output-pixel coords (rendering.rs:357-364)
+    return finish_render(
+        rows, dists, vtiles, htiles, tile_set, tile_size, tile_size,
+        stack=stack, compose=compose, timed_log=log,
     )

@@ -159,7 +159,7 @@ def test_greedy_global_device_refill_bit_identical(rng, margin):
     dev = DeviceRefiller(blocks, lib, defer_events=0)
     r_c, d_c = native.greedy_global(
         cd, cr, blocks, lib, t,
-        refill_cb=dev, cb_margin=margin, cb_max_batch=dev._m2,
+        refill_cb=dev, cb_margin=margin, cb_max_batch=dev.max_batch,
     )
     assert dev.n_calls > 0  # the device path actually ran
     assert (r_c == base_r).all()
@@ -198,7 +198,7 @@ def test_device_refiller_defers_then_engages(rng):
 
     dev = DeviceRefiller(blocks, lib, defer_events=3)
     r_c, d_c = native.greedy_global(
-        cd, cr, blocks, lib, t, refill_cb=dev, cb_max_batch=dev._m2
+        cd, cr, blocks, lib, t, refill_cb=dev, cb_max_batch=dev.max_batch
     )
     assert dev.n_deferred == 3  # absorbed exactly the configured events
     assert dev.n_calls > 0  # then engaged the device path
@@ -248,7 +248,7 @@ def test_cb_k_derived_from_refiller(rng):
     base_r, base_d = native.greedy_global(cd, cr, blocks, lib, t)
     dev = DeviceRefiller(blocks, lib, k=16, defer_events=0)  # non-default k
     r_c, d_c = native.greedy_global(
-        cd, cr, blocks, lib, t, refill_cb=dev, cb_max_batch=dev._m2
+        cd, cr, blocks, lib, t, refill_cb=dev, cb_max_batch=dev.max_batch
     )
     assert dev.n_calls > 0
     assert (r_c == base_r).all() and (d_c == base_d).all()
@@ -344,7 +344,7 @@ def test_device_refiller_oversized_library_stays_on_host(rng, monkeypatch):
     with pytest.raises(_DeferRefill):
         dev(np.arange(3, dtype=np.int64), np.zeros(2 * t, np.uint8))
     r_c, d_c = native.greedy_global(
-        cd, cr, blocks, lib, t, refill_cb=dev, cb_max_batch=dev._m2
+        cd, cr, blocks, lib, t, refill_cb=dev, cb_max_batch=dev.max_batch
     )
     assert dev.n_calls == 0  # no event ever reached the device path
     assert (r_c == base_r).all() and (d_c == base_d).all()

@@ -2,6 +2,7 @@
 
 import io
 import json
+from pathlib import Path
 import threading
 import urllib.error
 import urllib.request
@@ -623,3 +624,65 @@ def test_stream_stalled_client_aborts_render_and_frees_device(scene, rng):
         assert (got == ref).all()
     finally:
         httpd.shutdown()
+
+
+def test_serve_main_entry_subprocess(scene):
+    """The real `python -m emosaic_tpu.serve` entry (argparse -> service
+    -> warmup -> ThreadingHTTPServer): start it on an ephemeral port,
+    hit /healthz and /mosaic, and check the PNG — the only place the
+    production arg surface and the 'serving on' banner are executed."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+    import urllib.request
+
+    tiles, src_bytes, src = scene
+    repo = Path(__file__).parent.parent
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from emosaic_tpu.serve import main\n"
+        f"raise SystemExit(main(['{tiles}', '-m', '1', '-s', '8',"
+        " '--port', '0', '--warmup', '16x16']))\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        env=env,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        port = None
+        deadline = _time.time() + 180
+        for line in proc.stderr:
+            m = re.search(r"serving on http://127\.0\.0\.1:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+            assert _time.time() < deadline, "server never came up"
+        assert port, "no serving banner"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["tiles"] == 10
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/mosaic?seed=0",
+            data=src_bytes,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            png = r.read()
+        img = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        assert img.shape == (8 * (src.shape[0] // 1), 8 * 12, 3)
+    finally:
+        proc.send_signal(signal.SIGINT)  # KeyboardInterrupt -> clean exit
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()

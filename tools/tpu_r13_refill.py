@@ -92,7 +92,7 @@ def main():
     t0 = time.perf_counter()
     rows_d, dists_d = native.greedy_global(
         cd, cr, blocks, lib, T,
-        refill_cb=refiller, cb_max_batch=refiller._m2,
+        refill_cb=refiller, cb_max_batch=refiller.max_batch,
     )
     dev_s = time.perf_counter() - t0
     identical = bool((rows_d == rows_h).all() and (dists_d == dists_h).all())
