@@ -226,3 +226,26 @@ def test_no_repeat_streamed_scorer_end_to_end(rng, monkeypatch):
     assert calls  # the production gate engaged
     assert (exact.items == streamed.items).all()
     assert (np.asarray(exact.image) == np.asarray(streamed.image)).all()
+
+
+def test_no_repeat_starved_blocks_render_black(rng):
+    """PARITY deviation 16: B in (T, 2T] passes insufficient_tiles_check
+    but only T placements are possible (each consumes a mirror PAIR).
+    The reference panics once 2+ blocks starve (compare_matches unwraps
+    an empty refill, rendering.rs:386-390 / algorithms.rs:11); this port
+    completes the render with BLACK tiles for every starved block."""
+    dim = 1
+    src = rng.integers(0, 256, size=(1, 5, 3), dtype=np.uint8)  # B=5
+    pal = rng.integers(0, 256, size=(3, 1, 3), dtype=np.uint8)  # T=3
+    stack = rng.integers(1, 256, size=(3, 4, 4, 3), dtype=np.uint8)  # no 0s
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(3)])
+    out = render_nto1_no_repeat(src, ts, 4, stack=stack, **quiet)
+    items = out.items.reshape(-1)
+    assert (items == 0).sum() == 2  # B - T starved blocks
+    img = out.image.reshape(1, 4, 5, 4, 3)
+    for bx in range(5):
+        tile = img[0, :, bx]
+        if items[bx] == 0:
+            assert (tile == 0).all()  # black hole, not a crash
+        else:
+            assert (tile != 0).any()
