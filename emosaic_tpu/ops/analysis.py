@@ -45,6 +45,14 @@ def _analyse_batch_jit(tiles: jax.Array, dim: int) -> jax.Array:
     t, h, w = tiles.shape[0], tiles.shape[1], tiles.shape[2]
     if h // dim == 0 or w // dim == 0:
         raise ValueError(f"tile {h}x{w} smaller than {dim}x{dim} grid")
+    if (h // dim) * (w // dim) > (2**31 - 1) // 255:
+        # the box sum accumulates in int32 (TPU-native width); a >8.4M-px
+        # box would wrap silently. Unreachable via the CLI (tile size is
+        # capped at 1024), but this is a public op (review r4).
+        raise ValueError(
+            f"box {h // dim}x{w // dim} too large: per-channel sums exceed "
+            "int32 (max ~8.4M pixels per box)"
+        )
     out = _analyse_batch_2d(tiles.reshape(t, h * w * 3), h=h, w=w, dim=dim)
     return out.reshape(t, dim * dim, 3)
 
@@ -65,6 +73,14 @@ def analyse_batch(tiles, dim: int) -> jax.Array:
     t, h, w = tiles.shape[0], tiles.shape[1], tiles.shape[2]
     if h // dim == 0 or w // dim == 0:
         raise ValueError(f"tile {h}x{w} smaller than {dim}x{dim} grid")
+    if (h // dim) * (w // dim) > (2**31 - 1) // 255:
+        # the box sum accumulates in int32 (TPU-native width); a >8.4M-px
+        # box would wrap silently. Unreachable via the CLI (tile size is
+        # capped at 1024), but this is a public op (review r4).
+        raise ValueError(
+            f"box {h // dim}x{w // dim} too large: per-channel sums exceed "
+            "int32 (max ~8.4M pixels per box)"
+        )
     out = _analyse_batch_2d(
         jnp.asarray(tiles.reshape(t, -1)), h=h, w=w, dim=dim
     )

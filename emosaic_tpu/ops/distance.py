@@ -344,14 +344,10 @@ def _l1_argmin_stripes_jit(blocks_flat, lib_flat, *, d: int, bc: int, real_l: in
     lib = lib_flat.reshape(-1, d)
     col = jnp.arange(lib.shape[0], dtype=jnp.int32)
     invalid = col >= real_l
-    ct = lib.astype(jnp.int32).sum(axis=1)
-    f32 = _stripe_f32_ok(lib.size)
-    lib_w = lib.astype(jnp.float32) if f32 else lib
+    score_of = _stripe_score_env(lib, invalid)
 
     def per_chunk(xc):
-        s = _min_sum_stripe(xc, lib_w, f32)
-        score = ct[None, :] - 2 * s
-        score = jnp.where(invalid[None, :], _TL_BIG, score)
+        score = score_of(xc)
         row = jnp.argmin(score, axis=1).astype(jnp.int32)
         best = jnp.take_along_axis(score, row[:, None], axis=1)[:, 0]
         cx = xc.astype(jnp.int32).sum(-1)
@@ -470,14 +466,10 @@ def _l1_topk_stripes_jit(blocks_flat, lib_flat, *, d, bc, k, real_l):
     # distance ordering per row (cx is a per-block constant), so top_k on
     # the score keeps the lowest-column tie rule and the true distance is
     # recovered as score + cx
-    ct = lib.astype(jnp.int32).sum(axis=1)
-    f32 = _stripe_f32_ok(lib.size)
-    lib_w = lib.astype(jnp.float32) if f32 else lib
+    score_of = _stripe_score_env(lib, invalid)
 
     def per_chunk(xc):
-        s = _min_sum_stripe(xc, lib_w, f32)
-        score = ct[None, :] - 2 * s
-        score = jnp.where(invalid[None, :], _TL_BIG, score)
+        score = score_of(xc)
         nd, ni = jax.lax.top_k(-score, k)  # ties -> lowest column index
         cx = xc.astype(jnp.int32).sum(-1)
         dist = jnp.where(-nd >= _TL_BIG, I32_MAX, -nd + cx[:, None])
@@ -572,14 +564,10 @@ def _refill_topk_jit(blocks_flat, ids, lib_flat, unused_idx, real_u, *, d, k, bc
     sub = lib[unused_idx]  # [U2, d] compacted (ascending) unused rows
     u2 = sub.shape[0]
     invalid = jnp.arange(u2, dtype=jnp.int32) >= real_u
-    ct = sub.astype(jnp.int32).sum(axis=1)
-    f32 = _stripe_f32_ok(sub.size)
-    sub_w = sub.astype(jnp.float32) if f32 else sub
+    score_of = _stripe_score_env(sub, invalid)
 
     def per_chunk(xc):
-        s = _min_sum_stripe(xc, sub_w, f32)
-        score = ct[None, :] - 2 * s
-        score = jnp.where(invalid[None, :], _TL_BIG, score)
+        score = score_of(xc)
         nd, ni = jax.lax.top_k(-score, k)  # ties -> lowest compacted pos
         cx = xc.astype(jnp.int32).sum(-1)
         dist = jnp.where(-nd >= _TL_BIG, I32_MAX, -nd + cx[:, None])
@@ -785,6 +773,21 @@ def _l1_rescore_jit(
     return dists.reshape(-1, k), rows.reshape(-1, k)
 
 
+def _rescore_use_dma(l: int, d: int, platform: str | None = None) -> bool:
+    """DMA shortlist rescore eligibility for a SINGLE-buffer library.
+
+    Libraries between the 4 GiB Pallas DMA addressing limit
+    (`_DMA_LIB_BYTES_MAX`, dynamic .at[row] byte offsets wrap mod 2^32)
+    and the 6.2 GB device budget previously crashed at trace time here
+    ("split it with _lib_banks"); banking is not worth a second resident
+    library copy on this path (the prefilter needs the un-banked buffer
+    for its matmul), so that window takes the XLA gather rescore
+    (~87 ns/row vs ~19 — still a shortlist, not a full rescan)."""
+    if (platform or jax.devices()[0].platform) != "tpu":
+        return False
+    return l * _pad_width(d) <= _DMA_LIB_BYTES_MAX
+
+
 def l1_topk_hybrid(
     blocks, lib, k: int, *, k_pre: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -814,23 +817,28 @@ def l1_topk_hybrid(
     bc = max(8, min(1024, 1 << (max(1, raw).bit_length() - 1)))
     bp = -(-b // bc) * bc
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
+    # one upload each, shared by the prefilter and rescore jits (a second
+    # jnp.asarray would re-pay the host->device transfer AND double the
+    # transient HBM for the up-to-6.2 GB library)
+    blocks_dev = jnp.asarray(blocks_p.reshape(-1))
+    lib_dev = jnp.asarray(lib.reshape(-1))
     cand = _mxu_prefilter_jit(
-        jnp.asarray(blocks_p.reshape(-1)),
-        jnp.asarray(lib.reshape(-1)),
+        blocks_dev,
+        lib_dev,
         d=d,
         bc=bc,
         k_pre=kp,
     )
     bc2 = min(256, bc)
     dists, rows = _l1_rescore_jit(
-        jnp.asarray(blocks_p.reshape(-1)),
+        blocks_dev,
         cand,
-        jnp.asarray(lib.reshape(-1)),
+        lib_dev,
         d=d,
         bc=bc2,
         k=kk,
         real_l=l,
-        use_dma=jax.devices()[0].platform == "tpu",
+        use_dma=_rescore_use_dma(l, d),
     )
     out_d = np.asarray(jax.device_get(dists))[:b]
     out_r = np.asarray(jax.device_get(rows))[:b]
@@ -943,6 +951,22 @@ def l2_argmin(blocks, lib) -> tuple[jax.Array, jax.Array]:
     lib = np.asarray(lib, dtype=np.uint8)
     b, d = blocks.shape
     l = lib.shape[0]
+    if 3 * lib.nbytes > _DEVICE_LIB_BYTES_MAX and l > _TL_SEG:
+        # the MXU path keeps the u8 library PLUS a 2x bf16 copy resident
+        # (~3x lib bytes) — the only matcher whose working set is a
+        # multiple of the library. Past the budget, stream host banks
+        # through this same kernel (bank thirds keep the 3x inside the
+        # envelope; bank-local "first minimum" ties fold under the
+        # streamer's (dist, lowest-row) key — this mode's ties are
+        # documented as kernel-dependent already).
+        rb = max(_TL_SEG, _DEVICE_LIB_BYTES_MAX // 3 // d // _TL_SEG * _TL_SEG)
+
+        def bank_scorer(bb, ll, kx, prepared=None):
+            dd_, rr_ = l2_argmin(bb, ll)
+            return np.asarray(dd_)[:, None], np.asarray(rr_)[:, None]
+
+        da, ra = l1_topk_streamed(blocks, lib, 1, bank_rows=rb, scorer=bank_scorer)
+        return da[:, 0], ra[:, 0]
     bc = max(8, min(2048, (2**26) // max(1, l * 4)))
     bp = -(-b // bc) * bc
     blocks_p = np.pad(blocks, ((0, bp - b), (0, 0)))
@@ -1065,6 +1089,31 @@ _TL_CAP = 8
 #: per-block constant stays far below this, so masked columns never win)
 _TL_BIG = np.int32(2**30)
 
+def _stripe_score_env(lib, invalid):
+    """Shared min-identity stripe scoring prefix (review r4: this body
+    was hand-kept in four kernels).
+
+    Precomputes the per-column coordinate sums, takes the measured
+    f32-lane decision (`_stripe_f32_ok` — VPU f32 min+add lanes are
+    ~1.5x i32 and exact below 2^24, CLAUDE.md), and returns a
+    `score_of(xc)` closure: score[i, j] = ct[j] - 2*sum_min(x_i, t_j)
+    with invalid columns forced to `_TL_BIG`. By the min identity
+    |x-t| = x + t - 2*min(x,t), dist = score + cx where cx = sum(x_i) is
+    a per-block constant — so score ordering equals distance ordering,
+    ties included. Chip-exactness-sensitive: every stripe kernel must
+    take this construction from here, not re-derive it."""
+    ct = lib.astype(jnp.int32).sum(axis=1)
+    f32 = _stripe_f32_ok(lib.size)
+    lib_w = lib.astype(jnp.float32) if f32 else lib
+
+    def score_of(xc):
+        s = _min_sum_stripe(xc, lib_w, f32)  # fused stripe: [bc, L]
+        score = ct[None, :] - 2 * s
+        return jnp.where(invalid[None, :], _TL_BIG, score)
+
+    return score_of
+
+
 
 @functools.partial(jax.jit, static_argnames=("d", "bc", "k", "real_l", "cap"))
 def _l1_topk_twolevel_jit(
@@ -1082,14 +1131,10 @@ def _l1_topk_twolevel_jit(
     # cx is a per-block constant: score ordering == distance ordering
     # (ties included), and the stripe drops one VPU op per element
     # (measured ~5% at D=3072, tools/tpu_r3_experiments2.py D1).
-    ct = lib.astype(jnp.int32).sum(axis=1)
-    f32 = _stripe_f32_ok(lib.size)
-    lib_w = lib.astype(jnp.float32) if f32 else lib
+    score_of = _stripe_score_env(lib, invalid)
 
     def per_chunk(xc):
-        s = _min_sum_stripe(xc, lib_w, f32)  # fused stripe: [bc, L]
-        score = ct[None, :] - 2 * s
-        score = jnp.where(invalid[None, :], _TL_BIG, score)
+        score = score_of(xc)
         seg = score.reshape(bc, nseg, _TL_SEG)
         nd1, ni1 = jax.lax.top_k(-seg, cap)  # [bc, nseg, cap]
         vals = -nd1  # ascending per segment; ties -> lowest column

@@ -1250,3 +1250,40 @@ def test_l1_topk_streamed_prefetch_error_propagates(rng):
     scorer.prepare = bad_prepare
     with pytest.raises(RuntimeError, match="prefetch boom"):
         distance.l1_topk_streamed(blocks, lib, k, bank_rows=256, scorer=scorer)
+
+
+def test_l2_argmin_streams_beyond_budget(rng, monkeypatch):
+    """l2_argmin's MXU path keeps ~3x the library bytes resident (u8 +
+    bf16 copy); past the budget it must stream host banks through itself
+    (recursion-safe: banks fit 3x inside the budget) and agree with the
+    direct kernel."""
+    from emosaic_tpu.ops import distance
+
+    l, d = 2000, 12
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(23, d), dtype=np.uint8)
+    d_ref, r_ref = map(np.asarray, distance.l2_argmin(blocks, lib))
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", 512 * d * 3)
+    d_s, r_s = map(np.asarray, distance.l2_argmin(blocks, lib))
+    np.testing.assert_array_equal(d_s, d_ref)
+    np.testing.assert_array_equal(r_s, r_ref)
+    # tiny budget: bank floor is _TL_SEG rows; must not recurse forever
+    monkeypatch.setattr(distance, "_DEVICE_LIB_BYTES_MAX", 1)
+    d_t, r_t = map(np.asarray, distance.l2_argmin(blocks, lib))
+    np.testing.assert_array_equal(d_t, d_ref)
+    np.testing.assert_array_equal(r_t, r_ref)
+
+
+def test_rescore_dma_gate_respects_addressing_limit(monkeypatch):
+    """Libraries between the 4 GiB DMA addressing limit and the device
+    budget must take the gather rescore, not crash at trace time in
+    _l1_rows_dma (review r4: the hybrid path handed >4 GiB single
+    buffers to the DMA kernel)."""
+    from emosaic_tpu.ops import distance
+
+    d = 3072  # mode 32, d % 128 == 0 (the DMA-eligible shape class)
+    dp = distance._pad_width(d)
+    limit_rows = distance._DMA_LIB_BYTES_MAX // dp
+    assert distance._rescore_use_dma(limit_rows, d, platform="tpu")
+    assert not distance._rescore_use_dma(limit_rows + 1, d, platform="tpu")
+    assert not distance._rescore_use_dma(128, d, platform="cpu")
