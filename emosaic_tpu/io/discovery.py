@@ -33,15 +33,30 @@ def find_images(
         predicate = exts.__contains__
     out: list[Path] = []
     stack = [root]
+    try:
+        seen_dirs = {root.resolve()}
+    except OSError:
+        seen_dirs = set()
     while stack:
         d = stack.pop()
         try:
-            entries = sorted(d.iterdir())
+            # the final result is sorted below; no need to sort the walk
+            entries = list(d.iterdir())
         except OSError:
             continue
         for p in entries:
             if p.is_dir():
-                stack.append(p)
+                # directory-symlink cycles would re-collect every image
+                # per spelling until ELOOP (the reference's read_dir walk
+                # shares the hazard); dedupe on the resolved path —
+                # output-identical for acyclic trees (review r4)
+                try:
+                    rp = p.resolve()
+                except OSError:
+                    continue
+                if rp not in seen_dirs:
+                    seen_dirs.add(rp)
+                    stack.append(p)
             elif p.is_file():
                 ext = p.suffix[1:] if p.suffix else ""
                 if ext and predicate(ext):

@@ -170,8 +170,12 @@ def _prepare(
         try:
             with Image.open(cpath) as im:
                 cached = np.asarray(im.convert("RGB"), dtype=np.uint8)
-            date = get_exif_date(path) if want_date else None
-            return cached, date
+            if cached.shape == (tile_size, tile_size, 3):
+                date = get_exif_date(path) if want_date else None
+                return cached, date
+            # wrong-dimension cache entry (corrupt / foreign writer in the
+            # shared reference-compatible dir): regenerate instead of
+            # poisoning the stack build (review r4)
         except Exception:
             pass  # fall through to regeneration, like the or_else chain
 

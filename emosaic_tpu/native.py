@@ -239,6 +239,10 @@ def trim_bounds(img: np.ndarray) -> tuple[int, int, int, int]:
     """Native white-trim scan; raises ValueError like io/prep.trim_bounds."""
     nl = load()
     img = _c(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        # the C++ scan indexes (y*w+x)*3+2 unconditionally — a grayscale
+        # or RGBA array would read past the buffer (review r4)
+        raise ValueError(f"trim_bounds needs [h, w, 3] u8, got {img.shape}")
     out = np.empty(4, dtype=np.int32)
     nl.emosaic_trim_bounds(img, img.shape[0], img.shape[1], out)
     if out[0] < 0:

@@ -350,6 +350,7 @@ def _make_handler(
     service: MosaicService,
     *,
     max_request_bytes: int = 64 << 20,
+    max_source_pixels: int = 1 << 30,
     stream_threshold: int = 1 << 30,
     max_pending: int = 2,
     io_timeout: float | None = 60.0,
@@ -458,6 +459,26 @@ def _make_handler(
 
         def _respond(self, body: bytes, q: dict) -> None:
             """Device work under render_lock, socket writes outside it."""
+            # decompression-bomb guard (review r4): io/prep.py disables
+            # PIL's global pixel limit for CLI-owned gigapixel sources,
+            # so the HTTP path must bound decoded size itself — a ~100 KB
+            # crafted 60000x60000 PNG would decode to ~10 GB and OOM the
+            # resident service. Image.open only parses the header here.
+            try:
+                with Image.open(io.BytesIO(body)) as im:
+                    w, h = im.size
+            except Exception:
+                self._json(400, {"error": "undecodable image body"})
+                return
+            if w * h > max_source_pixels:
+                self._json(
+                    413,
+                    {
+                        "error": f"source {w}x{h} exceeds the "
+                        f"{max_source_pixels}-pixel decode limit"
+                    },
+                )
+                return
             try:
                 with render_lock:
                     plan = service.render_plan(
@@ -579,6 +600,14 @@ def main(argv=None) -> int:
         "responds 413 without reading the body",
     )
     p.add_argument(
+        "--max-source-pixels",
+        type=int,
+        default=1 << 30,
+        help="Largest accepted DECODED source size in pixels (the body "
+        "byte cap cannot bound a decompression bomb); beyond it the "
+        "request gets 413 after a header-only parse",
+    )
+    p.add_argument(
         "--stream-threshold",
         type=int,
         default=1 << 30,
@@ -660,6 +689,7 @@ def _serve(args, p) -> int:
         _make_handler(
             service,
             max_request_bytes=args.max_request_bytes,
+            max_source_pixels=args.max_source_pixels,
             stream_threshold=args.stream_threshold,
             max_pending=args.max_pending,
             io_timeout=args.io_timeout or None,

@@ -34,10 +34,17 @@ def _prep_workers() -> int:
     this with rayon, main.rs:760-766). Capped: prep saturates disk/JPEG
     decode well before 32 processes, and each spawn pays a fresh
     interpreter. 0/1 disables the pool (single-core hosts lose to pool
-    overhead)."""
-    return int(os.environ.get("EMOSAIC_PREP_WORKERS", "0")) or min(
-        16, os.cpu_count() or 1
-    )
+    overhead); unset/invalid values take the default."""
+    raw = os.environ.get("EMOSAIC_PREP_WORKERS", "")
+    try:
+        n = int(raw)
+    except ValueError:
+        n = -1  # unset or garbage -> default (never abort the build)
+    if n == 0:
+        # review r4: `or` treated the documented "0 disables" as falsy
+        # and silently spawned the default pool
+        return 1
+    return n if n > 0 else min(16, os.cpu_count() or 1)
 
 
 @contextlib.contextmanager

@@ -95,14 +95,18 @@ def stack_cache_path(tiles_dir: str | os.PathLike, tile_size: int) -> Path:
 
 
 def save_stack_cache(path: str | os.PathLike, paths: list[Path], stack: np.ndarray):
-    buf = io.BytesIO()
-    np.savez(
-        buf,
-        magic=np.array(_MAGIC),
-        paths=np.array([str(p) for p in paths]),
-        stack=stack,
-    )
-    _atomic_write(Path(path), buf.getvalue())
+    # write straight to the tmp file: a BytesIO staging copy doubles peak
+    # host RSS at exactly the multi-GB scale this cache exists for
+    path = Path(path)
+    tmp = path.with_name(f".{path.name}.tmp{os.getpid()}")
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            magic=np.array(_MAGIC),
+            paths=np.array([str(p) for p in paths]),
+            stack=stack,
+        )
+    os.replace(tmp, path)
 
 
 def load_stack_cache(
@@ -110,7 +114,9 @@ def load_stack_cache(
 ) -> np.ndarray | None:
     path = Path(path)
     try:
-        data = np.load(io.BytesIO(path.read_bytes()), allow_pickle=False)
+        # np.load on the path reads members lazily — no whole-file
+        # read_bytes() copy next to the multi-GB stack array
+        data = np.load(path, allow_pickle=False)
         if str(data["magic"]) != _MAGIC:
             return None
         paths = [Path(p) for p in data["paths"]]

@@ -348,3 +348,15 @@ def test_device_refiller_oversized_library_stays_on_host(rng, monkeypatch):
     )
     assert dev.n_calls == 0  # no event ever reached the device path
     assert (r_c == base_r).all() and (d_c == base_d).all()
+
+
+def test_trim_bounds_rejects_non_rgb(rng):
+    """The C++ scan indexes (y*w+x)*3+2 unconditionally; non-[h,w,3]
+    arrays must be rejected in the wrapper, not read out of bounds
+    (review r4)."""
+    gray = rng.integers(0, 200, size=(8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match=r"\[h, w, 3\]"):
+        native.trim_bounds(gray)
+    rgba = rng.integers(0, 200, size=(8, 8, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match=r"\[h, w, 3\]"):
+        native.trim_bounds(rgba)

@@ -686,3 +686,45 @@ def test_serve_main_entry_subprocess(scene):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_decoded_pixel_cap_413(scene):
+    """--max-source-pixels: the body byte cap cannot bound a
+    decompression bomb; an over-pixel source must get 413 after a
+    header-only parse, never a full decode (review r4)."""
+    from http.server import ThreadingHTTPServer
+
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _make_handler(svc, max_source_pixels=50)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/mosaic", data=src_bytes, method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected 413")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+            body = json.loads(e.read())
+            assert "decode limit" in body["error"]
+        # garbage body -> 400 from the header parse, not a 500
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/mosaic", data=b"not an image",
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()

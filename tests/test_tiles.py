@@ -269,3 +269,67 @@ def test_fast_prep_keeps_faint_sparse_content(tmp_path, monkeypatch):
     monkeypatch.setenv("EMOSAIC_FAST_PREP", "1")
     fast = prepare_tile(p, 32, crop=True)
     assert (fast == exact).all()
+
+
+def test_prep_workers_env_parsing(monkeypatch):
+    """EMOSAIC_PREP_WORKERS: 0/1 disable the pool as documented (review
+    r4: `or` treated 0 as unset), explicit counts are honored, garbage
+    never aborts the build."""
+    from emosaic_tpu.tiles.builder import _prep_workers
+
+    monkeypatch.setenv("EMOSAIC_PREP_WORKERS", "0")
+    assert _prep_workers() == 1
+    monkeypatch.setenv("EMOSAIC_PREP_WORKERS", "1")
+    assert _prep_workers() == 1
+    monkeypatch.setenv("EMOSAIC_PREP_WORKERS", "4")
+    assert _prep_workers() == 4
+    monkeypatch.setenv("EMOSAIC_PREP_WORKERS", "garbage")
+    assert _prep_workers() >= 1  # default, not ValueError
+    monkeypatch.delenv("EMOSAIC_PREP_WORKERS")
+    assert _prep_workers() >= 1
+
+
+def test_prep_cache_wrong_shape_regenerates(tmp_path, monkeypatch, rng):
+    """A wrong-dimension content-hash cache entry (corrupt/foreign
+    writer) must fall through to regeneration, not poison the stack
+    build (review r4)."""
+    import hashlib
+
+    from PIL import Image as PILImage
+
+    from emosaic_tpu.io import prep
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    src = tmp_path / "t.jpg"
+    arr = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    PILImage.fromarray(arr).save(src, quality=92)
+    digest = hashlib.md5(src.read_bytes()).hexdigest()
+    cdir = prep.cache_dir()
+    cdir.mkdir(parents=True, exist_ok=True)
+    # poison: an 8x8 entry where a 16x16 tile is expected
+    PILImage.fromarray(arr[:8, :8]).save(cdir / f"{digest}.16.jpg")
+    tile, _ = prep.prepare_tile_with_date(src, 16, crop=False)
+    assert tile.shape == (16, 16, 3)
+
+
+def test_find_images_symlink_cycle(tmp_path):
+    """A directory-symlink cycle must not duplicate images or loop
+    (review r4; the reference's read_dir walk shares the hazard)."""
+    from PIL import Image as PILImage
+
+    from emosaic_tpu.io.discovery import find_images
+
+    tiles = tmp_path / "tiles"
+    sub = tiles / "sub"
+    sub.mkdir(parents=True)
+    PILImage.fromarray(np.zeros((4, 4, 3), np.uint8)).save(tiles / "a.jpg")
+    PILImage.fromarray(np.zeros((4, 4, 3), np.uint8)).save(sub / "b.jpg")
+    try:
+        (sub / "loop").symlink_to(tiles, target_is_directory=True)
+    except OSError:
+        import pytest
+
+        pytest.skip("symlinks unavailable")
+    found = find_images(tiles, {"jpg"})
+    names = [p.name for p in found]
+    assert sorted(names) == ["a.jpg", "b.jpg"], names
