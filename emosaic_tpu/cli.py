@@ -47,7 +47,6 @@ from emosaic_tpu.tiles.cache import (
 )
 from emosaic_tpu.tiles.tileset import TileSet
 
-Image.MAX_IMAGE_PIXELS = None
 
 
 def log(*a):
@@ -73,8 +72,17 @@ def _percentage(s: str) -> float:
     return v
 
 
+def _positive_int(s: str) -> int:
+    """clap-u16 analogue: the reference cannot even represent 0/negative
+    here without panicking deep in the resize; fail at the parser."""
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError("Value must be a positive integer")
+    return v
+
+
 def validate_tile_size(tile_size: int) -> None:
-    if tile_size == 0:
+    if tile_size <= 0:  # the reference's u32 makes negatives unrepresentable
         raise SystemExit(
             "❌ Tile size must be greater than 0\n"
             "💡 Try using a value like 16, 32, or 64"
@@ -226,7 +234,7 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--no-repeat", action="store_true", help="Avoid repeating tiles")
     m.add_argument(
         "--downsample",
-        type=int,
+        type=_positive_int,
         default=1,
         help="Downsampling factor applied to the original image",
     )
@@ -467,7 +475,12 @@ def run_mosaic(args, timer=None) -> None:
     validate_tiles_directory(args.tiles_dir)
     mode = Mode(args.mode)
     log(f"Opening source image: {args.img}")
-    original = Image.open(args.img)
+    try:
+        original = Image.open(args.img)
+    except Exception as e:  # corrupt/garbage bytes behind a valid extension
+        # friendly error like the reference ("Failed to open source image",
+        # main.rs:396) instead of a PIL traceback
+        raise SystemExit(f"❌ Failed to open source image {args.img}: {e}")
 
     if mode is Mode.RANDOM:
         images = find_images(args.tiles_dir, set(args.extensions))
@@ -560,6 +573,27 @@ def run_mosaic(args, timer=None) -> None:
         )
         with timer.phase("match + compose"):
             if args.no_repeat and not args.greedy:
+                dropped = [
+                    n
+                    for n, off in (
+                        ("--randomize", args.randomize is None),
+                        (f"--metric {args.metric}", args.metric == "l1"),
+                        (
+                            f"--matcher {args.matcher}",
+                            args.matcher in ("auto", "hybrid"),
+                        ),
+                    )
+                    if not off
+                ]
+                if dropped:
+                    # the reference drops these silently on this route
+                    # (main.rs:663-666 passes neither randomize nor a
+                    # matcher choice to render_nto1_no_repeat); warn like
+                    # the greedy branch does (render/matched.py)
+                    log(
+                        f"⚠️  {', '.join(dropped)} ignored: global "
+                        "no-repeat always scores with the exact L1 top-k"
+                    )
                 result = render_nto1_no_repeat(
                     src, tile_set, args.tile_size, stack=stack,
                     compose=not streaming,
@@ -654,7 +688,15 @@ def run_mosaic(args, timer=None) -> None:
         log(f"📝 Writing output file to {out_path}")
         Image.fromarray(output).save(out_path, format="PNG")
 
-    if stats is not None and stats.tile_count():
+    have_stats = stats is not None and stats.tile_count()
+    if (stats is not None and not stats.tile_count()) and (
+        args.stats_json or args.html or args.web
+    ):
+        # zero placements (e.g. a fully-starved assignment): stats.render
+        # and the HTML generator would raise; say why the artifacts are
+        # skipped instead of silently dropping or crashing (review r4)
+        log("⚠️  No tiles recorded in statistics; skipping stats/HTML outputs")
+    if have_stats:
         stats_path = out_path.with_suffix(".stats.png")
         log(f"📊 Writing statistics visualization to {stats_path}")
         try:
@@ -677,7 +719,7 @@ def run_mosaic(args, timer=None) -> None:
             except OSError as e:  # non-fatal, like the image save
                 log(f"⚠️  Failed to save statistics JSON: {e}")
 
-    if stats is not None and (args.html or args.web):
+    if have_stats and (args.html or args.web):
         from emosaic_tpu.web import generate_html_with_options
 
         html_path = out_path.with_suffix(".html")

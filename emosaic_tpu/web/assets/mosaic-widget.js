@@ -297,9 +297,20 @@
     if (!modal) return;
     if (img) img.src = region.dataset.tileImage || '';
     if (info) {
-      info.innerHTML =
-        (region.dataset.distanceInfo || '') +
-        (region.dataset.dateInfo ? '<div>' + region.dataset.dateInfo + '</div>' : '');
+      /* EXIF dates are attacker-controlled bytes riding the tile images:
+       * reading data-date-info back decodes the server-side attribute
+       * escaping, so interpolating it into innerHTML (as the reference
+       * JS does) is stored XSS on the hosting origin. Build with text
+       * nodes instead — a reference bug deliberately not preserved. */
+      info.textContent = '';
+      info.appendChild(
+        document.createTextNode(region.dataset.distanceInfo || '')
+      );
+      if (region.dataset.dateInfo) {
+        var dateDiv = document.createElement('div');
+        dateDiv.textContent = region.dataset.dateInfo;
+        info.appendChild(dateDiv);
+      }
     }
     modal.classList.add('visible');
   }

@@ -121,4 +121,4 @@ def generate_html_with_options(
     </div>
 </body>
 </html>"""
-    output_path.write_text(page)
+    output_path.write_text(page, encoding="utf-8")

@@ -229,4 +229,4 @@ def generate_mosaic_widget_with_options(
 </body>
 </html>"""
     )
-    output_path.write_text("".join(parts))
+    output_path.write_text("".join(parts), encoding="utf-8")

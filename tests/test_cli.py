@@ -243,3 +243,36 @@ def test_fast_prep_env_restored_after_main(scene, monkeypatch):
               "mosaic", str(scene / "tiles"), "-m", "1"]) == 0
     )
     assert os.environ["EMOSAIC_FAST_PREP"] == "0"
+
+
+def test_validation_negative_and_zero_args(scene):
+    """review r4: the reference's unsigned types make these
+    unrepresentable; Python must reject them at the CLI surface, not
+    traceback deep in PIL/numpy."""
+    out = str(scene / "x.png")
+    src = str(scene / "src.png")
+    with pytest.raises(SystemExit, match="greater than 0"):
+        main(["-s", "-16", "-o", out, src, "mosaic", str(scene / "tiles")])
+    rc = None
+    try:
+        main(["-s", "8", "-o", out, src, "mosaic", str(scene / "tiles"),
+              "--downsample", "0"])
+    except SystemExit as e:  # argparse error exit
+        rc = e.code
+    assert rc == 2
+    try:
+        main(["-s", "8", "-o", out, src, "mosaic", str(scene / "tiles"),
+              "--downsample", "-1"])
+    except SystemExit as e:
+        rc = e.code
+    assert rc == 2
+
+
+def test_corrupt_source_image_friendly_error(scene):
+    """A garbage file behind a valid extension must produce the
+    reference-style friendly error (main.rs:396), not a PIL traceback."""
+    bad = scene / "bad.jpg"
+    bad.write_bytes(b"this is not a jpeg")
+    with pytest.raises(SystemExit, match="Failed to open source image"):
+        main(["-s", "8", "-o", str(scene / "x.png"), str(bad),
+              "mosaic", str(scene / "tiles")])
