@@ -63,8 +63,20 @@ def init_distributed(
         # without a cluster env just stay single-controller
         try:
             jax.distributed.initialize()
-        except Exception:  # noqa: BLE001 — no cluster env present
-            return
+        except Exception as e:  # noqa: BLE001
+            if os.environ.get("EMOSAIC_DISTRIBUTED"):
+                # the user explicitly demanded a multi-controller run
+                # (CLI EMOSAIC_DISTRIBUTED=1): silently degrading to
+                # single-controller would make every pod host render the
+                # full image independently — fail loudly instead
+                raise RuntimeError(
+                    "EMOSAIC_DISTRIBUTED=1 but the multi-controller "
+                    "runtime could not initialize (no pod metadata / "
+                    "coordinator env?) — set EMOSAIC_COORDINATOR, "
+                    "EMOSAIC_NUM_PROCESSES, EMOSAIC_PROCESS_ID for "
+                    "manual clusters"
+                ) from e
+            return  # opportunistic call, no cluster env: stay single
         return
     jax.distributed.initialize(
         coordinator_address=coordinator,

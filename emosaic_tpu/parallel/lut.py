@@ -150,4 +150,8 @@ def sharded_build_l1_lut(lib, mesh: Mesh) -> np.ndarray:
         )(lib_flat)
 
     out = run(jnp.asarray(lib.reshape(-1).astype(jnp.int32)))
-    return np.asarray(jax.device_get(out))
+    # fetch, not device_get: under multi-controller the "lut"-sharded
+    # output spans non-addressable devices (plain device_get one-process)
+    from emosaic_tpu.parallel.distributed import fetch
+
+    return fetch(out)

@@ -149,39 +149,18 @@ def _combine_over_model(dist, row):
     return best_d, best_r
 
 
-def sharded_l1_argmin(
-    blocks, lib, mesh: Mesh, *, prepared=None
-) -> tuple[jax.Array, jax.Array] | tuple[np.ndarray, np.ndarray]:
-    """Exact L1 nearest library row, sharded over a ("data", "model") mesh.
 
-    Same contract (and bit-identical results) as ops.distance.l1_argmin.
-    blocks: [B, D] uint8; lib: [L, D] uint8. Libraries whose per-"model"
-    shard exceeds the device-resident budget stream host banks through
-    this same kernel (numpy outputs on that route; `prepared` is the
-    streamer's prefetched `_pad_prepare` handle for THIS lib).
-    """
-    from emosaic_tpu.ops import distance as dd
+# ---------------------------------------------------------------------------
+# jit factories (review r4): each kernel's mesh-sharded jit used to be a
+# per-call closure, so the streamed bank route retraced and recompiled an
+# identical program for EVERY ~4 GiB library bank (30-60 s per compile on
+# the remote-compile path). The lru_cache keys carry everything the
+# closures captured; same mesh + shapes -> the cached PjitFunction.
+# ---------------------------------------------------------------------------
 
-    n_data = mesh.shape["data"]
-    n_model = mesh.shape["model"]
-    blocks = np.asarray(blocks, dtype=np.uint8)
-    lib = np.asarray(lib, dtype=np.uint8)
-    b, l = blocks.shape[0], lib.shape[0]
-    if lib.size // n_model > dd._DEVICE_LIB_BYTES_MAX and l > dd._TL_SEG:
-        da, ra = dd.l1_topk_streamed(
-            blocks,
-            lib,
-            1,
-            scorer=_argmin_bank_scorer(sharded_l1_argmin, mesh, n_model),
-        )
-        return da[:, 0], ra[:, 0]
-    blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n_data)
-    if prepared is not None:
-        lib_p = _check_pad_prepared(prepared, l, blocks.shape[1], n_model)
-    else:
-        lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n_model)
-    ls = lib_p.shape[0] // n_model
 
+@functools.lru_cache(maxsize=64)
+def _argmin_run_jit(mesh: Mesh, ls: int):
     @functools.partial(
         jax.jit,
         in_shardings=(
@@ -207,52 +186,12 @@ def sharded_l1_argmin(
             check_vma=False,
         )(blocks_s, lib_s)
 
-    dist, row = run(blocks_p, lib_p)
-    # padded lib rows are copies of row 0 with higher indices: they can
-    # never be selected; padded blocks are sliced off here
-    return dist[:b], row[:b]
+    return run
 
 
-def sharded_l1_argmin_ring(
-    blocks, lib, mesh: Mesh, *, prepared=None
-) -> tuple[jax.Array, jax.Array] | tuple[np.ndarray, np.ndarray]:
-    """Exact L1 argmin with *ring rotation* of library shards (the
-    sequence/context-parallel analogue called out in SURVEY §2.6: blocks
-    stay resident per shard; library shards rotate around the ring via
-    ppermute, each hop folding a partial (min, global-row) result).
-
-    Communication per device is the library shard size x (n-1) hops over
-    ICI — preferable to `sharded_l1_argmin`'s result all-gather when the
-    block count dwarfs the library. Results are bit-identical to the
-    single-chip kernel (lexicographic fold preserves the lowest-row
-    tie-break regardless of hop order). Uses the flattened mesh (both axes)
-    as one ring. Libraries whose per-ring shard exceeds the
-    device-resident budget stream host banks through this same kernel
-    (numpy outputs on that route).
-    """
-    from emosaic_tpu.ops import distance as dd
-
-    devs = mesh.devices.reshape(-1)
-    n = len(devs)
-    blocks = np.asarray(blocks, dtype=np.uint8)
-    lib = np.asarray(lib, dtype=np.uint8)
-    if lib.size // n > dd._DEVICE_LIB_BYTES_MAX and lib.shape[0] > dd._TL_SEG:
-        da, ra = dd.l1_topk_streamed(
-            blocks,
-            lib,
-            1,
-            scorer=_argmin_bank_scorer(sharded_l1_argmin_ring, mesh, n),
-        )
-        return da[:, 0], ra[:, 0]
-    ring = Mesh(devs, axis_names=("ring",))
-    blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n)
-    if prepared is not None:
-        lib_p = _check_pad_prepared(prepared, lib.shape[0], blocks.shape[1], n)
-    else:
-        lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n)
-    b, l = np.asarray(blocks).shape[0], np.asarray(lib).shape[0]
-    ls = lib_p.shape[0] // n
-    perm = [(i, (i + 1) % n) for i in range(n)]  # shard i -> i+1
+@functools.lru_cache(maxsize=64)
+def _argmin_ring_run_jit(ring: Mesh, ls: int, n: int):
+    perm = tuple((i, (i + 1) % n) for i in range(n))  # shard i -> i+1
 
     @functools.partial(
         jax.jit,
@@ -295,8 +234,176 @@ def sharded_l1_argmin_ring(
             check_vma=False,
         )(blocks_s, lib_s)
 
-    dist, row = run(blocks_p, lib_p)
-    return dist[:b], row[:b]
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _topk_run_jit(mesh: Mesh, ls: int, kk: int, real_l: int):
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("model", None)),
+        ),
+        out_shardings=(
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data", None)),
+        ),
+    )
+    def run(blocks_s, lib_s):
+        def body(bl, li):
+            m = jax.lax.axis_index("model")
+            # per-shard k is capped by the shard size; the merged
+            # M * k_loc >= kk candidates always contain the true top-kk
+            # (if ls < kk then M*ls >= L >= kk)
+            k_loc = min(kk, ls)
+            d_loc, r_loc = _local_l1_topk(bl, li, k_loc, m * ls, real_l, ls)
+            dg = jax.lax.all_gather(d_loc, "model")  # [M, Bs, kk]
+            rg = jax.lax.all_gather(r_loc, "model")
+            dc = jnp.moveaxis(dg, 0, 1).reshape(d_loc.shape[0], -1)
+            rc = jnp.moveaxis(rg, 0, 1).reshape(d_loc.shape[0], -1)
+            sd, sr = jax.lax.sort((dc, rc), dimension=1, num_keys=2)
+            sd, sr = sd[:, :kk], sr[:, :kk]
+            # padding convention of l1_topk: row 0 under I32_MAX distance
+            sr = jnp.where(sd == I32_MAX, 0, sr)
+            return sd, sr
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("data", None), P("model", None)),
+            out_specs=(P("data", None), P("data", None)),
+            check_vma=False,
+        )(blocks_s, lib_s)
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _adaptive_run_jit(
+    mesh: Mesh, d: int, g: int, chan: bool, bc: int, cap: int,
+    real_l: int, bc2: int, m: int, kk: int, use_dma: bool,
+):
+    from emosaic_tpu.ops import distance as dd
+
+    spec_b = P(tuple(mesh.axis_names))  # block axis over every mesh axis
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            NamedSharding(mesh, spec_b),
+            NamedSharding(mesh, P(None)),
+        ),
+        out_shardings=(
+            NamedSharding(mesh, spec_b),
+            NamedSharding(mesh, spec_b),
+            NamedSharding(mesh, spec_b),
+        ),
+    )
+    def run(blocks_s, lf):
+        def body(bl, lf_rep):
+            bf = bl.reshape(-1)
+            vals, cols, s_min = dd._ad_coarse_jit(
+                bf, lf_rep, d=d, g=g, chan=chan, bc=bc, cap=cap, real_l=real_l
+            )
+            return dd._ad_rescore_jit(
+                bf, vals, cols, s_min, lf_rep,
+                d=d, bc=bc2, m=m, k=kk, real_l=real_l, use_dma=use_dma,
+            )
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec_b, P(None)),
+            out_specs=(spec_b, spec_b, spec_b),
+            check_vma=False,
+        )(blocks_s, lf)
+
+    return run
+
+
+def sharded_l1_argmin(
+    blocks, lib, mesh: Mesh, *, prepared=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact L1 nearest library row, sharded over a ("data", "model") mesh.
+
+    Same contract (and bit-identical results) as ops.distance.l1_argmin.
+    blocks: [B, D] uint8; lib: [L, D] uint8. Libraries whose per-"model"
+    shard exceeds the device-resident budget stream host banks through
+    this same kernel (numpy outputs on that route; `prepared` is the
+    streamer's prefetched `_pad_prepare` handle for THIS lib).
+    """
+    from emosaic_tpu.ops import distance as dd
+
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    b, l = blocks.shape[0], lib.shape[0]
+    if lib.size // n_model > dd._DEVICE_LIB_BYTES_MAX and l > dd._TL_SEG:
+        da, ra = dd.l1_topk_streamed(
+            blocks,
+            lib,
+            1,
+            scorer=_argmin_bank_scorer(sharded_l1_argmin, mesh, n_model),
+        )
+        return da[:, 0], ra[:, 0]
+    blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n_data)
+    if prepared is not None:
+        lib_p = _check_pad_prepared(prepared, l, blocks.shape[1], n_model)
+    else:
+        lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n_model)
+    ls = lib_p.shape[0] // n_model
+
+    dist, row = _argmin_run_jit(mesh, ls)(blocks_p, lib_p)
+    # padded lib rows are copies of row 0 with higher indices: they can
+    # never be selected; padded blocks are sliced off here. fetch, not a
+    # raw sharded return: production callers np.asarray these, which
+    # raises under multi-controller (review r4)
+    return fetch(dist)[:b], fetch(row)[:b]
+
+
+def sharded_l1_argmin_ring(
+    blocks, lib, mesh: Mesh, *, prepared=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact L1 argmin with *ring rotation* of library shards (the
+    sequence/context-parallel analogue called out in SURVEY §2.6: blocks
+    stay resident per shard; library shards rotate around the ring via
+    ppermute, each hop folding a partial (min, global-row) result).
+
+    Communication per device is the library shard size x (n-1) hops over
+    ICI — preferable to `sharded_l1_argmin`'s result all-gather when the
+    block count dwarfs the library. Results are bit-identical to the
+    single-chip kernel (lexicographic fold preserves the lowest-row
+    tie-break regardless of hop order). Uses the flattened mesh (both axes)
+    as one ring. Libraries whose per-ring shard exceeds the
+    device-resident budget stream host banks through this same kernel
+    (numpy outputs on that route).
+    """
+    from emosaic_tpu.ops import distance as dd
+
+    devs = mesh.devices.reshape(-1)
+    n = len(devs)
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    lib = np.asarray(lib, dtype=np.uint8)
+    if lib.size // n > dd._DEVICE_LIB_BYTES_MAX and lib.shape[0] > dd._TL_SEG:
+        da, ra = dd.l1_topk_streamed(
+            blocks,
+            lib,
+            1,
+            scorer=_argmin_bank_scorer(sharded_l1_argmin_ring, mesh, n),
+        )
+        return da[:, 0], ra[:, 0]
+    ring = Mesh(devs, axis_names=("ring",))
+    blocks_p = _pad_rows_with_first(jnp.asarray(blocks, jnp.uint8), n)
+    if prepared is not None:
+        lib_p = _check_pad_prepared(prepared, lib.shape[0], blocks.shape[1], n)
+    else:
+        lib_p = _pad_rows_with_first(jnp.asarray(lib, jnp.uint8), n)
+    b, l = np.asarray(blocks).shape[0], np.asarray(lib).shape[0]
+    ls = lib_p.shape[0] // n
+    dist, row = _argmin_ring_run_jit(ring, ls, n)(blocks_p, lib_p)
+    return fetch(dist)[:b], fetch(row)[:b]
 
 
 def _local_l1_topk(blocks, lib, k: int, row_offset, real_l: int, ls: int):
@@ -363,45 +470,7 @@ def sharded_l1_topk(
         lib_p = _pad_rows_with_first(jnp.asarray(lib), n_model)
     ls = lib_p.shape[0] // n_model
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=(),
-        in_shardings=(
-            NamedSharding(mesh, P("data", None)),
-            NamedSharding(mesh, P("model", None)),
-        ),
-        out_shardings=(
-            NamedSharding(mesh, P("data", None)),
-            NamedSharding(mesh, P("data", None)),
-        ),
-    )
-    def run(blocks_s, lib_s):
-        def body(bl, li):
-            m = jax.lax.axis_index("model")
-            # per-shard k is capped by the shard size; the merged
-            # M * k_loc >= kk candidates always contain the true top-kk
-            # (if ls < kk then M*ls >= L >= kk)
-            k_loc = min(kk, ls)
-            d_loc, r_loc = _local_l1_topk(bl, li, k_loc, m * ls, l, ls)
-            dg = jax.lax.all_gather(d_loc, "model")  # [M, Bs, kk]
-            rg = jax.lax.all_gather(r_loc, "model")
-            dc = jnp.moveaxis(dg, 0, 1).reshape(d_loc.shape[0], -1)
-            rc = jnp.moveaxis(rg, 0, 1).reshape(d_loc.shape[0], -1)
-            sd, sr = jax.lax.sort((dc, rc), dimension=1, num_keys=2)
-            sd, sr = sd[:, :kk], sr[:, :kk]
-            # padding convention of l1_topk: row 0 under I32_MAX distance
-            sr = jnp.where(sd == I32_MAX, 0, sr)
-            return sd, sr
-
-        return jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P("data", None), P("model", None)),
-            out_specs=(P("data", None), P("data", None)),
-            check_vma=False,
-        )(blocks_s, lib_s)
-
-    dist, rows = run(blocks_p, lib_p)
+    dist, rows = _topk_run_jit(mesh, ls, kk, l)(blocks_p, lib_p)
     out_d = fetch(dist)[:b]
     out_r = fetch(rows)[:b]
     return _pad_topk(out_d, out_r, b, k, kk)
@@ -488,40 +557,7 @@ def sharded_l1_topk_adaptive(
     if np.asarray(jax.device_get(ok_s)).mean() < 0.5:
         return sharded_l1_topk(blocks, lib, k, mesh)
 
-    axes = tuple(mesh.axis_names)
-    spec_b = P(axes)  # block axis sharded over every mesh axis
-
-    @functools.partial(
-        jax.jit,
-        in_shardings=(
-            NamedSharding(mesh, spec_b),
-            NamedSharding(mesh, P(None)),
-        ),
-        out_shardings=(
-            NamedSharding(mesh, spec_b),
-            NamedSharding(mesh, spec_b),
-            NamedSharding(mesh, spec_b),
-        ),
-    )
-    def run(blocks_s, lf):
-        def body(bl, lf_rep):
-            bf = bl.reshape(-1)
-            vals, cols, s_min = dd._ad_coarse_jit(
-                bf, lf_rep, d=d, g=g, chan=chan, bc=bc, cap=cap, real_l=l
-            )
-            return dd._ad_rescore_jit(
-                bf, vals, cols, s_min, lf_rep,
-                d=d, bc=bc2, m=m, k=kk, real_l=l, use_dma=use_dma,
-            )
-
-        return jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(spec_b, P(None)),
-            out_specs=(spec_b, spec_b, spec_b),
-            check_vma=False,
-        )(blocks_s, lf)
-
+    run = _adaptive_run_jit(mesh, d, g, chan, bc, cap, l, bc2, m, kk, use_dma)
     out_d, out_r, ok_all = dd._run_block_slices(
         blocks_p,
         b_slice,

@@ -22,7 +22,7 @@ def graft():
 def test_entry_compiles_and_runs(graft):
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (64 * 16, 64 * 16, 3)
+    assert out.shape == (64 * 16, 64 * 16 * 3)  # 2D boundary (layout rule)
     assert out.dtype == np.uint8
 
 

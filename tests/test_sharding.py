@@ -496,3 +496,21 @@ def test_sharded_streamed_prefetch_delivers_handles(rng, devices, monkeypatch):
     assert prepared_rows and sum(prepared_rows) == l  # every bank prefetched
     np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_t))
     np.testing.assert_array_equal(np.asarray(r_k), np.asarray(r_t))
+
+
+def test_sharded_jits_are_cached_across_calls(rng, devices):
+    """review r4: the mesh-sharded jits were per-call closures, so the
+    streamed bank route recompiled an identical program per ~4 GiB bank.
+    Same mesh + shapes must reuse the cached PjitFunction."""
+    from emosaic_tpu.parallel import sharded as sh
+
+    mesh = make_mesh(8, model=2)
+    blocks = rng.integers(0, 256, size=(16, 12), dtype=np.uint8)
+    lib = rng.integers(0, 256, size=(64, 12), dtype=np.uint8)
+    sh._topk_run_jit.cache_clear()
+    from emosaic_tpu.parallel import sharded_l1_topk
+
+    sharded_l1_topk(blocks, lib, 3, mesh)
+    sharded_l1_topk(blocks, lib, 3, mesh)
+    info = sh._topk_run_jit.cache_info()
+    assert info.misses == 1 and info.hits >= 1, info
