@@ -22,7 +22,11 @@ PKG = os.path.join(REPO, "emosaic_tpu")
 
 #: files whose code mostly runs in test-spawned SUBPROCESSES the parent
 #: monitor can't see — flagged in the report instead of read as gaps
-SUBPROCESS_HEAVY = {"aws/tile_manager.py": "runs as a CLI (subprocess tests)"}
+SUBPROCESS_HEAVY = {
+    "aws/tile_manager.py": "runs as a CLI (subprocess tests)",
+    "serve.py": "main()/argparse executed via the subprocess entry test",
+    "parallel/distributed.py": "multi-controller branches run in dryrun ranks",
+}
 
 
 def executable_lines(path: str) -> set[int]:
