@@ -333,3 +333,28 @@ def test_find_images_symlink_cycle(tmp_path):
     found = find_images(tiles, {"jpg"})
     names = [p.name for p in found]
     assert sorted(names) == ["a.jpg", "b.jpg"], names
+
+
+def test_generate_tile_set_with_process_pool(tmp_path, monkeypatch, rng):
+    """Drive the spawn-context prep pool for real (EMOSAIC_PREP_WORKERS=2;
+    this CI box has 1 CPU so the pool branch is otherwise never taken) and
+    check parity with the inline path, including error collection."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for i in range(6):
+        arr = rng.integers(0, 200, size=(20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tiles / f"t{i}.jpg", quality=92)
+    (tiles / "bad.jpg").write_bytes(b"not a jpeg")
+
+    monkeypatch.setenv("EMOSAIC_PREP_WORKERS", "2")
+    ts_pool, errs_pool = generate_tile_set(tiles, 8, {"jpg"}, False, 1)
+    monkeypatch.setenv("EMOSAIC_PREP_WORKERS", "1")
+    # fresh cache dir so the inline path regenerates rather than reusing
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg2"))
+    ts_inline, errs_inline = generate_tile_set(tiles, 8, {"jpg"}, False, 1)
+
+    assert len(ts_pool) == len(ts_inline) == 6
+    np.testing.assert_array_equal(ts_pool.palettes, ts_inline.palettes)
+    assert [p.name for p in ts_pool.paths] == [p.name for p in ts_inline.paths]
+    assert len(errs_pool) == len(errs_inline) == 1
