@@ -325,3 +325,19 @@ def test_postmessage_protocol_snapshot(real_page_html):
     assert widget_listens == {"toggleDistanceOverlay"}
     assert page_sends == widget_listens
     assert page_listens == widget_sends
+
+
+def test_widget_js_has_no_html_injection_sinks():
+    """PARITY deviation 17: the reference JS interpolates the
+    (attacker-controlled) EXIF date into innerHTML — stored XSS. Our
+    widget must keep building dynamic content with text nodes; any
+    reintroduced HTML-injection sink fails here."""
+    js = (ASSETS / "mosaic-widget.js").read_text()
+    code_lines = [
+        ln
+        for ln in js.splitlines()
+        if not ln.strip().startswith(("*", "/*", "//"))
+    ]
+    code = "\n".join(code_lines)
+    for sink in ("innerHTML", "outerHTML", "insertAdjacentHTML", "document.write"):
+        assert sink not in code, f"HTML-injection sink {sink} in widget JS"
