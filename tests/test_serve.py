@@ -728,3 +728,46 @@ def test_decoded_pixel_cap_413(scene):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_render_bytes_buffers_streamed_plan(scene):
+    """render_bytes must PNG-encode the banded stream into a buffer when
+    the plan streams (tiny --max-stack-bytes forces the host path)."""
+    tiles, src_bytes, src = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet, max_stack_bytes=1)
+    assert svc.stack is None  # too big by construction -> streamed plans
+    png = svc.render_bytes(src_bytes)
+    img = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+    assert img.shape == (src.shape[0] * 8, src.shape[1] * 8, 3)
+
+
+def test_malformed_content_length_400(scene):
+    """A garbage Content-Length header must get a clean 400 + close, not
+    an exception in the handler thread."""
+    import socket as _socket
+    from http.server import ThreadingHTTPServer
+
+    tiles, src_bytes, _ = scene
+    svc = MosaicService(tiles, "1", 8, log=_quiet)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(svc))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with _socket.create_connection(
+            ("127.0.0.1", httpd.server_address[1]), timeout=30
+        ) as s:
+            s.sendall(
+                b"POST /mosaic HTTP/1.1\r\nHost: x\r\n"
+                b"Content-Length: abc\r\n\r\n"
+            )
+            chunks = b""
+            while b"invalid Content-Length" not in chunks:
+                got = s.recv(4096)
+                if not got:
+                    break
+                chunks += got
+            resp = chunks.decode()
+        assert " 400 " in resp.splitlines()[0]
+        assert "invalid Content-Length" in resp
+    finally:
+        httpd.shutdown()
