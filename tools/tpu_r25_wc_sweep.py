@@ -47,7 +47,10 @@ def log(msg):
     print(f"[wc {time.time() - _T0:6.1f}s] {msg}", flush=True)
 
 
-CPU_CHECK = "--cpu-check" in sys.argv
+# both spellings: a mistyped flag would otherwise silently run DEVICE
+# mode (hazards uses --cpu-selfcheck; this tool documented --cpu-check —
+# the inconsistency cost one wasted claim attempt in round 4)
+CPU_CHECK = "--cpu-check" in sys.argv or "--cpu-selfcheck" in sys.argv
 if CPU_CHECK:
     import jax
 
