@@ -30,6 +30,7 @@ import concurrent.futures
 import functools
 import math
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -2010,7 +2011,14 @@ def l1_topk_streamed(
         # an explicit bank_rows is honored as given (no halving), so when
         # two such banks cannot both fit the proven envelope, fall back to
         # serial streaming instead of holding 2x the budget on device
-        # (bit-identical; only the upload overlap is lost)
+        # (bit-identical; only the upload overlap is lost). Loud: a
+        # silently-lost overlap misleads perf measurements (the r23
+        # streamproof widens the budget explicitly for its two-bank pass)
+        print(
+            f"   stream prefetch disabled: two explicit {rb}-row banks "
+            "exceed the device-resident budget; uploading serially",
+            file=sys.stderr,
+        )
         prefetch = False
     kk = min(k, l)
     offs = range(0, l, rb)

@@ -1163,7 +1163,7 @@ def test_l1_topk_streamed_prefetch_halves_auto_banks(rng, monkeypatch):
 
 
 def test_l1_topk_streamed_explicit_bank_over_half_budget_goes_serial(
-    rng, monkeypatch
+    rng, monkeypatch, capsys
 ):
     """An explicit bank_rows is honored as given (no halving), so when two
     such banks cannot both fit _DEVICE_LIB_BYTES_MAX the streamer must
@@ -1191,6 +1191,9 @@ def test_l1_topk_streamed_explicit_bank_over_half_budget_goes_serial(
         blocks, lib, k, bank_rows=1024, scorer=scorer
     )
     assert handles == [False, False, False]
+    # the lost upload overlap must be LOUD (the r23 streamproof depends
+    # on noticing this; a silent serial fallback misleads perf numbers)
+    assert "prefetch disabled" in capsys.readouterr().err
     np.testing.assert_array_equal(d_s, np.asarray(d_o))
     np.testing.assert_array_equal(r_s, np.asarray(r_o))
     handles.clear()

@@ -147,6 +147,14 @@ def main():
     os.environ["EMOSAIC_STREAM_PREFETCH"] = "1"
     prefetch_ok = None
     prefetch_s = prefetch_err = None
+    # round-4 production guard: two explicit 2^20-row banks (6.44 GB)
+    # exceed _DEVICE_LIB_BYTES_MAX (6.2 GB) and would now stream
+    # SERIALLY — widen the budget to this pass's measured two-bank
+    # envelope (6.44 GB of 16 GiB HBM at B=2048) so prefetch genuinely
+    # runs; restored immediately after. Without this the pass would
+    # vacuously compare serial to serial.
+    saved_budget = distance._DEVICE_LIB_BYTES_MAX
+    distance._DEVICE_LIB_BYTES_MAX = 2 * rb * D + 1
     try:
         t0 = time.perf_counter()
         out_d3, out_r3 = distance.l1_topk_streamed(
@@ -160,6 +168,8 @@ def main():
     except Exception as e:  # noqa: BLE001 — record, don't burn the claim
         prefetch_err = f"{type(e).__name__}: {e}"
         log(f"prefetch pass raised: {prefetch_err}")
+    finally:
+        distance._DEVICE_LIB_BYTES_MAX = saved_budget
 
     spot = rng.integers(0, B, size=SPOT_ROWS)
     spot_ok = True
