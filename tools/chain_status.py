@@ -74,6 +74,10 @@ def _last_probe() -> str:
         out.append(f"driver2 probe {d2probes[-1][0]} at {d2probes[-1][1]}")
     if "[driver2] claim ok" in d2txt:
         out.append("DRIVER2 CLAIMED")
+    stxt = _read("/tmp/seqchain.log")
+    ssteps = re.findall(r"\[seq\] (\S+(?: \S+)*?) (\d\d:\d\d:\d\d)", stxt)
+    if ssteps:
+        out.append(f"seqchain: {ssteps[-1][0]} at {ssteps[-1][1]}")
     return "; ".join(out) or "no probe activity"
 
 
@@ -108,7 +112,8 @@ def main() -> int:
     print(f"  probes: {_last_probe()}")
     drv = _alive("/tmp/chain_driver.pid")
     drv2 = _alive("/tmp/chain_driver2.pid")
-    print(f"  driver: {drv}; driver2: {drv2}")
+    seq = _alive("/tmp/seqchain.pid")
+    print(f"  driver: {drv}; driver2: {drv2}; seqchain: {seq}")
     for name, log, rx, pidf in LINKS:
         m = re.findall(rx, _read(log))
         state = f"DONE rc={m[-1]}" if m else f"waiting [{_alive(pidf)}]"
