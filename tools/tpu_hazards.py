@@ -98,28 +98,59 @@ def record(name, entry):
 def check_mxu_dot():
     """Production contract: dot_general(HIGHEST) over integer-valued f32
     (values needing >8 mantissa bits, like the rescore's partial sums) is
-    exact. Canary: the same dot at default precision differs."""
+    exact. Canary: the same dot at default precision differs.
+
+    The canary dot is MXU-NATIVE-SHAPED ([128,128]x[128,128], the MXU's
+    systolic tile): the first on-chip run of this tool (2026-08-19, TPU
+    v5 lite) proved that the original (1,128)x(128,128) canary lowers to
+    the VPU — M=1 vector-matrix products never touch the MXU, the VPU
+    multiplies in full f32, and the bf16 operand-rounding canary stayed
+    silent while the hazard (caught in round 3 on real [bc,D]x[D,L]
+    rescore dots) still exists. The M=1 observation is kept as a
+    recorded fact (`vec_dot_default_mismatches`), not a canary.
+    Exactness envelope: A in (256, 512) needs 9 mantissa bits (bf16
+    holds 8 -> rounds), B in [0, 128) is bf16-exact, every product
+    <= 511*127 and every K=128 partial sum <= 8.4M < 2^24, so both the
+    int64 oracle and the HIGHEST path are f32-exact."""
     rng = np.random.default_rng(7)
-    vals = rng.integers(0, 6121, size=(128, 128)).astype(np.float32)
-    ones = np.ones((1, 128), np.float32)
-    want = vals.astype(np.int64).sum(axis=1)
+    a = rng.integers(257, 512, size=(128, 128)).astype(np.float32)
+    b = rng.integers(0, 128, size=(128, 128)).astype(np.float32)
+    want = a.astype(np.int64) @ b.astype(np.int64)
 
-    def dot(p):
+    def dot(p, lhs, rhs):
         return jax.jit(
-            lambda a, b: jax.lax.dot_general(
-                a, b, (((1,), (1,)), ((), ())), precision=p
+            lambda x, y: jax.lax.dot_general(
+                x, y, (((1,), (0,)), ((), ())), precision=p
             )
-        )(jnp.asarray(ones), jnp.asarray(vals))
+        )(jnp.asarray(lhs), jnp.asarray(rhs))
 
-    got_hi = np.asarray(jax.device_get(dot(jax.lax.Precision.HIGHEST)))[0]
-    got_def = np.asarray(jax.device_get(dot(None)))[0]
+    got_hi = np.asarray(jax.device_get(dot(jax.lax.Precision.HIGHEST, a, b)))
+    got_def = np.asarray(jax.device_get(dot(None, a, b)))
     exact = (got_hi.astype(np.int64) == want).all()
     canary = int((got_def.astype(np.int64) != want).sum())
+
+    # recorded observation: the old M=1 form (VPU-lowered, exact even at
+    # default precision on v5e — see docstring)
+    vals = rng.integers(0, 6121, size=(128, 128)).astype(np.float32)
+    ones = np.ones((1, 128), np.float32)
+    vwant = vals.astype(np.int64).sum(axis=1)
+    vgot = np.asarray(
+        jax.device_get(
+            jax.jit(
+                lambda x, y: jax.lax.dot_general(
+                    x, y, (((1,), (1,)), ((), ()))
+                )
+            )(jnp.asarray(ones), jnp.asarray(vals))
+        )
+    )[0]
     return {
         "ok": bool(exact),
         "canary_fired": canary > 0,
         "default_precision_mismatches": canary,
         "max_abs_err_default": float(np.abs(got_def - want).max()),
+        "vec_dot_default_mismatches": int(
+            (vgot.astype(np.int64) != vwant).sum()
+        ),
     }
 
 
@@ -215,11 +246,63 @@ def check_fma():
     )
     ok = (got_l.view(np.uint32) == R.view(np.uint32)).all()
     fired = int((got_bare.view(np.uint32) == F.view(np.uint32)).sum())
+
+    # Production-context canary: the tint kernel's exact expression with
+    # the laundering REMOVED — two bare products feeding one add inside
+    # the full fused u8->f32->blend->u8 kernel, against the host oracle.
+    # This is the shape in which round 3 caught contraction on silicon
+    # (ops/composite._tint_blend_2d docstring); the tiny standalone
+    # a*b+c above did NOT contract on TPU v5 lite (2026-08-19 run) while
+    # it does on CPU, so context size/structure demonstrably changes
+    # codegen. fdiv is excluded (the kernel is division-free), so any
+    # mismatch here is contraction/reassociation of the mul-mul-add.
+    m = np.broadcast_to(
+        np.arange(256, dtype=np.uint8)[:, None, None], (256, 256, 3)
+    ).reshape(256, 768)
+    s = np.broadcast_to(
+        np.arange(256, dtype=np.uint8)[None, :, None], (256, 256, 3)
+    ).reshape(256, 768)
+    tint_fired = {}
+    for alpha in (64, 127, 128, 132, 255):
+        mt, fg_a, inv, af = composite.tint_scalars(alpha)
+        bump = bool(af != np.float32(1.0))
+
+        def naive(bg, fg, fa, iv):
+            fg_r = composite._u8_over_255_f32(fg)
+            bg_r = composite._u8_over_255_f32(bg)
+            t = fg_r * fa + (bg_r * jnp.float32(1.0)) * iv
+            if bump:
+                tb = jax.lax.bitcast_convert_type(t, jnp.uint32)
+                tu = jax.lax.bitcast_convert_type(
+                    tb + jnp.uint32(1), jnp.float32
+                )
+                t = jnp.where(t == 0, t, tu)
+            return jnp.clip(
+                jnp.trunc(jnp.float32(mt) * t), 0, 255
+            ).astype(jnp.uint8)
+
+        got_naive = np.asarray(
+            jax.device_get(
+                jax.jit(naive)(
+                    jnp.asarray(m),
+                    jnp.asarray(s),
+                    jnp.float32(fg_a),
+                    jnp.float32(inv),
+                )
+            )
+        )
+        ref = composite.ref_tint_blend_u8(
+            m.reshape(256, 256, 3), s.reshape(256, 256, 3), alpha
+        ).reshape(256, 768)
+        diffs = int((got_naive != ref).sum())
+        if diffs:
+            tint_fired[str(alpha)] = diffs
     return {
         "ok": bool(ok),
-        "canary_fired": fired > 0,
+        "canary_fired": fired > 0 or bool(tint_fired),
         "bare_jit_fused_count": fired,
         "n_triples": len(triples),
+        "tint_unlaundered_mismatches": tint_fired,
     }
 
 
