@@ -134,18 +134,18 @@ def _rate_via_difference(fn, k1: int, k2: int) -> float:
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 37756.0,
+    "value": 33730.8,
     "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match+composite "
-    "0.455s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
-    "fields) [CACHED measurement from 2026-08-17 — live run hit a "
-    "device-claim hang]",
-    "vs_baseline": 4.40,
-    "match_s": 0.095,
-    "composite_band_ms": 2.813,
-    "total_s": 0.455,
-    "score_worst_s": 2.695,
-    "score_adaptive_s": 0.670,
-    "assign_s": 0.04,
+    "0.509s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
+    "fields) [CACHED live measurement from 2026-08-19, post-outage "
+    "libtpu 0.0.34 stack]",
+    "vs_baseline": 3.93,
+    "match_s": 0.0952,
+    "composite_band_ms": 3.235,
+    "total_s": 0.5093,
+    "score_worst_s": 2.694,
+    "score_adaptive_s": 0.676,
+    "assign_s": 0.022,
     "certified": 16384,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))

@@ -485,6 +485,17 @@ def main():
     threading.Thread(target=watchdog, daemon=True).start()
     dev = jax.devices()[0]
     RESULTS["platform"] = dev.platform
+    # stack versions: hazard manifestations are runtime-version-dependent
+    # (the 2026-08-19 post-outage stack stopped wrapping >4 GiB DMA
+    # offsets and stopped contracting standalone mul+add — drift this
+    # ledger must date)
+    RESULTS["jax_version"] = jax.__version__
+    try:
+        import importlib.metadata as _md
+
+        RESULTS["libtpu_version"] = _md.version("libtpu")
+    except Exception:
+        RESULTS["libtpu_version"] = None
     RESULTS["device_kind"] = dev.device_kind
     RESULTS["selfcheck"] = SELFCHECK
     log(f"device: {dev.platform} {dev.device_kind}")

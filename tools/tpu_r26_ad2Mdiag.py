@@ -40,7 +40,12 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
 CPU_CHECK = "--cpu-check" in sys.argv or "--cpu-selfcheck" in sys.argv
-if CPU_CHECK:
+#: full 2M geometry forced onto the CPU backend (host-RAM scale, hours on
+#: one core): discriminates algorithm-vs-TPU-primitive — if the false
+#: certification reproduces here it is algorithmic; if CPU is exact at
+#: the identical geometry the lie is in a TPU lowering of one stage.
+CPU_FULL = "--cpu-full" in sys.argv
+if CPU_CHECK or CPU_FULL:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -75,8 +80,8 @@ def sync(x):
 
 def main():
     def watchdog():
-        time.sleep(2700)
-        log("watchdog: 45 min elapsed; exiting with partial results")
+        time.sleep(2700 if not CPU_FULL else 6 * 3600)
+        log("watchdog fired; exiting with partial results")
         os._exit(2)
 
     threading.Thread(target=watchdog, daemon=True).start()
@@ -132,6 +137,16 @@ def main():
     r_h = np.asarray(jax.device_get(rows))
     ok_h = np.asarray(jax.device_get(ok))
     log(f"adaptive done: certified {int(ok_h.sum())}/{nq}")
+    if not CPU_CHECK:
+        # jax.random (threefry) is backend-deterministic, so the CPU-full
+        # and TPU runs score IDENTICAL data: dumping the per-stage state
+        # lets a host diff pinpoint the first backend divergence exactly.
+        dump = f"/tmp/ad2m_state_{dev.platform}.npz"
+        np.savez_compressed(
+            dump, vals=vals_h, cols=cols_h, s_min=smin_h,
+            dists=d_h, rows=r_h, ok=ok_h,
+        )
+        log(f"stage state dumped to {dump}")
 
     # --- brute top-1 (distance AND row) per drilled query ---------------
     step = min(50_000, rb)
@@ -288,7 +303,8 @@ def main():
             results = json.load(f)
     except (OSError, ValueError):
         results = {}
-    results["L3_ad2M_diag"] = entry
+    key = "L3_ad2M_diag_cpufull" if CPU_FULL else "L3_ad2M_diag"
+    results[key] = entry
     if not CPU_CHECK:
         with open(OUT, "w") as f:
             json.dump(results, f, indent=1)
