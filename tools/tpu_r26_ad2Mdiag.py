@@ -222,6 +222,37 @@ def main():
         in_surv = bool(np.isin(b_r, cols_h[r]))
         in_cand = bool(np.isin(b_r, cand_h))
 
+        # S1b: recompute the brute row's WHOLE segment directly (the 128
+        # rows {seg + t*nseg}) and compare the cap smallest against the
+        # survivor lists — splits a survivor-stage lie into "stripe saw
+        # wrong values" (gather/projection) vs "top_k kept wrong rows".
+        seg = b_r % nseg
+        w = lp // nseg
+        seg_rows = seg + nseg * np.arange(w, dtype=np.int64)
+        seg_t = r18.gather_rows(banks, jnp.asarray(seg_rows, jnp.int32))
+        ps = _ad_project(seg_t, d, g, True)
+        seg_coarse = np.asarray(
+            jax.device_get(
+                jnp.abs(
+                    pq.astype(jnp.int32) - ps.astype(jnp.int32)
+                ).sum(-1)
+            )
+        ).reshape(-1)
+        order_seg = np.lexsort((seg_rows, seg_coarse))[: cap]
+        want_vals = seg_coarse[order_seg]
+        want_cols = seg_rows[order_seg]
+        got_vals = vals_h[r].reshape(nseg, cap)[seg]
+        got_cols = cols_h[r].reshape(nseg, cap)[seg]
+        seg_match = bool(
+            (want_vals == got_vals).all() and (want_cols == got_cols).all()
+        )
+        if not seg_match:
+            log(
+                f"q{r}: S1b SEGMENT {seg} survivor mismatch: "
+                f"direct=({want_vals.tolist()},{want_cols.tolist()}) "
+                f"stripe=({got_vals.tolist()},{got_cols.tolist()})"
+            )
+
         # S3: direct exact distance of the adaptive's claimed top-1 row
         arow_t = r18.gather_rows(banks, jnp.asarray([a_r], jnp.int32))
         direct_a = int(
@@ -280,6 +311,7 @@ def main():
             "c_next": c_next,
             "brute_row_in_survivors": in_surv,
             "brute_row_in_candidates": in_cand,
+            "segment_survivors_match_direct": seg_match,
             "cert_consistent": (not bool(ok_h[r])) or c_next > int(d_h[r, k - 1]),
             "dma_vs_gather_mismatches": dma_bad,
         }
