@@ -1423,11 +1423,14 @@ _ROWS_DMA_VMEM = 8 << 20
 _SMEM_CAND_BUDGET = 256 << 10
 
 #: per-buffer byte ceiling for the DMA kernel's dynamic `.at[row]` slice:
-#: the row byte offset wraps mod 2^32 past 4 GiB (a 2M-row x 3072 B
-#: library returned mod-2^32-aliased rows — certified-but-wrong top-1s in
-#: the first L2_ad2M envelope run — while the 1M-row / 3.07 GB library is
-#: exact; measured signature in SCALE_r03 M_dma_limit,
-#: tools/tpu_r21_dmalimit.py). Libraries above this are split into
+#: on the round-3 stack the row byte offset wrapped mod 2^32 past 4 GiB
+#: (a 2M-row x 3072 B library returned mod-2^32-aliased rows while the
+#: 1M-row / 3.07 GB library was exact; measured signature in SCALE_r03
+#: M_dma_limit, tools/tpu_r21_dmalimit.py). The 2026-08-19 post-outage
+#: stack (libtpu 0.0.34) fetches those same rows EXACTLY — the hazard is
+#: runtime-version-dependent, so the banking stays as the guard (H4 in
+#: tools/tpu_hazards.py proves the banked path row-exact; versions are
+#: recorded in HAZARDS.json). Libraries above this are split into
 #: power-of-two-row banks, each its own XLA buffer (64-bit base pointer).
 _DMA_LIB_BYTES_MAX = 1 << 32
 
