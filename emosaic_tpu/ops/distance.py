@@ -1140,16 +1140,27 @@ def _l1_topk_twolevel_jit(
         nd1, ni1 = jax.lax.top_k(-seg, cap)  # [bc, nseg, cap]
         vals = -nd1  # ascending per segment; ties -> lowest column
         cols = ni1.astype(jnp.int32) + seg_base
-        # stage-2 positions are (segment, rank)-ordered, which restricted
-        # to equal distances is ascending column order — so the global
-        # top_k's earliest-position tie rule still yields lowest-row ties
-        nd2, ni2 = jax.lax.top_k(-vals.reshape(bc, nseg * cap), k)
+        # global stage: one two-key (val, col) sort + slice. The sort's
+        # tie order (equal vals -> ascending col) IS the production
+        # contract, and it yields the selected columns directly — no
+        # take_along_axis gather. Replaces top_k(-vals, k)+gather, whose
+        # earliest-position tie rule gave the same order because stage-2
+        # positions restricted to equal vals are ascending columns.
+        # On-chip bit-equal at bc=1024/2048 and 2.522 -> 2.446 s on the
+        # worst-case 512k-row workload (tools/tpu_r25_wc_sweep.py G1,
+        # round-4 run; lax.top_k is the slow engine — see _ad_rescore's
+        # sort-based finish for the same pattern).
+        sv, sc = jax.lax.sort(
+            (vals.reshape(bc, nseg * cap), cols.reshape(bc, nseg * cap)),
+            dimension=1,
+            num_keys=2,
+        )
+        sv, sc = sv[:, :k], sc[:, :k]
         cx = xc.astype(jnp.int32).sum(-1)  # [bc]
-        out_d = jnp.where(-nd2 >= _TL_BIG, I32_MAX, -nd2 + cx[:, None])
-        out_r = jnp.take_along_axis(cols.reshape(bc, nseg * cap), ni2, axis=1)
-        kth = -nd2[:, k - 1]
+        out_d = jnp.where(sv >= _TL_BIG, I32_MAX, sv + cx[:, None])
+        kth = sv[:, k - 1]
         ok = jnp.all(vals[:, :, cap - 1] > kth[:, None], axis=1)
-        return out_d, out_r, ok
+        return out_d, sc, ok
 
     nb = blocks.shape[0] // bc
     dists, rows, ok = jax.lax.map(per_chunk, blocks.reshape(nb, bc, d))
