@@ -1335,9 +1335,46 @@ def _ad_project(x, d: int, g: int, chan: bool):
     return out.astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("d", "g", "chan", "bc", "cap", "real_l")
-)
+@functools.partial(jax.jit, static_argnames=("d", "g", "chan"))
+def _ad_proj_bank_jit(bf, *, d, g, chan):
+    """Project one flat u8 library bank to its [rows, dout] i32 coarse
+    palette, in 8 statically-sliced chunks.
+
+    Chunking (vs one whole-bank `_ad_project`): the bf16 cast of a whole
+    bank materializes bank_bytes*2 transient HBM (6.1 GB at a 1M-row
+    mode-32 library — an OOM at the scales this scorer exists for).
+    Row-independent, so chunking is bit-equal; every bank's row count is
+    a multiple of 128 (see `_lib_banks`), so 8 always divides it.
+
+    STATIC slices + an `optimization_barrier` chain, NOT a
+    `lax.map(dynamic_slice(i * chunk))` scan: on TPU (libtpu 0.0.34) the
+    scan form miscompiled at the 2-bank 2M-row geometry — every output
+    chunk held the LAST iteration's projection (chunks 0-6 of each bank
+    returned chunk 7's values at the same in-chunk offset), the root
+    cause of the SCALE_r03 L2_ad2M false-certification. The signature
+    was proven host-side by replaying the aliasing model against the
+    dumped device state bit-for-bit (tools/ad2m_colmap.py,
+    tools/ad2m_aliasing_model.py; hazard H5 in tools/tpu_hazards.py
+    keeps the reproducer). Static slices lower to plain HLO slices (s64
+    constant offsets — also immune to the i32 start-arithmetic overflow
+    the scan form risked past 2^31 bytes), and the barrier chain forces
+    the 8 projections to schedule sequentially so only one chunk's bf16
+    transient is live at a time, matching the scan's memory envelope.
+    """
+    rows = bf.size // d
+    n8 = rows // 8
+    parts = []
+    prev = None
+    for i in range(8):
+        x = jax.lax.slice(bf, (i * n8 * d,), ((i + 1) * n8 * d,))
+        if prev is not None:
+            x, _ = jax.lax.optimization_barrier((x, prev))
+        p = _ad_project(x.reshape(n8, d), d, g, chan)
+        parts.append(p)
+        prev = p
+    return jnp.concatenate(parts, axis=0)
+
+
 def _ad_coarse_jit(blocks_flat, lib_pad_flat, *, d, g, chan, bc, cap, real_l):
     """Step 1: coarse survivor lists over strided segments.
 
@@ -1349,46 +1386,38 @@ def _ad_coarse_jit(blocks_flat, lib_pad_flat, *, d, g, chan, bc, cap, real_l):
     Returns (vals [B, nseg*cap] coarse bounds ascending per segment,
     cols [B, nseg*cap] library rows, s_min [B] min over segments of the
     worst kept value — part of the non-candidate bound).
+
+    Plain function (not itself a jit): the per-bank projection runs as
+    its own jit per bank (`_ad_proj_bank_jit` — see its docstring for
+    the TPU scan-aliasing miscompile that forced the split) and the
+    stripe+select runs in `_ad_coarse_core_jit`. Called inside an outer
+    trace (parallel/sharded.py shard_map) everything inlines into the
+    caller's program with the same static-slice structure.
     """
-    blocks = blocks_flat.reshape(-1, d)
     banks = (
         lib_pad_flat
         if isinstance(lib_pad_flat, (tuple, list))
         else (lib_pad_flat,)
     )
-    bank_rows = [bf.size // d for bf in banks]
-    lp = sum(bank_rows)
+    parts = [_ad_proj_bank_jit(bf, d=d, g=g, chan=chan) for bf in banks]
+    cl = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    del parts
+    return _ad_coarse_core_jit(
+        blocks_flat, cl, d=d, g=g, chan=chan, bc=bc, cap=cap, real_l=real_l
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "g", "chan", "bc", "cap", "real_l")
+)
+def _ad_coarse_core_jit(blocks_flat, cl, *, d, g, chan, bc, cap, real_l):
+    """Stripe + per-segment select over an already-projected library
+    `cl` [lp, dout] i32 (see `_ad_coarse_jit` for the split rationale)."""
+    blocks = blocks_flat.reshape(-1, d)
+    lp = cl.shape[0]
     nseg = lp // _TL_SEG
     w = lp // nseg
 
-    # chunked projection: _ad_project casts its input to bf16, and a
-    # whole-library cast materializes lib_bytes*2 transient HBM (6.1 GB
-    # at a 1M-row mode-32 library — an OOM at the scales this scorer
-    # exists for). Row-independent, so chunking is bit-equal; every
-    # bank's row count is a multiple of 128 (see _lib_banks), so 8
-    # always divides it. The map runs over chunk INDICES with a
-    # dynamic_slice of the FLAT operand in the body: a map over
-    # `libp.reshape(8, ...)` materializes the whole reshaped library as
-    # the map operand (measured 6.44 GB of coarse temp at a 2M-row
-    # library, tools/tpu_r19_flatdma.py — the allocation that OOM'd the
-    # L2 envelope probe), while the flat slice keeps only one
-    # bank_bytes/8 chunk in flight.
-    def proj_bank(bf, rows):
-        n8 = rows // 8
-        return jax.lax.map(
-            lambda i: _ad_project(
-                jax.lax.dynamic_slice(bf, (i * (n8 * d),), (n8 * d,)).reshape(
-                    n8, d
-                ),
-                d,
-                g,
-                chan,
-            ),
-            jnp.arange(8, dtype=jnp.int32),
-        ).reshape(rows, -1)
-
-    parts = [proj_bank(bf, r) for bf, r in zip(banks, bank_rows)]
-    cl = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     # f32 abs-diff stripe over the projected values (exact: group sums
     # <= g*255 and row sums < 2^24; ~1.5x the i32 lane rate, see
     # _STRIPE_F32_MAX_BYTES note) — the projected library is small.
