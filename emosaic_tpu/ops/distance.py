@@ -1362,6 +1362,14 @@ def _ad_proj_bank_jit(bf, *, d, g, chan):
     transient is live at a time, matching the scan's memory envelope.
     """
     rows = bf.size // d
+    if rows % 8:
+        # `_lib_banks` guarantees multiples of 128; a violating caller
+        # must error here, not silently drop tail rows (the replaced
+        # lax.map form failed loudly at its reshape — keep that property)
+        raise ValueError(
+            f"_ad_proj_bank_jit: bank of {rows} rows is not divisible by "
+            "8; the 8-way chunking would silently truncate the library"
+        )
     n8 = rows // 8
     parts = []
     prev = None
@@ -1860,6 +1868,127 @@ def _check_ad_prepared(prepared, l: int, lp: int, d: int):
     return banks_pre
 
 
+# ---------------------------------------------------------------------------
+# Certificate self-audit (VERDICT r4 #2)
+#
+# The round-4 2M-row failure's scariest property was not the miscompile
+# (a lax.map projection aliasing all chunks to the last iteration,
+# SCALE_r03 L3_ad2M_diag_partial) — it was that the adaptive scorer
+# CERTIFIED the wrong results: the certificate arithmetic trusts the
+# coarse stage's own outputs, so a stage-level corruption is invisible
+# to it. The audit below closes that hole in production: after every
+# certified adaptive run at large library geometry, a random sample of
+# blocks is re-scored end-to-end through the INDEPENDENT stripe oracle
+# (no projection, no DMA shortlist — the same full-library reduction the
+# uncertified-row fallback uses, chunked over the already-resident
+# device banks) and compared bit-for-bit. Any mismatch turns a silent
+# wrong answer into a loud stderr warning plus a full oracle re-score.
+# Reference bar: the brute scorer that is never wrong
+# (rendering.rs:307-321).
+# ---------------------------------------------------------------------------
+
+#: audit every certified adaptive run whose library has at least this
+#: many rows (the failure class only ever fired at multi-bank
+#: multi-GiB geometry; small libraries are covered by CI parity tests
+#: and the two-level scorer). Override with EMOSAIC_AUDIT_ROWS; disable
+#: with EMOSAIC_AUDIT=0; sample size via EMOSAIC_AUDIT_SAMPLE.
+_AUDIT_MIN_ROWS = 1 << 19
+
+
+def _stripes_banked(blocks, banks, l: int, d: int, kk: int):
+    """Exact top-kk per block over device-resident flat library banks
+    (`_lib_banks` tuple), via the stripe oracle in bounded row chunks
+    folded with the streamed scorer's exact (distance, lowest-row)
+    merge. Independent of the adaptive coarse/rescore stages — this is
+    the audit's ground truth, and the loud-fallback scorer when an
+    audit fails (the direct two-level scorer cannot run at multi-GiB
+    library geometry: its whole-library f32 stripe copy would exceed
+    HBM, which is why the fallback chunks instead)."""
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    b = blocks.shape[0]
+    bc = min(_STRIPE_BC, max(8, 1 << (b - 1).bit_length()))
+    bp = -(-b // bc) * bc
+    bf = jnp.asarray(np.pad(blocks, ((0, bp - b), (0, 0))).reshape(-1))
+    # chunk rows so the stripe jit's one-time f32 library copy stays at
+    # half the stripe budget — the resident banks live alongside it
+    ch = max(
+        _TL_SEG,
+        (_STRIPE_F32_MAX_BYTES // 2) // (4 * d) // _TL_SEG * _TL_SEG,
+    )
+    best_d = best_r = None
+    g0 = 0
+    for bk in banks:
+        rows_b = bk.size // d
+        for lo in range(0, rows_b, ch):
+            cl = min(ch, rows_b - lo)
+            valid = min(cl, l - (g0 + lo))
+            if valid <= 0:
+                break
+            kc = min(kk, cl)
+            dd_, rr_ = _l1_topk_stripes_jit(
+                bf,
+                bk[(lo * d) : ((lo + cl) * d)],
+                d=d,
+                bc=bc,
+                k=kc,
+                real_l=valid,
+            )
+            cd = np.asarray(jax.device_get(dd_))[:b]
+            cr = np.asarray(jax.device_get(rr_))[:b] + (g0 + lo)
+            if kc < kk:  # chunk shorter than k: pad losers
+                cd = np.concatenate(
+                    [cd, np.full((b, kk - kc), I32_MAX, np.int32)], axis=1
+                )
+                cr = np.concatenate(
+                    [cr, np.zeros((b, kk - kc), np.int32)], axis=1
+                )
+            if best_d is None:
+                best_d, best_r = cd, cr
+                continue
+            cat_d = np.concatenate([best_d, cd], axis=1)
+            cat_r = np.concatenate([best_r, cr], axis=1)
+            # packed (distance, row) key: same exact lexicographic
+            # selection as l1_topk_streamed's fold, lowest-row ties
+            key = cat_d.astype(np.int64) * (l + 1) + cat_r
+            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            order = np.argsort(np.take_along_axis(key, part, axis=1), axis=1)
+            sel = np.take_along_axis(part, order, axis=1)
+            best_d = np.take_along_axis(cat_d, sel, axis=1)
+            best_r = np.take_along_axis(cat_r, sel, axis=1)
+        g0 += rows_b
+    best_r = np.where(best_d == I32_MAX, 0, best_r)
+    return best_d, best_r
+
+
+def _ad_audit(out_d, out_r, blocks, banks, l: int, d: int, kk: int, *, label):
+    """Post-hoc exactness audit of a certified adaptive result (module
+    comment above). Returns (out_d, out_r) — unchanged when the sample
+    matches the stripe oracle bit-for-bit, else the FULL oracle
+    re-score of every block, after a loud stderr warning."""
+    if os.environ.get("EMOSAIC_AUDIT", "1") == "0":
+        return out_d, out_r
+    min_rows = int(os.environ.get("EMOSAIC_AUDIT_ROWS", str(_AUDIT_MIN_ROWS)))
+    b = blocks.shape[0]
+    if l < min_rows or b == 0 or kk == 0:
+        return out_d, out_r
+    ns = min(b, max(1, int(os.environ.get("EMOSAIC_AUDIT_SAMPLE", "32"))))
+    rng = np.random.default_rng(0xAD17 + 31 * b + l)
+    idx = np.sort(rng.choice(b, size=ns, replace=False))
+    ad, ar = _stripes_banked(blocks[idx], banks, l, d, kk)
+    row_ok = (ad == out_d[idx]).all(axis=1) & (ar == out_r[idx]).all(axis=1)
+    if row_ok.all():
+        return out_d, out_r
+    print(
+        f"⚠️  EXACTNESS AUDIT FAILED ({label}): "
+        f"{int((~row_ok).sum())}/{ns} sampled blocks disagree with the "
+        f"independent stripe oracle at L={l} D={d} — the certificate "
+        f"cannot be trusted for this run; re-scoring all {b} blocks "
+        "through the oracle (exact, slower)",
+        file=sys.stderr,
+    )
+    return _stripes_banked(blocks, banks, l, d, kk)
+
+
 def l1_topk_adaptive(
     blocks,
     lib,
@@ -1941,6 +2070,9 @@ def l1_topk_adaptive(
     out_d, out_r = out_d[:b], out_r[:b]
     bad = np.flatnonzero(~ok_all[:b])
     out_d, out_r = _stripe_fallback(out_d, out_r, bad, blocks, lib, kk)
+    out_d, out_r = _ad_audit(
+        out_d, out_r, blocks, lf, l, d, kk, label="l1_topk_adaptive"
+    )
     return _pad_topk(out_d, out_r, b, k, kk)
 
 

@@ -569,6 +569,16 @@ def sharded_l1_topk_adaptive(
     out_d, out_r = out_d[:b], out_r[:b]
     bad = np.flatnonzero(~ok_all[:b])
     out_d, out_r = dd._stripe_fallback(out_d, out_r, bad, blocks, lib, kk)
+    # certificate self-audit (ops.distance module comment): the sharded
+    # scorer runs the same coarse/rescore stages, so the same
+    # stage-corruption class applies — audit against the stripe oracle
+    # on the replicated banks. Multi-controller runs audit on every
+    # process (same deterministic sample; fetch() already made out_d/
+    # out_r globally consistent, so all ranks take the same branch).
+    out_d, out_r = dd._ad_audit(
+        out_d, out_r, blocks, lf_dev, l, d, kk,
+        label="sharded_l1_topk_adaptive",
+    )
     return dd._pad_topk(out_d, out_r, b, k, kk)
 
 

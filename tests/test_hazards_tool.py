@@ -51,3 +51,10 @@ def test_hazards_selfcheck(tmp_path):
     # the banked DMA run really split the library
     assert led["H4_dma_banks"]["n_banks"] >= 2
     assert led["H4_dma_banks"]["cross_dist"] == led["H4_dma_banks"]["cross_want"]
+    # H5 (round-4 scan-aliasing class): the production static-slice
+    # projection is exact on a multi-bank self-indexing library; the
+    # scan-form reproducer stays silent on CPU (the miscompile is
+    # TPU-stack-dependent — tools/tpu_r27_coarsefix.py R1 dates it)
+    assert led["H5_scan_alias"]["ok"] is True
+    assert led["H5_scan_alias"]["n_banks"] >= 2
+    assert led["H5_scan_alias"]["canary_fired"] is False

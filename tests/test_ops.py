@@ -1290,3 +1290,130 @@ def test_rescore_dma_gate_respects_addressing_limit(monkeypatch):
     assert distance._rescore_use_dma(limit_rows, d, platform="tpu")
     assert not distance._rescore_use_dma(limit_rows + 1, d, platform="tpu")
     assert not distance._rescore_use_dma(128, d, platform="cpu")
+
+
+# ---------------------------------------------------------------------------
+# certificate self-audit (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_stripes_banked_matches_stripe_oracle(rng, monkeypatch):
+    """The audit's banked stripe oracle must bit-equal l1_topk_stripes
+    across multi-bank, multi-chunk, padded-tail, and kc<k geometries."""
+    from emosaic_tpu.ops import distance
+
+    l, d = 1000, 16
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = rng.integers(0, 256, size=(9, d), dtype=np.uint8)
+    # tiny limits: 4 banks of 256 rows, chunk floor = _TL_SEG (128 rows),
+    # k=200 > chunk so the short-chunk padding path runs too
+    monkeypatch.setattr(distance, "_DMA_LIB_BYTES_MAX", 512 * d)
+    monkeypatch.setattr(distance, "_STRIPE_F32_MAX_BYTES", 1)
+    lp = -(-l // distance._TL_SEG) * distance._TL_SEG
+    lib_pad = np.zeros((lp, d), np.uint8)
+    lib_pad[:l] = lib
+    banks = distance._lib_banks(lib_pad, d)
+    assert len(banks) > 1
+    k = 200
+    d_o, r_o = distance.l1_topk_stripes(blocks, lib, k)
+    d_b, r_b = distance._stripes_banked(blocks, banks, l, d, k)
+    np.testing.assert_array_equal(d_b, np.asarray(d_o))
+    np.testing.assert_array_equal(r_b, np.asarray(r_o))
+
+
+def test_adaptive_audit_catches_certified_lie(rng, monkeypatch, capsys):
+    """A stage-level corruption the certificate cannot see (wrong rows
+    returned with ok=True for every block — the round-4 2M failure
+    class) must be caught by the production self-audit and corrected
+    through the independent stripe oracle, loudly."""
+    import jax.numpy as jnp
+
+    from emosaic_tpu.ops import distance
+
+    blocks, lib = _clustered_case(rng)
+    k = 8
+    d_o, r_o = l1_topk(blocks, lib, k)
+    real = distance._ad_rescore_jit
+
+    def lying_rescore(bf, vals, cols, s_min, lf, **kw):
+        dists, rows, ok = real(bf, vals, cols, s_min, lf, **kw)
+        return dists + 1, (rows + 1) % kw["real_l"], jnp.ones_like(ok)
+
+    monkeypatch.setattr(distance, "_ad_rescore_jit", lying_rescore)
+    monkeypatch.setenv("EMOSAIC_AUDIT_ROWS", "1")
+    d_a, r_a = distance.l1_topk_adaptive(blocks, lib, k, m=32, cap=4)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
+    assert "EXACTNESS AUDIT FAILED" in capsys.readouterr().err
+
+
+def test_adaptive_audit_projection_displacement_stays_exact(
+    rng, monkeypatch
+):
+    """The literal round-4 miscompile signature: every projection chunk
+    holds the LAST chunk's values. End-to-end adaptive results must stay
+    exact — whichever layer catches it (certificate fallback, adaptivity
+    gate, or the audit)."""
+    import jax.numpy as jnp
+
+    from emosaic_tpu.ops import distance
+
+    blocks, lib = _clustered_case(rng)
+    k = 8
+    d_o, r_o = l1_topk(blocks, lib, k)
+    real = distance._ad_proj_bank_jit
+
+    def displaced(bf, **kw):
+        p = real(bf, **kw)
+        n8 = p.shape[0] // 8
+        return jnp.concatenate([p[-n8:]] * 8, axis=0)
+
+    monkeypatch.setattr(distance, "_ad_proj_bank_jit", displaced)
+    monkeypatch.setenv("EMOSAIC_AUDIT_ROWS", "1")
+    d_a, r_a = distance.l1_topk_adaptive(blocks, lib, k, m=32, cap=4)
+    np.testing.assert_array_equal(d_a, np.asarray(d_o))
+    np.testing.assert_array_equal(r_a, np.asarray(r_o))
+
+
+def test_adaptive_audit_gating(rng, monkeypatch, capsys):
+    """Audit gating knobs: below EMOSAIC_AUDIT_ROWS (or with
+    EMOSAIC_AUDIT=0) the audit must not run — pinned by checking that a
+    certified lie passes through un-audited at small geometry (the
+    documented trade: small libraries are covered by CI parity, the
+    audit exists for the multi-GiB class)."""
+    import jax.numpy as jnp
+
+    from emosaic_tpu.ops import distance
+
+    blocks, lib = _clustered_case(rng)
+    k = 8
+    d_o, _ = l1_topk(blocks, lib, k)
+    real = distance._ad_rescore_jit
+
+    def lying_rescore(bf, vals, cols, s_min, lf, **kw):
+        dists, rows, ok = real(bf, vals, cols, s_min, lf, **kw)
+        return dists + 1, rows, jnp.ones_like(ok)
+
+    monkeypatch.setattr(distance, "_ad_rescore_jit", lying_rescore)
+    # default threshold (1 << 19) far above this 2000-row library
+    d_a, _ = distance.l1_topk_adaptive(blocks, lib, k, m=32, cap=4)
+    assert (np.asarray(d_a) == np.asarray(d_o) + 1).all()
+    # explicitly disabled even at forced-low threshold
+    monkeypatch.setenv("EMOSAIC_AUDIT_ROWS", "1")
+    monkeypatch.setenv("EMOSAIC_AUDIT", "0")
+    d_a2, _ = distance.l1_topk_adaptive(blocks, lib, k, m=32, cap=4)
+    assert (np.asarray(d_a2) == np.asarray(d_o) + 1).all()
+    assert "EXACTNESS AUDIT" not in capsys.readouterr().err
+
+
+def test_ad_proj_bank_guard_rejects_nondivisible():
+    """ADVICE r4: a bank whose row count is not a multiple of 8 must
+    error loudly instead of silently dropping tail rows."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from emosaic_tpu.ops import distance
+
+    bf = jnp.zeros(12 * 4, jnp.uint8)  # 12 rows of d=4
+    with _pytest.raises(ValueError, match="divisible by"):
+        distance._ad_proj_bank_jit(bf, d=4, g=2, chan=False)

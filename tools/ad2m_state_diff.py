@@ -18,7 +18,10 @@ import numpy as np
 
 
 def main(argv):
-    a_path = argv[1] if len(argv) > 2 else "/tmp/ad2m_state_tpu.npz"
+    if len(argv) == 2:
+        print(f"usage: {argv[0]} [A.npz B.npz]  (both paths or neither)")
+        return 2
+    a_path = argv[1] if len(argv) > 1 else "/tmp/ad2m_state_tpu.npz"
     b_path = argv[2] if len(argv) > 2 else "/tmp/ad2m_state_cpu.npz"
     a, b = np.load(a_path), np.load(b_path)
     names_a, names_b = set(a.files), set(b.files)

@@ -18,6 +18,11 @@ facts"; each one was found the hard way):
       single HBM buffer past 4 GiB aliases rows (production response:
       ops/distance._lib_banks power-of-two banks, each its own 64-bit
       base pointer; measured by tools/tpu_r21_dmalimit.py).
+  H5  lax.map whose body dynamic-slices a multi-GiB closed-over operand
+      miscompiles into LAST-ITERATION output aliasing at 2-bank 2M-row
+      geometry — the round-4 false-certification (production response:
+      ops/distance._ad_proj_bank_jit static slices + barrier chain;
+      root-caused by tools/ad2m_aliasing_model.py).
 
 For each class this tool asserts the PRODUCTION contract on the live
 backend and records a CANARY showing whether the raw hazard is
@@ -267,7 +272,11 @@ def check_fma():
         mt, fg_a, inv, af = composite.tint_scalars(alpha)
         bump = bool(af != np.float32(1.0))
 
-        def naive(bg, fg, fa, iv):
+        # mt/bump bound as defaults: the closure is jitted and invoked in
+        # this iteration today, but a refactor that collects the jitted
+        # fns and runs them later would otherwise see only the last
+        # iteration's scalars (ADVICE r4)
+        def naive(bg, fg, fa, iv, mt=mt, bump=bump):
             fg_r = composite._u8_over_255_f32(fg)
             bg_r = composite._u8_over_255_f32(bg)
             t = fg_r * fa + (bg_r * jnp.float32(1.0)) * iv
@@ -346,6 +355,43 @@ def _content_np(rows, d):
     return np.tile(trip, (1, d // 3)).astype(np.uint8)
 
 
+def _plant_self_indexing(lp, d):
+    """Device-generate a self-indexing [lp, d] library (row r's content
+    encodes r in repeated byte triples) split per production bank math
+    (`_lib_banks` geometry, no tunnel uploads). Shared by H4 and H5."""
+    rb = distance._dma_bank_rows(distance._pad_width(d))
+    nb = -(-lp // rb)
+    nc = d // 3
+    ck = min(rb, 1 << 17)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def make_chunk(r0, *, n):
+        ids = r0 + jnp.arange(n, dtype=jnp.int32)[:, None]
+        trip = jnp.concatenate(
+            [ids & 255, (ids >> 8) & 255, (ids >> 16) & 255], 1
+        )
+        return jnp.tile(trip, (1, nc)).astype(jnp.uint8)
+
+    place = jax.jit(
+        lambda a, c, r0: jax.lax.dynamic_update_slice(a, c, (r0, 0)),
+        donate_argnums=0,
+    )
+    banks = []
+    for bi in range(nb):
+        n = min(rb, lp - bi * rb)
+        bk = jnp.zeros((n, d), jnp.uint8)
+        for c0 in range(0, n, ck):
+            cn = min(ck, n - c0)
+            bk = place(
+                bk,
+                make_chunk(jnp.int32(bi * rb + c0), n=cn),
+                jnp.int32(c0),
+            )
+        sync(bk)
+        banks.append(bk)
+    return tuple(banks), rb, nb
+
+
 def check_dma_banks(selfcheck: bool):
     """Self-indexing library spanning the 4 GiB global-offset boundary,
     split per production bank math, fetched row-exactly through
@@ -364,44 +410,11 @@ def check_dma_banks(selfcheck: bool):
         interpret = False
         lp = 1_572_864  # 1.5 * 2^20 rows x 3072 B = 4.83 GB > 4 GiB
     try:
-        rb = distance._dma_bank_rows(distance._pad_width(d))
+        banks, rb, nb = _plant_self_indexing(lp, d)
         assert rb & (rb - 1) == 0 and rb * distance._pad_width(d) <= (
             distance._DMA_LIB_BYTES_MAX
         )
-        nb = -(-lp // rb)
         assert nb >= 2, (lp, rb)
-
-        nc = d // 3
-        # chunked generation: a whole-bank i32 intermediate (trip/tile
-        # before the u8 cast) would be 4x the bank — OOM at 3 GB banks
-        ck = min(rb, 1 << 17)
-
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def make_chunk(r0, *, n):
-            ids = r0 + jnp.arange(n, dtype=jnp.int32)[:, None]
-            trip = jnp.concatenate(
-                [ids & 255, (ids >> 8) & 255, (ids >> 16) & 255], 1
-            )
-            return jnp.tile(trip, (1, nc)).astype(jnp.uint8)
-
-        place = jax.jit(
-            lambda a, c, r0: jax.lax.dynamic_update_slice(a, c, (r0, 0)),
-            donate_argnums=0,
-        )
-        banks = []
-        for bi in range(nb):
-            n = min(rb, lp - bi * rb)
-            bk = jnp.zeros((n, d), jnp.uint8)
-            for c0 in range(0, n, ck):
-                cn = min(ck, n - c0)
-                bk = place(
-                    bk,
-                    make_chunk(jnp.int32(bi * rb + c0), n=cn),
-                    jnp.int32(c0),
-                )
-            sync(bk)
-            banks.append(bk)
-        banks = tuple(banks)
         log(f"H4 library planted: {lp} rows x {d} B in {nb} banks (rb={rb})")
 
         # probe rows: bank boundaries + the 2^32 global-offset crossing
@@ -471,6 +484,113 @@ def check_dma_banks(selfcheck: bool):
 
 
 # ---------------------------------------------------------------------------
+# H5: lax.map(dynamic_slice) scan-output aliasing at multi-bank geometry
+# ---------------------------------------------------------------------------
+
+
+def check_scan_alias(selfcheck: bool):
+    """The round-4 2M-row false-certification class (SCALE_r03
+    L3_ad2M_diag_partial; root-caused by tools/ad2m_aliasing_model.py):
+    a `lax.map` whose body dynamic-slices a multi-GiB closed-over
+    operand miscompiled on TPU into LAST-ITERATION output aliasing —
+    every projection chunk held chunk 7's values at the same in-chunk
+    offset, only at the 2-bank 2M-row geometry.
+
+    Production contract: `_ad_proj_bank_jit` (static slices +
+    optimization_barrier chain) projects a self-indexing library
+    bit-exactly at the EXACT geometry that fired (2 banks, 2M rows,
+    3072 B rows). Canary: the replaced scan-form projection re-run on
+    the same banks, mismatch counts per chunk (fired = any chunk wrong;
+    the observed signature is chunks 0-6 bad / chunk 7 good per bank).
+    Self-indexing content makes the expected projection analytic
+    (proj[r] = repeat([g*b0, g*b1, g*b2])), so verification is one
+    on-device compare per bank — no host pulls beyond 8 counters.
+    Version-dependent, like H4's wrap: this entry dates the stack."""
+    d = 3072
+    if selfcheck:
+        saved = distance._DMA_LIB_BYTES_MAX
+        distance._DMA_LIB_BYTES_MAX = 512 * d
+        lp = 1024
+    else:
+        saved = None
+        lp = 2_000_000  # the firing geometry: 2 banks (2^20 + 951424 rows)
+    try:
+        nc = d // 3
+        g = next(
+            gg
+            for gg in distance._AD_GROUPS
+            if nc % gg == 0 and (nc // gg) * 3 >= 4
+        )
+        banks, rb, nb = _plant_self_indexing(lp, d)
+        assert nb >= 2, (lp, rb)
+        log(f"H5 library planted: {lp} rows x {d} B in {nb} banks (rb={rb})")
+
+        def scan_proj(bf, rows):
+            """The PRE-FIX `_ad_coarse_jit` projection, verbatim scan
+            form (the reproducer)."""
+            n8 = rows // 8
+            return jax.lax.map(
+                lambda i: distance._ad_project(
+                    jax.lax.dynamic_slice(
+                        bf, (i * (n8 * d),), (n8 * d,)
+                    ).reshape(n8, d),
+                    d,
+                    g,
+                    True,
+                ),
+                jnp.arange(8, dtype=jnp.int32),
+            ).reshape(rows, -1)
+
+        @functools.partial(jax.jit, static_argnames=("rows",))
+        def bad_per_chunk(proj, r0, *, rows):
+            """On-device compare against the analytic projection of the
+            self-indexing content: [8] wrong-row counts per chunk."""
+            ids = r0 + jnp.arange(rows, dtype=jnp.int32)[:, None]
+            trip = jnp.concatenate(
+                [ids & 255, (ids >> 8) & 255, (ids >> 16) & 255], 1
+            )
+            exp = jnp.tile(trip * g, (1, nc // g))
+            bad = (proj != exp).any(axis=1)
+            return bad.reshape(8, -1).sum(axis=1, dtype=jnp.int32)
+
+        scan_bad, prod_bad = [], []
+        r0 = 0
+        for bk in banks:
+            rows = bk.shape[0]
+            bf = bk.reshape(-1)
+            p_scan = jax.jit(scan_proj, static_argnames=("rows",))(
+                bf, rows=rows
+            )
+            scan_bad.append(
+                np.asarray(
+                    jax.device_get(bad_per_chunk(p_scan, r0, rows=rows))
+                )
+            )
+            del p_scan
+            p_prod = distance._ad_proj_bank_jit(bf, d=d, g=g, chan=True)
+            prod_bad.append(
+                np.asarray(
+                    jax.device_get(bad_per_chunk(p_prod, r0, rows=rows))
+                )
+            )
+            del p_prod, bf
+            r0 += rows
+        scan_bad = np.stack(scan_bad)
+        prod_bad = np.stack(prod_bad)
+        return {
+            "ok": bool((prod_bad == 0).all()),
+            "canary_fired": bool((scan_bad > 0).any()),
+            "lp": lp,
+            "n_banks": nb,
+            "scan_bad_per_chunk": scan_bad.tolist(),
+            "prod_bad_per_chunk": prod_bad.tolist(),
+        }
+    finally:
+        if saved is not None:
+            distance._DMA_LIB_BYTES_MAX = saved
+
+
+# ---------------------------------------------------------------------------
 
 
 def main():
@@ -508,6 +628,7 @@ def main():
     alphas = (0, 1, 64, 127, 128, 132, 255) if SELFCHECK else range(256)
     record("H23_tint_exhaustive", check_tint(alphas))
     record("H4_dma_banks", check_dma_banks(SELFCHECK))
+    record("H5_scan_alias", check_scan_alias(SELFCHECK))
 
     checks = [v for v in RESULTS.values() if isinstance(v, dict) and "ok" in v]
     all_ok = all(v["ok"] for v in checks)
