@@ -118,14 +118,30 @@ def _sync(x) -> None:
     jax.device_get(x[0, 0])
 
 
-_REPS = int(os.environ.get("EMOSAIC_BENCH_REPS", "2"))
+#: repetitions per timed point. VERDICT r4 #4: single-shot numbers made
+#: round-over-round comparisons jitter-limited (r4's 0.535 s vs r3's
+#: 0.41 s class could not be told apart from DMA-path noise); >=5 reps
+#: with min AND median recorded makes the trend line defensible.
+_REPS = int(os.environ.get("EMOSAIC_BENCH_REPS", "5"))
 
 
-def _rate_via_difference(fn, k1: int, k2: int) -> float:
-    """Per-iteration seconds, with fixed sync latency cancelled."""
-    t1 = min(fn(k1) for _ in range(_REPS))
-    t2 = min(fn(k2) for _ in range(_REPS))
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+def _median(xs) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _rate_via_difference(fn, k1: int, k2: int) -> tuple[float, float]:
+    """Per-iteration seconds as (min, median) over _REPS reps, with the
+    fixed sync latency cancelled by the k2-k1 difference at each
+    aggregate (min-vs-min and median-vs-median — the aggregates of the
+    raw wall times difference cleanly; pairing individual reps would add
+    the two points' noises instead)."""
+    t1s = [fn(k1) for _ in range(_REPS)]
+    t2s = [fn(k2) for _ in range(_REPS)]
+    lo = max((min(t2s) - min(t1s)) / (k2 - k1), 1e-9)
+    med = max((_median(t2s) - _median(t1s)) / (k2 - k1), 1e-9)
+    return lo, med
 
 
 #: last verified on-chip measurement (2026-08-17, post exhaustion-aware
@@ -252,21 +268,25 @@ def norepeat_phase() -> tuple[float, float]:
     _sync(cd_dev)
     _sync(run_fallback(np.arange(4))[0])  # compile the fallback shape
     _progress("norepeat score warm")
-    t0 = time.perf_counter()
-    cd_dev, cr_dev, ok_dev = run_score()
-    _sync(cd_dev)
-    ok = np.asarray(jax.device_get(ok_dev))
-    bad = np.flatnonzero(~ok)
-    fb_d = fb_r = None
-    n_uncert = bad.size  # before the bench bound truncates the list
-    if bad.size:  # exact stripe fallback for uncertified rows (in-timing)
-        if bad.size > fb_rows:
-            bad = bad[:fb_rows]  # bound the bench; production pads exactly
-        fb_d, fb_r = run_fallback(bad)
-        _sync(fb_d)
-    score_s = time.perf_counter() - t0
+    samples = []
+    for _ in range(_REPS):
+        t0 = time.perf_counter()
+        cd_dev, cr_dev, ok_dev = run_score()
+        _sync(cd_dev)
+        ok = np.asarray(jax.device_get(ok_dev))
+        bad = np.flatnonzero(~ok)
+        fb_d = fb_r = None
+        n_uncert = bad.size  # before the bench bound truncates the list
+        if bad.size:  # exact stripe fallback for uncertified rows (in-timing)
+            if bad.size > fb_rows:
+                bad = bad[:fb_rows]  # bound the bench; production pads exactly
+            fb_d, fb_r = run_fallback(bad)
+            _sync(fb_d)
+        samples.append(time.perf_counter() - t0)
+    score_s, score_med = min(samples), _median(samples)
     _progress(
-        f"norepeat scoring: {score_s:.2f} s (16384x65534xD3072, k=512, "
+        f"norepeat scoring: {score_s:.2f} s (median {score_med:.2f} s, "
+        f"{_REPS} reps; 16384x65534xD3072, k=512, "
         f"{b - n_uncert}/{b} certified)"
     )
 
@@ -294,7 +314,7 @@ def norepeat_phase() -> tuple[float, float]:
     _progress(
         f"norepeat assignment: {assign_s:.2f} s ({assigned}/{b} assigned)"
     )
-    return score_s, assign_s
+    return score_s, score_med, assign_s
 
 
 def norepeat_adaptive_phase() -> tuple[float, int]:
@@ -343,33 +363,36 @@ def norepeat_adaptive_phase() -> tuple[float, int]:
     cd, cr, ok = run()  # compile + warm
     _sync(cd)
     _progress("adaptive score warm")
-    t0 = time.perf_counter()
-    cd, cr, ok = run()
-    _sync(cd)
-    ok_np = np.asarray(jax.device_get(ok))
-    certified = int(ok_np.sum())
-    # per-row stripe fallback is part of the production cost
-    if certified < b:
-        bad = np.flatnonzero(~ok_np)[:1024]
-        from emosaic_tpu.ops.distance import _l1_topk_stripes_jit
+    samples = []
+    for _ in range(_REPS):
+        t0 = time.perf_counter()
+        cd, cr, ok = run()
+        _sync(cd)
+        ok_np = np.asarray(jax.device_get(ok))
+        certified = int(ok_np.sum())
+        # per-row stripe fallback is part of the production cost
+        if certified < b:
+            bad = np.flatnonzero(~ok_np)[:1024]
+            from emosaic_tpu.ops.distance import _l1_topk_stripes_jit
 
-        idxp = np.zeros(1024, np.int32)
-        idxp[: bad.size] = bad
-        fb = _l1_topk_stripes_jit(
-            blocks[jnp.asarray(idxp)].reshape(-1),
-            lib.reshape(-1),
-            d=d,
-            bc=128,
-            k=k,
-            real_l=l,
-        )
-        _sync(fb[0])
-    score_s = time.perf_counter() - t0
+            idxp = np.zeros(1024, np.int32)
+            idxp[: bad.size] = bad
+            fb = _l1_topk_stripes_jit(
+                blocks[jnp.asarray(idxp)].reshape(-1),
+                lib.reshape(-1),
+                d=d,
+                bc=128,
+                k=k,
+                real_l=l,
+            )
+            _sync(fb[0])
+        samples.append(time.perf_counter() - t0)
+    score_s, score_med = min(samples), _median(samples)
     _progress(
-        f"adaptive clustered scoring: {score_s:.2f} s ({certified}/{b} "
-        f"certified)"
+        f"adaptive clustered scoring: {score_s:.2f} s (median "
+        f"{score_med:.2f} s, {_REPS} reps; {certified}/{b} certified)"
     )
-    return score_s, certified
+    return score_s, score_med, certified
 
 
 def main() -> int:
@@ -407,8 +430,11 @@ def main() -> int:
         _sync(out)
         return time.perf_counter() - t0
 
-    t_match = _rate_via_difference(run_match, 1, 3)
-    _progress(f"match timed: {t_match * 1e3:.1f} ms")
+    t_match, t_match_med = _rate_via_difference(run_match, 1, 3)
+    _progress(
+        f"match timed: {t_match * 1e3:.1f} ms (median "
+        f"{t_match_med * 1e3:.1f} ms, {_REPS} reps)"
+    )
 
     # B: composite bands. k is kept small so the at-most-k in-flight
     # 402 MB band buffers fit HBM without per-band syncs (which would
@@ -423,16 +449,20 @@ def main() -> int:
         _sync(out)
         return time.perf_counter() - t0
 
-    t_band = _rate_via_difference(run_bands, 4, 16)
-    _progress(f"band timed: {t_band * 1e3:.2f} ms")
+    t_band, t_band_med = _rate_via_difference(run_bands, 4, 16)
+    _progress(
+        f"band timed: {t_band * 1e3:.2f} ms (median {t_band_med * 1e3:.2f} "
+        f"ms, {_REPS} reps)"
+    )
 
     # free the gigapixel-phase arrays before the no-repeat phase
     del tiles3, src_packed, aug3, items
-    score_s, assign_s = norepeat_phase()
-    ad_score_s, ad_cert = norepeat_adaptive_phase()
+    score_s, score_med, assign_s = norepeat_phase()
+    ad_score_s, ad_score_med, ad_cert = norepeat_adaptive_phase()
 
     watchdog_done.set()
     total = t_match + N_BANDS * t_band
+    total_med = t_match_med + N_BANDS * t_band_med
     out_mp = (SRC * TILE_SIZE) ** 2 / 1e6  # 17179.87 MP
     target_s = 2.0
     # beyond-reference scale proof (100k-tile / 200k-row library, LUT at
@@ -464,6 +494,15 @@ def main() -> int:
                 "score_adaptive_s": round(ad_score_s, 3),
                 "assign_s": round(assign_s, 3),
                 "certified": ad_cert,
+                # spread protocol (VERDICT r4 #4): min is the headline
+                # (comparable to rounds 1-4); the median + rep count make
+                # regressions distinguishable from DMA-path jitter
+                "bench_reps": _REPS,
+                "match_median_s": round(t_match_med, 4),
+                "composite_band_median_ms": round(t_band_med * 1e3, 3),
+                "total_median_s": round(total_med, 4),
+                "score_worst_median_s": round(score_med, 3),
+                "score_adaptive_median_s": round(ad_score_med, 3),
             }
         )
     )

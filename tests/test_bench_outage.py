@@ -59,3 +59,30 @@ def test_bench_assertion_failure_is_not_reported_healthy():
     out = json.loads(res.stdout.strip().splitlines()[-1])
     assert out["stale"] is True
     assert "AssertionError" in out["stale_reason"]
+
+
+def test_rate_via_difference_spread(monkeypatch):
+    """VERDICT r4 #4: the difference-method timer reports (min, median)
+    over _REPS reps so round-over-round comparisons can tell a real
+    regression from jitter."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench._REPS >= 5  # the protocol floor
+
+    times = {1: [1.0, 1.2, 1.1, 1.3, 1.05], 3: [2.0, 2.6, 2.2, 2.4, 2.1]}
+    calls = {1: 0, 3: 0}
+
+    def fn(k):
+        v = times[k][calls[k] % 5]
+        calls[k] += 1
+        return v
+
+    monkeypatch.setattr(bench, "_REPS", 5)
+    lo, med = bench._rate_via_difference(fn, 1, 3)
+    assert abs(lo - (2.0 - 1.0) / 2) < 1e-12
+    assert abs(med - (2.2 - 1.1) / 2) < 1e-12
+    assert bench._median([3.0, 1.0, 2.0]) == 2.0
+    assert bench._median([4.0, 1.0, 2.0, 3.0]) == 2.5
