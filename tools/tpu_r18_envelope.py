@@ -125,10 +125,18 @@ def gather_rows(banks, idx):
     return out
 
 
-def run_adaptive(banks, real_l, b, b_slice, tag, brute_rows=2, k=K):
+def run_adaptive(banks, real_l, b, b_slice, tag, brute_rows=2, k=K,
+                 audit_rows=0):
     """Flagship-k adaptive scoring through the production jits with
     (m, cap) from the production _ad_params rule; returns the ledger
-    entry dict. `banks` is the build_library tuple."""
+    entry dict. `banks` is the build_library tuple.
+
+    `audit_rows` > 0 additionally re-scores that many certified blocks
+    end-to-end through the production certificate self-audit's
+    independent stripe oracle (`distance._stripes_banked` — no
+    projection, no DMA shortlist) and records full-top-k bit-equality
+    as `audit_ok` (VERDICT r4 #2/#6: the certificate must never be the
+    only witness at large geometry)."""
     lp = sum(bk.shape[0] for bk in banks)
     m, cap = _ad_params(lp // 128)
     # only binds at CPU-smoke scale (production gate: m + 1 <= nseg*cap)
@@ -200,13 +208,38 @@ def run_adaptive(banks, real_l, b, b_slice, tag, brute_rows=2, k=K):
     uniq = all(
         np.unique(out_r[i]).size == k for i in range(0, b, max(1, b // 7))
     )
-    return {
+    entry = {
         "B": b, "L": real_l, "D": D, "k": k, "m": m, "cap": cap,
         "score_s": round(score_s, 2),
         "certified": certified,
         "brute_top1_spot_ok": bool(spot_ok),
         "topk_rows_unique_sampled": bool(uniq),
     }
+    if audit_rows:
+        from emosaic_tpu.ops.distance import _stripes_banked
+
+        cert_rows = np.flatnonzero(ok_all)
+        rng = np.random.default_rng(0xAD17)
+        aidx = np.sort(
+            rng.choice(
+                cert_rows, size=min(audit_rows, cert_rows.size),
+                replace=False,
+            )
+        )
+        t0 = time.perf_counter()
+        blk_h = np.asarray(jax.device_get(blocks[jnp.asarray(aidx)]))
+        ad, ar = _stripes_banked(blk_h, lf, real_l, D, k)
+        audit_ok = bool(
+            (ad == out_d[aidx]).all() and (ar == out_r[aidx]).all()
+        )
+        entry["audit_rows"] = int(aidx.size)
+        entry["audit_ok"] = audit_ok
+        entry["audit_s"] = round(time.perf_counter() - t0, 2)
+        log(
+            f"{tag}: independent stripe-oracle audit on {aidx.size} "
+            f"certified rows: ok={audit_ok} ({entry['audit_s']:.1f}s)"
+        )
+    return entry
 
 
 def phase_ad500k():

@@ -216,8 +216,16 @@ def main():
         os._exit(2)
 
     threading.Thread(target=watchdog, daemon=True).start()
+    # phase selection (default all): the R1/R2 proofs and the R3 full
+    # re-run have different HBM residency profiles — R1/R2's coarse
+    # outputs + compiled reproducer workspaces fragment enough that R3
+    # OOM'd when chained in the SAME process (round-5 chain link 1,
+    # /tmp/r5_r27.log RESOURCE_EXHAUSTED at input build), while the
+    # identical R3 geometry ran clean in its own process (the pre-fix
+    # L2_ad2M measurement). Run "12" then "3" as separate links.
+    phases = os.environ.get("EMOSAIC_R27_PHASES", "123")
     dev = jax.devices()[0]
-    log(f"device: {dev.platform} {dev.device_kind}")
+    log(f"device: {dev.platform} {dev.device_kind} (phases={phases})")
     sync(jnp.ones((8, 128)) * 2)
     log("probe ok")
 
@@ -243,43 +251,47 @@ def main():
     lf = tuple(bk.reshape(-1) for bk in banks)
     log(f"library ready: banks {bank_rows}")
 
-    pick = jax.random.randint(
-        jax.random.PRNGKey(51), (b,), 0, lp, dtype=jnp.int32
-    )
-    bn = jax.random.randint(
-        jax.random.PRNGKey(52), (b, d), -6, 7, dtype=jnp.int32
-    )
-    blocks = jnp.clip(
-        r18.gather_rows(banks, pick).astype(jnp.int32) + bn, 0, 255
-    ).astype(jnp.uint8)
-    sync(blocks)
-    # 2*bc queries = the exact configuration the round-4 diag dumped
-    # (nq=256, bc=128), so R1 reproduces the firing program shape
-    nq = max(2 * bc, n_drill) if not CPU_CHECK else b
-    q = blocks[:nq]
-    log(f"inputs ready (lp={lp} nseg={nseg} m={m} cap={cap} nq={nq})")
+    fires = None
+    bad_q = []
+    need_truth = "1" in phases or "2" in phases
+    if need_truth:
+        pick = jax.random.randint(
+            jax.random.PRNGKey(51), (b,), 0, lp, dtype=jnp.int32
+        )
+        bn = jax.random.randint(
+            jax.random.PRNGKey(52), (b, d), -6, 7, dtype=jnp.int32
+        )
+        blocks = jnp.clip(
+            r18.gather_rows(banks, pick).astype(jnp.int32) + bn, 0, 255
+        ).astype(jnp.uint8)
+        sync(blocks)
+        # 2*bc queries = the exact configuration the round-4 diag dumped
+        # (nq=256, bc=128), so R1 reproduces the firing program shape
+        nq = max(2 * bc, n_drill) if not CPU_CHECK else b
+        q = blocks[:nq]
+        log(f"inputs ready (lp={lp} nseg={nseg} m={m} cap={cap} nq={nq})")
 
-    # host ground truth for the drill queries
-    if not CPU_CHECK and os.path.exists(PROJ_CACHE):
-        plib = np.load(PROJ_CACHE)
-        log("host projection cache loaded")
-    else:
-        log("rebuilding host projections from device banks (chunked pull)")
-        parts = []
-        for bk in banks:
-            n = bk.shape[0]
-            step = max(1, min(n, (64 << 20) // d))
-            for lo in range(0, n, step):
-                parts.append(
-                    host_proj(
-                        np.asarray(jax.device_get(bk[lo : lo + step])),
-                        d, g, True,
+        # host ground truth for the drill queries
+        if not CPU_CHECK and os.path.exists(PROJ_CACHE):
+            plib = np.load(PROJ_CACHE)
+            log("host projection cache loaded")
+        else:
+            log("rebuilding host projections from device banks (chunked pull)")
+            parts = []
+            for bk in banks:
+                n = bk.shape[0]
+                step = max(1, min(n, (64 << 20) // d))
+                for lo in range(0, n, step):
+                    parts.append(
+                        host_proj(
+                            np.asarray(jax.device_get(bk[lo : lo + step])),
+                            d, g, True,
+                        )
                     )
-                )
-        plib = np.concatenate(parts, axis=0)
-        del parts
-    q_h = np.asarray(jax.device_get(q))
-    pq = host_proj(q_h, d, g, True)
+            plib = np.concatenate(parts, axis=0)
+            del parts
+        q_h = np.asarray(jax.device_get(q))
+        pq = host_proj(q_h, d, g, True)
     w = lp // nseg
 
     def host_topcap(r):
@@ -292,6 +304,77 @@ def main():
         wc = order.astype(np.int64) * nseg + np.arange(nseg)[None]
         return c, wv, wc
 
+    if "1" in phases:
+        run_r1(
+            q, lf, d, g, bc, cap, lp, nq, nseg, bank_rows, host_topcap,
+            dev,
+        )
+    if "2" in phases:
+        bad_q = run_r2(
+            q, lf, d, g, bc, cap, lp, nq, nseg, n_drill, host_topcap, dev
+        )
+    if "1" in phases:
+        fires = RUN_STATE.get("fires")
+    if "3" not in phases:
+        print(
+            json.dumps(
+                {"repro_fires": fires, "coarse_bitexact": not bad_q}
+            )
+        )
+        return 0 if not bad_q else 1
+
+    # --- R3: full adaptive re-run (r18 harness: sliced blocks, brute
+    # top-1 spot check on certified rows, top-k uniqueness, independent
+    # stripe-oracle audit) -------------------------------------------------
+    if need_truth:
+        del blocks, q, plib, pq
+    entry = r18.run_adaptive(
+        banks, lp, b, 1024 if not CPU_CHECK else 64, "r27_ad2M",
+        brute_rows=n_spot, k=k, audit_rows=32,
+    )
+    spot_ok = bool(entry["brute_top1_spot_ok"])
+    audit_ok = bool(entry.get("audit_ok", True))
+    entry["note"] = (
+        "round-4 re-run AFTER the coarse-projection scan-aliasing fix "
+        "(ops/distance._ad_proj_bank_jit; root cause proven host-side by "
+        "tools/ad2m_aliasing_model.py, 256/256 bit-exact vs the device "
+        "dump). Pre-fix entries preserved in L2_ad2M_prefix_history."
+    )
+    entry["spot_rows"] = n_spot
+
+    res = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            res = json.load(f)
+    hist = res.get("L2_ad2M_prefix_history", [])
+    if res.get("L2_ad2M") and not res["L2_ad2M"].get("brute_top1_spot_ok"):
+        hist = hist + [res["L2_ad2M"]]
+    res["L2_ad2M"] = entry
+    res["L2_ad2M_prefix_history"] = hist
+    with open(OUT + ".tmp", "w") as f:
+        json.dump(res, f, indent=1)
+    os.replace(OUT + ".tmp", OUT)
+    log(f"L2_ad2M updated: spot_ok={spot_ok} audit_ok={audit_ok} "
+        f"certified={entry['certified']}/{b}")
+    print(
+        json.dumps(
+            {
+                "repro_fires": fires,
+                "coarse_bitexact": not bad_q,
+                "spot_ok": spot_ok,
+                "audit_ok": audit_ok,
+                "certified": entry["certified"],
+                "score_s": entry["score_s"],
+            }
+        )
+    )
+    return 0 if (spot_ok and audit_ok and not bad_q) else 1
+
+
+RUN_STATE: dict = {}
+
+
+def run_r1(q, lf, d, g, bc, cap, lp, nq, nseg, bank_rows, host_topcap, dev):
     # --- R1: old scan-form reproducer ------------------------------------
     v_o, c_o, s_o = old_coarse_scan_form(
         q.reshape(-1), lf, d=d, g=g, chan=True, bc=bc, cap=cap, real_l=lp
@@ -322,7 +405,10 @@ def main():
         },
     )
     del v_oh, c_oh
+    RUN_STATE["fires"] = bool(fires)
 
+
+def run_r2(q, lf, d, g, bc, cap, lp, nq, nseg, n_drill, host_topcap, dev):
     # --- R2: fixed production coarse vs host truth ------------------------
     v_n, c_n, s_n = _ad_coarse_jit(
         q.reshape(-1), lf, d=d, g=g, chan=True, bc=bc, cap=cap, real_l=lp
@@ -350,50 +436,10 @@ def main():
             "coarse_bitexact_vs_host_truth": not bad_q,
         },
     )
-    del v_nh, c_nh
-
-    # --- R3: full adaptive re-run (r18 harness: sliced blocks, brute
-    # top-1 spot check on certified rows, top-k uniqueness) ---------------
-    del blocks, q
-    entry = r18.run_adaptive(
-        banks, lp, b, 1024 if not CPU_CHECK else 64, "r27_ad2M",
-        brute_rows=n_spot, k=k,
-    )
-    spot_ok = bool(entry["brute_top1_spot_ok"])
-    entry["note"] = (
-        "round-4 re-run AFTER the coarse-projection scan-aliasing fix "
-        "(ops/distance._ad_proj_bank_jit; root cause proven host-side by "
-        "tools/ad2m_aliasing_model.py, 256/256 bit-exact vs the device "
-        "dump). Pre-fix entries preserved in L2_ad2M_prefix_history."
-    )
-    entry["spot_rows"] = n_spot
-
-    res = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            res = json.load(f)
-    hist = res.get("L2_ad2M_prefix_history", [])
-    if res.get("L2_ad2M") and not res["L2_ad2M"].get("brute_top1_spot_ok"):
-        hist = hist + [res["L2_ad2M"]]
-    res["L2_ad2M"] = entry
-    res["L2_ad2M_prefix_history"] = hist
-    with open(OUT + ".tmp", "w") as f:
-        json.dump(res, f, indent=1)
-    os.replace(OUT + ".tmp", OUT)
-    log(f"L2_ad2M updated: spot_ok={spot_ok} "
-        f"certified={entry['certified']}/{b}")
-    print(
-        json.dumps(
-            {
-                "repro_fires": bool(fires),
-                "coarse_bitexact": not bad_q,
-                "spot_ok": spot_ok,
-                "certified": entry["certified"],
-                "score_s": entry["score_s"],
-            }
-        )
-    )
-    return 0 if (spot_ok and not bad_q) else 1
+    # free the DEVICE coarse outputs too — [nq, nseg*cap] i32 x2 is
+    # ~0.26 GB at the 2M geometry and would fragment a chained R3
+    del v_n, c_n, s_n, v_nh, c_nh
+    return bad_q
 
 
 if __name__ == "__main__":
