@@ -150,19 +150,25 @@ def _rate_via_difference(fn, k1: int, k2: int) -> tuple[float, float]:
 #: process for >10 min — see CLAUDE.md); clearly labeled when used.
 _LAST_GOOD = {
     "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
-    "value": 33730.8,
+    "value": 35057.6,
     "unit": "MP/s (4096^2 src, 100000 tiles, ts=32, mode 1; match+composite "
-    "0.509s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
-    "fields) [CACHED live measurement from 2026-08-19, post-outage "
-    "libtpu 0.0.34 stack]",
-    "vs_baseline": 3.93,
-    "match_s": 0.0952,
-    "composite_band_ms": 3.235,
-    "total_s": 0.5093,
-    "score_worst_s": 2.694,
-    "score_adaptive_s": 0.676,
-    "assign_s": 0.022,
+    "0.490s vs 2.0s target; no-repeat flagship in the score_*/assign_s "
+    "fields) [CACHED live measurement from 2026-08-19 13:56, round-5 "
+    "spread protocol: min of 5 reps + medians]",
+    "vs_baseline": 4.08,
+    "match_s": 0.0955,
+    "composite_band_ms": 3.082,
+    "total_s": 0.49,
+    "score_worst_s": 2.615,
+    "score_adaptive_s": 0.661,
+    "assign_s": 0.023,
     "certified": 16384,
+    "bench_reps": 5,
+    "match_median_s": 0.0951,
+    "composite_band_median_ms": 3.359,
+    "total_median_s": 0.5251,
+    "score_worst_median_s": 2.62,
+    "score_adaptive_median_s": 0.663,
 }
 _WATCHDOG_SECS = int(os.environ.get("EMOSAIC_BENCH_WATCHDOG", "900"))
 

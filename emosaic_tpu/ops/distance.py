@@ -1919,6 +1919,14 @@ def _stripes_banked(blocks, banks, l: int, d: int, kk: int):
     g0 = 0
     for bk in banks:
         rows_b = bk.size // d
+        # Chunk-slice through a 2D row view: a flat bank can exceed 2^31
+        # ELEMENTS (bank 0 at the 1048576-row x 3072 geometry is 3.2e9),
+        # so element-offset slices `bk[lo*d:]` overflow the i32 slice-
+        # start argument past row ~699k (observed: OverflowError in the
+        # round-5 r28 streamproof audit). Row starts never can (banks are
+        # < 2^32 BYTES by _dma_bank_rows). The one-time eager reshape is
+        # a ~3 GiB relayout (~8 ms at HBM bandwidth), freed per bank.
+        bk2 = bk.reshape(rows_b, d)
         for lo in range(0, rows_b, ch):
             cl = min(ch, rows_b - lo)
             valid = min(cl, l - (g0 + lo))
@@ -1927,7 +1935,7 @@ def _stripes_banked(blocks, banks, l: int, d: int, kk: int):
             kc = min(kk, cl)
             dd_, rr_ = _l1_topk_stripes_jit(
                 bf,
-                bk[(lo * d) : ((lo + cl) * d)],
+                bk2[lo : lo + cl].reshape(-1),
                 d=d,
                 bc=bc,
                 k=kc,
@@ -1955,6 +1963,7 @@ def _stripes_banked(blocks, banks, l: int, d: int, kk: int):
             sel = np.take_along_axis(part, order, axis=1)
             best_d = np.take_along_axis(cat_d, sel, axis=1)
             best_r = np.take_along_axis(cat_r, sel, axis=1)
+        del bk2  # free this bank's row view before the next reshape
         g0 += rows_b
     best_r = np.where(best_d == I32_MAX, 0, best_r)
     return best_d, best_r

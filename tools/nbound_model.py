@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Host-side measurement of certified L1 lower bounds for the worst-case
+exact scorer (VERDICT r4 #5: "attack the 2.45 s floor with a new
+algorithm").
+
+Candidate bounds, all MXU-computable as ONE exact matmul:
+
+  L2        sqrt(sum (x-t)^2) <= L1              (the VERDICT's literal
+            suggestion: ||v||_2 <= ||v||_1)
+  S/255     sum (x-t)^2 / max|x-t| <= L1 with max|.| <= 255 (Cauchy-
+            Schwarz-free strengthening, still quadratic-form computable)
+  nb(lv)    nibble-sign bound at lv levels: x = step*a + b (step=256/lv),
+            t = step*c + e; per coordinate
+               a != c:  step*|a-c| + sign(a-c)*(b-e)  ==  |x-t|  EXACTLY
+               a == c:  0                (slack |b-e|, collides w.p. 1/lv)
+            bilinear in 2*lv features/coordinate:
+               feat(t_i)  = [onehot_lv(c_i), onehot_lv(c_i)*e_i]
+               coef(x_i)  = [step*|a_i-v| + sign(a_i-v)*b_i, -sign(a_i-v)]
+            every value bf16-exact (<= 255), f32 accumulation exact
+            (|partials| <= 270*D < 2^24).
+
+For each bound this tool measures, on uniform-random u8 data at the
+bench worst-case shape class (D=3072, L=65534, k=512 — SCALE_r03
+O_wc_sweep's regime):
+
+  prune_pct     fraction of (query, row) pairs whose bound exceeds the
+                query's true k-th L1 distance (certified-prunable)
+  cert_margin   bound value at rank m+1 minus the true k-th distance —
+                the adaptive certificate `c_next > kth` succeeds iff
+                positive (per m in a sweep)
+
+Verdict math this validates: L1 concentrates at D=3072 (sigma/mean ~
+1.3%), so a bound with mean slack s prunes only if s << sigma_L1 ~ 3300.
+L2's slack factor is ~sqrt(D); nb(16)'s is ~(D/16)*E|b-e| ~ 1020.
+
+Host-only (numpy); ~2-4 min. Writes tools/out/nbound_model.json.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+D = 3072
+L = 65534
+K = 512
+NQ = 48
+SEED = 20260819
+
+_T0 = time.time()
+
+
+def log(msg):
+    print(f"[nb {time.time() - _T0:6.1f}s] {msg}", flush=True)
+
+
+def nb_bound_and_true(x, t_chunk, lv):
+    """(true L1, nb bound) for one query against a row chunk."""
+    step = 256 // lv
+    diff = x[None].astype(np.int32) - t_chunk.astype(np.int32)
+    true = np.abs(diff).sum(axis=1)
+    a = x.astype(np.int32) >> (8 - lv.bit_length() + 1)
+    # careful: step = 2^s, a = x >> s
+    s = step.bit_length() - 1
+    a = x.astype(np.int32) >> s
+    b = x.astype(np.int32) & (step - 1)
+    c = t_chunk.astype(np.int32) >> s
+    e = t_chunk.astype(np.int32) & (step - 1)
+    sg = np.sign(a[None] - c)
+    term = step * np.abs(a[None] - c) + sg * (b[None] - e)
+    bound = term.sum(axis=1)
+    return true, bound
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    lib = rng.integers(0, 256, size=(L, D), dtype=np.uint8)
+    qs = rng.integers(0, 256, size=(NQ, D), dtype=np.uint8)
+    lib32 = lib.astype(np.int32)
+    l2n = (lib32.astype(np.int64) ** 2).sum(axis=1)
+    log("inputs ready")
+
+    res = {
+        "D": D, "L": L, "K": K, "NQ": NQ,
+        "bounds": {},
+    }
+    m_sweep = [1024, 2048, 4096]
+    stats = {
+        name: {"prune": 0, "pairs": 0, "cert_margin": {m: [] for m in m_sweep}}
+        for name in ("L2", "S_over_255", "nb8", "nb16")
+    }
+    true_kths = []
+    slack16 = []
+    for qi in range(NQ):
+        x = qs[qi]
+        true = np.empty(L, np.int64)
+        b8 = np.empty(L, np.int64)
+        b16 = np.empty(L, np.int64)
+        ch = 8192
+        for lo in range(0, L, ch):
+            tch = lib[lo : lo + ch]
+            tr, bb16 = nb_bound_and_true(x, tch, 16)
+            _, bb8 = nb_bound_and_true(x, tch, 8)
+            true[lo : lo + ch] = tr
+            b16[lo : lo + ch] = bb16
+            b8[lo : lo + ch] = bb8
+        # quadratic bounds from the exact squared distance
+        sq = (
+            (x.astype(np.int64) ** 2).sum()
+            - 2 * (lib32 @ x.astype(np.int32)).astype(np.int64)
+            + l2n
+        )
+        bl2 = np.ceil(np.sqrt(sq.astype(np.float64))).astype(np.int64)
+        bs255 = -(-sq // 255)  # ceil div: S/max|v| with max|v| <= 255
+        kth = np.partition(true, K - 1)[K - 1]
+        true_kths.append(int(kth))
+        slack16.append(float((true - b16).mean()))
+        for name, bound in (
+            ("L2", bl2), ("S_over_255", bs255), ("nb8", b8), ("nb16", b16)
+        ):
+            assert (bound <= true).all(), f"{name} is NOT a lower bound"
+            st = stats[name]
+            st["prune"] += int((bound > kth).sum())
+            st["pairs"] += L
+            bs = np.sort(bound)
+            for m in m_sweep:
+                st["cert_margin"][m].append(int(bs[m] - kth))
+        if qi % 8 == 7:
+            log(f"query {qi + 1}/{NQ}")
+
+    tk = np.asarray(true_kths, np.float64)
+    res["true_kth_mean"] = float(tk.mean())
+    res["nb16_slack_mean"] = float(np.mean(slack16))
+    for name, st in stats.items():
+        ent = {
+            "prune_pct": round(100.0 * st["prune"] / st["pairs"], 3),
+        }
+        for m in m_sweep:
+            cm = np.asarray(st["cert_margin"][m], np.float64)
+            ent[f"cert_margin_m{m}_mean"] = round(float(cm.mean()), 1)
+            ent[f"cert_ok_m{m}_pct"] = round(
+                100.0 * float((cm > 0).mean()), 1
+            )
+        res["bounds"][name] = ent
+        log(f"{name}: {json.dumps(ent)}")
+
+    out = os.path.join(os.path.dirname(__file__), "out", "nbound_model.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    log(f"written {out}")
+    print(json.dumps({k: v["prune_pct"] for k, v in res["bounds"].items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -143,14 +143,34 @@ def run_adaptive(banks, real_l, b, b_slice, tag, brute_rows=2, k=K,
     m = min(m, (lp // 128) * cap // 2)
     use_dma = jax.devices()[0].platform == "tpu"  # CPU smoke: XLA gather
     lf = tuple(bk.reshape(-1) for bk in banks)
-    pick = jax.random.randint(
-        jax.random.PRNGKey(51), (b,), 0, real_l, dtype=jnp.int32
-    )
-    bn = jax.random.randint(jax.random.PRNGKey(52), (b, D), -6, 7, dtype=jnp.int32)
-    blocks = jnp.clip(
-        gather_rows(banks, pick).astype(jnp.int32) + bn, 0, 255
-    ).astype(jnp.uint8)
-    sync(blocks)
+    # Input build retries: on a contended grant the FIRST fresh
+    # executable load after the multi-GB library build can hit
+    # RESOURCE_EXHAUSTED even though HBM has room (round-5 chain link 2,
+    # /tmp/r5_r27b.log: the (b,)-shaped randint died 2 s after the build
+    # in a process whose claim probe took 331 s). Sleep out the grant
+    # (CLAUDE.md rule 3) and retry in-process — the library stays
+    # resident, so a retry costs nothing but the wait.
+    for attempt in range(3):
+        try:
+            pick = jax.random.randint(
+                jax.random.PRNGKey(51), (b,), 0, real_l, dtype=jnp.int32
+            )
+            bn = jax.random.randint(
+                jax.random.PRNGKey(52), (b, D), -6, 7, dtype=jnp.int32
+            )
+            blocks = jnp.clip(
+                gather_rows(banks, pick).astype(jnp.int32) + bn, 0, 255
+            ).astype(jnp.uint8)
+            sync(blocks)
+            break
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 2:
+                raise
+            log(
+                f"{tag}: input build RESOURCE_EXHAUSTED "
+                f"(attempt {attempt + 1}/3); sleeping 300s for the grant"
+            )
+            time.sleep(300)
     log(f"{tag}: inputs ready (m={m}, cap={cap})")
 
     def run(slice_blocks):

@@ -246,6 +246,20 @@ def main():
     r18.BC = bc
     r18.BC2 = min(r18.BC2, bc)
 
+    if "3" in phases:
+        # Prewarm run_adaptive's post-build program loads while HBM is
+        # EMPTY: round-5 chain link 2 hit RESOURCE_EXHAUSTED loading the
+        # (b,)-shaped randint executable 2 s after the 6.1 GB build on a
+        # contended grant. The identical calls in r18.run_adaptive are
+        # then jit-cache hits — nothing new loads after the build.
+        sync(jax.random.randint(
+            jax.random.PRNGKey(51), (b,), 0, lp, dtype=jnp.int32
+        ))
+        sync(jax.random.randint(
+            jax.random.PRNGKey(52), (b, r18.D), -6, 7, dtype=jnp.int32
+        ))
+        log("post-build executables prewarmed")
+
     banks = r18.build_library(lp, n_chunks, seed=400)
     bank_rows = [int(bk.shape[0]) for bk in banks]
     lf = tuple(bk.reshape(-1) for bk in banks)
