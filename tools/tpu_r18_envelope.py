@@ -23,6 +23,7 @@ OOM in the last phase cannot cost earlier results:
 Reference cap being exceeded: tileset.rs:178-183, main.rs:791.
 """
 
+import functools
 import json
 import sys
 import time
@@ -61,6 +62,25 @@ def save(phase, data):
 
 def sync(x):
     jax.device_get(x.ravel()[0])
+
+
+def memlog(tag):
+    """Best-effort HBM residency snapshot (backend may not expose it)."""
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        log(f"{tag}: hbm_in_use {ms.get('bytes_in_use', -1) / 1e9:.2f} GB")
+    except Exception:
+        pass
+
+
+#: donated flatten: XLA aliases the (layout-compatible) buffer, so the
+#: [r, D] -> [r*D] conversion does NOT hold two copies of a 3.2 GB bank.
+#: An eager `bk.reshape(-1)` DOES (it is a fresh allocation) — holding
+#: the 2D build banks plus one/two flat copies is exactly the 12-18 GB
+#: triple-residency that OOM'd the round-5 r27-R3 reruns
+#: (/tmp/r5_r27c_1.log: deterministic RESOURCE_EXHAUSTED with the 6.1 GB
+#: library "resident" three times).
+_flatten_donate = jax.jit(lambda a: a.reshape(-1), donate_argnums=0)
 
 
 def build_library(lp, n_chunks, seed=100):
@@ -105,31 +125,73 @@ def build_library(lp, n_chunks, seed=100):
             )
             lo += take
         del chunk
-    for bk in banks:
-        sync(bk)
+    # hand back FLAT banks (the form every consumer jit takes), converting
+    # one bank at a time with the donated flatten so the 2D build buffer
+    # and its flat form never coexist beyond a single bank
+    flat = []
+    for i in range(len(banks)):
+        fb = _flatten_donate(banks[i])
+        sync(fb)
+        banks[i] = None
+        flat.append(fb)
     log(
         f"library [{lp}, {D}] ready ({n_chunks} donated chunks, "
-        f"{len(banks)} bank(s))"
+        f"{len(flat)} flat bank(s))"
     )
-    return tuple(banks)
+    memlog("post-build")
+    return tuple(flat)
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _gather_one_bank(bf, idx, out, base, *, rows):
+    """Mask-select gather of idx rows falling in one flat bank. The
+    reshape happens INSIDE the jit (bitcast — aligned shapes), so no
+    persistent 2D copy; element-offset arithmetic never reaches i32."""
+    bk = bf.reshape(rows, -1)
+    local = jnp.clip(idx - base, 0, rows - 1)
+    hit = (idx >= base) & (idx < base + rows)
+    return jnp.where(hit[:, None], bk[local], out)
 
 
 def gather_rows(banks, idx):
-    """libp[idx] across banks: per-bank clipped gather + mask-select."""
-    rb = banks[0].shape[0]
+    """libp[idx] across FLAT banks: per-bank clipped gather + select."""
+    rb = banks[0].size // D
     out = jnp.zeros((idx.shape[0], D), jnp.uint8)
-    for t, bk in enumerate(banks):
-        local = jnp.clip(idx - t * rb, 0, bk.shape[0] - 1)
-        hit = (idx >= t * rb) & (idx < t * rb + bk.shape[0])
-        out = jnp.where(hit[:, None], bk[local], out)
+    for t, bf in enumerate(banks):
+        out = _gather_one_bank(
+            bf, idx, out, jnp.int32(t * rb), rows=bf.size // D
+        )
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "n"))
+def _bank_chunk_mindist(bf, lo, x, *, rows, n):
+    """min L1 distance of block x against n rows of a flat bank starting
+    at row lo (traced: one compile per (rows, n)). Row-space addressing —
+    flat element offsets overflow i32 past 2^31 elements."""
+    bk = bf.reshape(rows, -1)
+    sl = jax.lax.dynamic_slice(bk, (lo, 0), (n, bk.shape[1]))
+    return (
+        jnp.abs(sl.astype(jnp.int16) - x.astype(jnp.int16))
+        .sum(1, dtype=jnp.int32)
+        .min()
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "n"))
+def _bank_rows_pull(bf, lo, *, rows, n):
+    """n rows of a flat bank starting at row lo (for exact host pulls)."""
+    return jax.lax.dynamic_slice(
+        bf.reshape(rows, -1), (lo, 0), (n, bf.size // rows)
+    )
 
 
 def run_adaptive(banks, real_l, b, b_slice, tag, brute_rows=2, k=K,
                  audit_rows=0):
     """Flagship-k adaptive scoring through the production jits with
     (m, cap) from the production _ad_params rule; returns the ledger
-    entry dict. `banks` is the build_library tuple.
+    entry dict. `banks` is the build_library tuple (FLAT banks — the
+    exact arrays the jits take; no 2D duplicates are ever created).
 
     `audit_rows` > 0 additionally re-scores that many certified blocks
     end-to-end through the production certificate self-audit's
@@ -137,12 +199,12 @@ def run_adaptive(banks, real_l, b, b_slice, tag, brute_rows=2, k=K,
     projection, no DMA shortlist) and records full-top-k bit-equality
     as `audit_ok` (VERDICT r4 #2/#6: the certificate must never be the
     only witness at large geometry)."""
-    lp = sum(bk.shape[0] for bk in banks)
+    lp = sum(bf.size // D for bf in banks)
     m, cap = _ad_params(lp // 128)
     # only binds at CPU-smoke scale (production gate: m + 1 <= nseg*cap)
     m = min(m, (lp // 128) * cap // 2)
     use_dma = jax.devices()[0].platform == "tpu"  # CPU smoke: XLA gather
-    lf = tuple(bk.reshape(-1) for bk in banks)
+    lf = banks  # already flat — the library is resident exactly ONCE
     # Input build retries: on a contended grant the FIRST fresh
     # executable load after the multi-GB library build can hit
     # RESOURCE_EXHAUSTED even though HBM has room (round-5 chain link 2,
@@ -172,6 +234,7 @@ def run_adaptive(banks, real_l, b, b_slice, tag, brute_rows=2, k=K,
             )
             time.sleep(300)
     log(f"{tag}: inputs ready (m={m}, cap={cap})")
+    memlog(tag)
 
     def run(slice_blocks):
         bf = slice_blocks.reshape(-1)
@@ -200,28 +263,28 @@ def run_adaptive(banks, real_l, b, b_slice, tag, brute_rows=2, k=K,
     log(f"{tag}: scoring {score_s:.2f}s ({certified}/{b} certified)")
 
     # device-side brute top-1 spot check on certified rows (no 6 GB host
-    # pull at these scales): chunked i32 stripe over the real library
+    # pull at these scales): chunked i16 stripe per flat bank. Fixed
+    # chunk length n with a clamped start (tail chunks overlap — rows
+    # scored twice cannot change a min), so each bank costs ONE compile.
     spot = np.flatnonzero(ok_all)[:brute_rows]
     spot_ok = True
-    rb = banks[0].shape[0]
     for r in spot:
         x = blocks[int(r)][None]
         best = None
-        # i16 diff keeps the chunk transient ~0.3 GB; <= rb so a chunk
-        # straddles at most one bank boundary
-        step = min(50_000, rb)
-        for lo in range(0, real_l, step):
-            hi = min(lo + step, real_l)
-            t = lo // rb
-            sl_ = banks[t][lo - t * rb : hi - t * rb]
-            if sl_.shape[0] < hi - lo:  # bank-straddling chunk
-                t2 = (t + 1) * rb
-                sl_ = jnp.concatenate([sl_, banks[t + 1][: hi - t2]])
-            dsub = jnp.abs(
-                sl_.astype(jnp.int16) - x.astype(jnp.int16)
-            ).sum(1, dtype=jnp.int32)
-            cand = int(jax.device_get(dsub.min()))
-            best = cand if best is None else min(best, cand)
+        g0 = 0
+        for bf in banks:
+            rows = bf.size // D
+            valid = min(rows, real_l - g0)
+            if valid <= 0:
+                break
+            n = min(50_000, valid)
+            los = list(range(0, valid - n, n)) + [valid - n]
+            for lo in los:
+                cand = int(jax.device_get(_bank_chunk_mindist(
+                    bf, jnp.int32(lo), x, rows=rows, n=n
+                )))
+                best = cand if best is None else min(best, cand)
+            g0 += rows
         spot_ok &= best == int(out_d[r, 0])
     log(f"{tag}: brute top-1 spot check on rows {spot.tolist()}: {spot_ok}")
     # top-k rows must be unique per block (certificate sanity)

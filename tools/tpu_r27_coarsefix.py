@@ -261,8 +261,8 @@ def main():
         log("post-build executables prewarmed")
 
     banks = r18.build_library(lp, n_chunks, seed=400)
-    bank_rows = [int(bk.shape[0]) for bk in banks]
-    lf = tuple(bk.reshape(-1) for bk in banks)
+    bank_rows = [bf.size // d for bf in banks]
+    lf = banks  # build_library returns FLAT banks — no reshape copies
     log(f"library ready: banks {bank_rows}")
 
     fires = None
@@ -292,13 +292,16 @@ def main():
         else:
             log("rebuilding host projections from device banks (chunked pull)")
             parts = []
-            for bk in banks:
-                n = bk.shape[0]
+            for bf in banks:
+                n = bf.size // d
                 step = max(1, min(n, (64 << 20) // d))
                 for lo in range(0, n, step):
+                    cl = min(step, n - lo)
                     parts.append(
                         host_proj(
-                            np.asarray(jax.device_get(bk[lo : lo + step])),
+                            np.asarray(jax.device_get(r18._bank_rows_pull(
+                                bf, jnp.int32(lo), rows=n, n=cl
+                            ))),
                             d, g, True,
                         )
                     )
