@@ -212,12 +212,12 @@ def _arm_watchdog():
     return done
 
 
-def norepeat_phase() -> tuple[float, float]:
+def norepeat_phase() -> tuple[float, float, float]:
     """No-repeat flagship scoring + assignment (the reference Makefile's
     own default config class: mode 32, --no-repeat, Makefile:62-91 /
     rendering.rs:262-401): B=16384 blocks (4096^2 source at dim 32),
     T=32767 tiles (the reference's hard cap) -> L=65534 flip rows,
-    D=3072. Returns (score_s device, assign_s host).
+    D=3072. Returns (score_s min, score_s median, assign_s host).
 
     Scoring is the production two-level certified top-k
     (ops/distance._l1_topk_twolevel_jit: min-identity distance stripes +
@@ -323,14 +323,15 @@ def norepeat_phase() -> tuple[float, float]:
     return score_s, score_med, assign_s
 
 
-def norepeat_adaptive_phase() -> tuple[float, int]:
+def norepeat_adaptive_phase() -> tuple[float, float, int]:
     """No-repeat flagship scoring on CLUSTERABLE data via the production
     adaptive coarse-to-fine certified scorer (ops/distance.py). Real tile
     libraries are color-structured, so this is the representative regime;
     the uniform-random flagship number above is the worst case (where the
     adaptive path's sample gate reroutes to the direct two-level scorer
     for ~2% overhead). Synthetic model: per-tile base color + ±10
-    texture, blocks = tiles + ±6 noise. Returns (score_s, certified)."""
+    texture, blocks = tiles + ±6 noise. Returns (score_s min, score_s
+    median, certified)."""
     from emosaic_tpu.ops.distance import (
         _ad_coarse_jit,
         _ad_rescore_jit,

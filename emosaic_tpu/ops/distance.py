@@ -1895,6 +1895,42 @@ def _check_ad_prepared(prepared, l: int, lp: int, d: int):
 _AUDIT_MIN_ROWS = 1 << 19
 
 
+def _fold_topk_host(best_d, best_r, cd, cr, kk: int, l: int):
+    """Fold one candidate chunk into a host-side running top-kk under
+    the packed int64 (distance, lowest-GLOBAL-row) lexicographic key —
+    the one exact selection every scorer shares (l1_topk's matrix path,
+    the streamed cross-bank merge, and the audit oracle must stay
+    bit-identical to each other, so they all fold through here).
+    Padding entries carry I32_MAX distances and always lose; callers
+    re-zero their rows at the end. (best_d is None) starts the fold."""
+    if best_d is None:
+        return cd, cr
+    cat_d = np.concatenate([best_d, cd], axis=1)
+    cat_r = np.concatenate([best_r, cr], axis=1)
+    key = cat_d.astype(np.int64) * (l + 1) + cat_r
+    part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    order = np.argsort(np.take_along_axis(key, part, axis=1), axis=1)
+    sel = np.take_along_axis(part, order, axis=1)
+    return (
+        np.take_along_axis(cat_d, sel, axis=1),
+        np.take_along_axis(cat_r, sel, axis=1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "d", "n"))
+def _bank_rows_flat_jit(bank_flat, lo, *, rows, d, n):
+    """n rows of a FLAT device bank starting at row `lo`, returned
+    flat. The 2D view is an inside-jit reshape (layout metadata, no
+    fresh HBM allocation — an EAGER bank reshape is a multi-GiB copy
+    that doubles library residency, CLAUDE.md rule 10), and the slice
+    start is in ROW space (flat element offsets overflow the i32
+    slice-start argument past 2^31 elements)."""
+    chunk = jax.lax.dynamic_slice(
+        bank_flat.reshape(rows, d), (lo, 0), (n, d)
+    )
+    return chunk.reshape(n * d)
+
+
 def _stripes_banked(blocks, banks, l: int, d: int, kk: int):
     """Exact top-kk per block over device-resident flat library banks
     (`_lib_banks` tuple), via the stripe oracle in bounded row chunks
@@ -1919,14 +1955,14 @@ def _stripes_banked(blocks, banks, l: int, d: int, kk: int):
     g0 = 0
     for bk in banks:
         rows_b = bk.size // d
-        # Chunk-slice through a 2D row view: a flat bank can exceed 2^31
-        # ELEMENTS (bank 0 at the 1048576-row x 3072 geometry is 3.2e9),
-        # so element-offset slices `bk[lo*d:]` overflow the i32 slice-
+        # Chunk-slice in ROW space through an inside-jit 2D view
+        # (_bank_rows_flat_jit): a flat bank can exceed 2^31 ELEMENTS
+        # (bank 0 at the 1048576-row x 3072 geometry is 3.2e9), so
+        # element-offset slices `bk[lo*d:]` overflow the i32 slice-
         # start argument past row ~699k (observed: OverflowError in the
-        # round-5 r28 streamproof audit). Row starts never can (banks are
-        # < 2^32 BYTES by _dma_bank_rows). The one-time eager reshape is
-        # a ~3 GiB relayout (~8 ms at HBM bandwidth), freed per bank.
-        bk2 = bk.reshape(rows_b, d)
+        # round-5 r28 streamproof audit). Row starts never can (banks
+        # are < 2^32 BYTES by _dma_bank_rows). Only ONE chunk's copy is
+        # ever live — no eager bank reshape, no doubled residency.
         for lo in range(0, rows_b, ch):
             cl = min(ch, rows_b - lo)
             valid = min(cl, l - (g0 + lo))
@@ -1935,7 +1971,7 @@ def _stripes_banked(blocks, banks, l: int, d: int, kk: int):
             kc = min(kk, cl)
             dd_, rr_ = _l1_topk_stripes_jit(
                 bf,
-                bk2[lo : lo + cl].reshape(-1),
+                _bank_rows_flat_jit(bk, lo, rows=rows_b, d=d, n=cl),
                 d=d,
                 bc=bc,
                 k=kc,
@@ -1950,23 +1986,21 @@ def _stripes_banked(blocks, banks, l: int, d: int, kk: int):
                 cr = np.concatenate(
                     [cr, np.zeros((b, kk - kc), np.int32)], axis=1
                 )
-            if best_d is None:
-                best_d, best_r = cd, cr
-                continue
-            cat_d = np.concatenate([best_d, cd], axis=1)
-            cat_r = np.concatenate([best_r, cr], axis=1)
-            # packed (distance, row) key: same exact lexicographic
-            # selection as l1_topk_streamed's fold, lowest-row ties
-            key = cat_d.astype(np.int64) * (l + 1) + cat_r
-            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-            order = np.argsort(np.take_along_axis(key, part, axis=1), axis=1)
-            sel = np.take_along_axis(part, order, axis=1)
-            best_d = np.take_along_axis(cat_d, sel, axis=1)
-            best_r = np.take_along_axis(cat_r, sel, axis=1)
-        del bk2  # free this bank's row view before the next reshape
+            best_d, best_r = _fold_topk_host(best_d, best_r, cd, cr, kk, l)
         g0 += rows_b
     best_r = np.where(best_d == I32_MAX, 0, best_r)
     return best_d, best_r
+
+
+def _audit_would_run(l: int, b: int, kk: int) -> bool:
+    """Whether `_ad_audit` will actually score at this geometry, under
+    the same env knobs it reads. Shared with tools that spy on audit
+    coverage (tools/tpu_r28_auditproof.py): a below-threshold SKIP must
+    never be ledgered as a passed audit run."""
+    if os.environ.get("EMOSAIC_AUDIT", "1") == "0":
+        return False
+    min_rows = int(os.environ.get("EMOSAIC_AUDIT_ROWS", str(_AUDIT_MIN_ROWS)))
+    return l >= min_rows and b > 0 and kk > 0
 
 
 def _ad_audit(out_d, out_r, blocks, banks, l: int, d: int, kk: int, *, label):
@@ -1974,11 +2008,8 @@ def _ad_audit(out_d, out_r, blocks, banks, l: int, d: int, kk: int, *, label):
     comment above). Returns (out_d, out_r) — unchanged when the sample
     matches the stripe oracle bit-for-bit, else the FULL oracle
     re-score of every block, after a loud stderr warning."""
-    if os.environ.get("EMOSAIC_AUDIT", "1") == "0":
-        return out_d, out_r
-    min_rows = int(os.environ.get("EMOSAIC_AUDIT_ROWS", str(_AUDIT_MIN_ROWS)))
     b = blocks.shape[0]
-    if l < min_rows or b == 0 or kk == 0:
+    if not _audit_would_run(l, b, kk):
         return out_d, out_r
     ns = min(b, max(1, int(os.environ.get("EMOSAIC_AUDIT_SAMPLE", "32"))))
     rng = np.random.default_rng(0xAD17 + 31 * b + l)
@@ -2231,20 +2262,7 @@ def l1_topk_streamed(
     best_d = best_r = None
     for off, dd, rr in bank_results():
         rr = rr + off  # global rows (padding entries re-zeroed below)
-        if best_d is None:
-            best_d, best_r = dd, rr
-            continue
-        cd = np.concatenate([best_d, dd], axis=1)
-        cr = np.concatenate([best_r, rr], axis=1)
-        # packed int64 (distance, row) key — the same exact lexicographic
-        # selection as l1_topk's matrix path, incl. lowest-row tie-break
-        # (padding entries carry I32_MAX distances and always lose)
-        key = cd.astype(np.int64) * (l + 1) + cr
-        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-        order = np.argsort(np.take_along_axis(key, part, axis=1), axis=1)
-        sel = np.take_along_axis(part, order, axis=1)
-        best_d = np.take_along_axis(cd, sel, axis=1)
-        best_r = np.take_along_axis(cr, sel, axis=1)
+        best_d, best_r = _fold_topk_host(best_d, best_r, dd, rr, kk, l)
     # entries short of k real rows keep the shared padding convention
     best_r = np.where(best_d == I32_MAX, 0, best_r)
     return _pad_topk(best_d, best_r, b, k, kk)

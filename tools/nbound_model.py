@@ -60,8 +60,7 @@ def nb_bound_and_true(x, t_chunk, lv):
     step = 256 // lv
     diff = x[None].astype(np.int32) - t_chunk.astype(np.int32)
     true = np.abs(diff).sum(axis=1)
-    a = x.astype(np.int32) >> (8 - lv.bit_length() + 1)
-    # careful: step = 2^s, a = x >> s
+    # step = 2^s, a = x >> s
     s = step.bit_length() - 1
     a = x.astype(np.int32) >> s
     b = x.astype(np.int32) & (step - 1)

@@ -266,7 +266,7 @@ def main():
     log(f"library ready: banks {bank_rows}")
 
     fires = None
-    bad_q = []
+    bad_q = None  # None = R2 never ran; [] = ran and found nothing
     need_truth = "1" in phases or "2" in phases
     if need_truth:
         pick = jax.random.randint(
@@ -333,12 +333,18 @@ def main():
     if "1" in phases:
         fires = RUN_STATE.get("fires")
     if "3" not in phases:
+        # None (not true) when R2 never ran in this process — a
+        # phase-split chain reader must not take an unexecuted proof
+        # as a passed one
         print(
             json.dumps(
-                {"repro_fires": fires, "coarse_bitexact": not bad_q}
+                {
+                    "repro_fires": fires,
+                    "coarse_bitexact": None if bad_q is None else not bad_q,
+                }
             )
         )
-        return 0 if not bad_q else 1
+        return 1 if bad_q else 0
 
     # --- R3: full adaptive re-run (r18 harness: sliced blocks, brute
     # top-1 spot check on certified rows, top-k uniqueness, independent
@@ -377,7 +383,7 @@ def main():
         json.dumps(
             {
                 "repro_fires": fires,
-                "coarse_bitexact": not bad_q,
+                "coarse_bitexact": None if bad_q is None else not bad_q,
                 "spot_ok": spot_ok,
                 "audit_ok": audit_ok,
                 "certified": entry["certified"],

@@ -14,15 +14,19 @@ scorer WITH the audit active and *recorded*, at two points:
             host-bank point — through the PRODUCTION DEFAULT path
             (prefetch on: two banks resident, auto-halved bank rows).
 
-Every per-bank l1_topk_adaptive call fires the production audit (each
-bank >= 2^19 rows >= _AUDIT_MIN_ROWS): 32 sampled blocks re-scored
-end-to-end through the independent banked stripe oracle (no projection,
-no DMA shortlist) and compared bit-for-bit. A spy wrapper around
-distance._ad_audit records every invocation and whether the sample
-matched (pass = the audit returned the inputs unchanged; a detected lie
-returns a fresh oracle re-score). The ledger entries therefore carry
-`audit_runs`/`audit_ok` — independent exactness evidence end-to-end, on
-top of the host-brute FULL top-k spot rows.
+Every per-bank l1_topk_adaptive call above _AUDIT_MIN_ROWS (2^19 rows)
+fires the production audit: 32 sampled blocks re-scored end-to-end
+through the independent banked stripe oracle (no projection, no DMA
+shortlist) and compared bit-for-bit. Tail banks below the threshold
+skip the audit BY DESIGN (distance._audit_would_run) and are ledgered
+as `audit_skipped_bank_rows`, never counted as passes — their merge
+contribution is still verified by the host-brute FULL top-k spot rows.
+A spy wrapper around distance._ad_audit records every invocation,
+whether it ran, and whether the sample matched (pass = ran AND the
+audit returned the inputs unchanged; a detected lie returns a fresh
+oracle re-score). The ledger entries therefore carry
+`audit_runs`/`audit_calls`/`audit_ok` — independent exactness evidence
+end-to-end, on top of the host-brute FULL top-k spot rows.
 
 Reference bar: the brute scorer that is never wrong
 (/root/reference/src/mosaic/rendering.rs:307-321) at <= 32,767 tiles
@@ -83,10 +87,20 @@ _orig_audit = distance._ad_audit
 
 
 def _audit_spy(out_d, out_r, blocks, banks, l, d, kk, *, label):
+    ran = distance._audit_would_run(l, int(blocks.shape[0]), kk)
     rd, rr = _orig_audit(out_d, out_r, blocks, banks, l, d, kk, label=label)
-    # pass = returned unchanged; a detected lie re-scores (fresh arrays)
+    # pass = RAN and returned unchanged (a detected lie re-scores into
+    # fresh arrays). A below-_AUDIT_MIN_ROWS skip also returns the
+    # inputs unchanged, so it must be recorded as ran=False — never
+    # counted as a passed audit (a skip ledgered as a pass overstates
+    # coverage).
     AUDIT_CALLS.append(
-        {"l": int(l), "b": int(blocks.shape[0]), "passed": rd is out_d}
+        {
+            "l": int(l),
+            "b": int(blocks.shape[0]),
+            "ran": bool(ran),
+            "passed": bool(ran) and rd is out_d,
+        }
     )
     return rd, rr
 
@@ -147,11 +161,13 @@ def run_point(tag: str, lp: int, seed: int, prefetch: bool) -> dict:
     out_d, out_r = distance.l1_topk_adaptive(blocks, lib, K)
     wall_s = time.perf_counter() - t0
     audits = list(AUDIT_CALLS)
-    audit_ok = bool(audits) and all(a["passed"] for a in audits)
+    ran = [a for a in audits if a["ran"]]
+    skipped = [a["l"] for a in audits if not a["ran"]]
+    audit_ok = bool(ran) and all(a["passed"] for a in ran)
     log(
         f"{tag}: streamed scoring wall {wall_s:.1f}s; audits "
-        f"{len(audits)} (ok={audit_ok}) over banks "
-        f"{[a['l'] for a in audits]}"
+        f"{len(ran)}/{len(audits)} calls ran (ok={audit_ok}) over banks "
+        f"{[a['l'] for a in ran]}; skipped sub-threshold banks {skipped}"
     )
     spot = rng.integers(0, B, size=SPOT_ROWS)
     spot_ok = True
@@ -168,16 +184,21 @@ def run_point(tag: str, lp: int, seed: int, prefetch: bool) -> dict:
         "lib_gb": round(lp * D / 1e9, 2),
         "prefetch": prefetch,
         "wall_s": round(wall_s, 2),
-        "audit_runs": len(audits),
-        "audit_rows_each": audits[0]["b"] if audits else 0,
-        "audit_bank_rows": [a["l"] for a in audits],
+        "audit_runs": len(ran),
+        "audit_calls": len(audits),
+        "audit_rows_each": ran[0]["b"] if ran else 0,
+        "audit_bank_rows": [a["l"] for a in ran],
+        "audit_skipped_bank_rows": skipped,
         "audit_ok": audit_ok,
         "brute_full_topk_rows_ok": bool(spot_ok),
         "topk_rows_unique_sampled": bool(uniq),
         "note": "beyond-HBM streamed scoring with the production "
-        "certificate self-audit ACTIVE and recorded: every per-bank "
-        "adaptive call re-scored 32 sampled blocks through the "
-        "independent banked stripe oracle (VERDICT r4 #6). Wall is "
+        "certificate self-audit ACTIVE and recorded: per-bank adaptive "
+        "calls re-score 32 sampled blocks through the independent "
+        "banked stripe oracle (VERDICT r4 #6); banks below "
+        "_AUDIT_MIN_ROWS skip the audit by design and are listed in "
+        "audit_skipped_bank_rows (their merge contribution is covered "
+        "by the host-brute FULL top-k spot rows). Wall is "
         "tunnel-upload-dominated in this env (~30 MB/s per bank pass).",
     }
 

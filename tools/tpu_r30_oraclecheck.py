@@ -1,0 +1,191 @@
+#!/usr/bin/env python3
+"""On-chip validation of the refactored audit oracle (round-5 review).
+
+The post-landing code review replaced two pieces of the production
+audit path (ops/distance.py) without changing semantics:
+
+  * `_stripes_banked` no longer eagerly reshapes each flat bank to 2D
+    (an eager device reshape is a fresh multi-GiB allocation —
+    CLAUDE.md rule 10); chunks now come from `_bank_rows_flat_jit`, an
+    inside-jit 2D view + ROW-space `dynamic_slice` (the H4-proven
+    pattern, same as tools/tpu_r18_envelope._bank_rows_pull).
+  * Its running top-kk merge now shares `_fold_topk_host` with
+    `l1_topk_streamed` (one copy of the packed (distance, lowest-row)
+    fold instead of three).
+
+CPU CI proves both bit-exact (tests/test_ops.py audit/stripe tests),
+but this file's hazard classes (H4 DMA addressing, H5 scan aliasing)
+are real-chip-only, so the refactor gets one silicon run at multi-bank
+geometry before it ships as the certificate's ground truth:
+
+  A) `_stripes_banked` full top-16 over a 4-bank library vs a host
+     brute oracle on 64 blocks — bit-exact distances AND rows.
+  B) `l1_topk_adaptive` with the production audit FORCED ON at this
+     geometry (EMOSAIC_AUDIT_ROWS lowered) — audit must RUN (spy via
+     `_audit_would_run`) and pass, and the certified output must match
+     host brute top-1 on sample rows.
+
+Multi-bank geometry is induced by shrinking `_DMA_LIB_BYTES_MAX` to
+256 MB (65536-row banks at D=3072), so the whole run uploads 0.6 GB
+and finishes in minutes while still exercising bank iteration, the
+row-space slicer, and the cross-bank fold on silicon. Ledger key:
+`R_oracle_refactor_onchip` in SCALE_r03.json.
+
+Reference bar: the brute scorer that is never wrong
+(/root/reference/src/mosaic/rendering.rs:307-321).
+
+ONE device process (CLAUDE.md rule 4); self-bounded watchdog (rule 2).
+--cpu-check runs the same phases at tiny geometry for CI.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+CPU_CHECK = "--cpu-check" in sys.argv or "--cpu-selfcheck" in sys.argv
+if CPU_CHECK:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+# force the audit on at this geometry BEFORE importing distance (it
+# reads the env at call time, but be explicit about process intent)
+L = 8192 if CPU_CHECK else 200064  # multiple of 128 (_TL_SEG)
+os.environ["EMOSAIC_AUDIT_ROWS"] = str(L // 2)
+
+from emosaic_tpu.ops import distance  # noqa: E402
+
+D = 3072
+K = 16
+NB = 64 if CPU_CHECK else 256  # adaptive blocks
+NA = 16 if CPU_CHECK else 64  # oracle-checked blocks
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "SCALE_r03.json")
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[r30 {time.time() - T0:7.1f}s] {msg}", flush=True)
+
+
+def host_topk(q, lib, k):
+    """Exact host top-k under the (distance, lowest-row) key."""
+    dist = np.abs(lib.astype(np.int32) - q.astype(np.int32)).sum(
+        axis=1, dtype=np.int64
+    )
+    key = dist * (lib.shape[0] + 1) + np.arange(lib.shape[0], dtype=np.int64)
+    sel = np.sort(np.argpartition(key, k - 1)[:k])
+    sel = sel[np.argsort(key[sel], kind="stable")]
+    return dist[sel].astype(np.int32), sel.astype(np.int32)
+
+
+def main():
+    def watchdog():
+        time.sleep(300 if CPU_CHECK else 2400)
+        log("watchdog fired; exiting")
+        os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    jax.device_get((jnp.ones((8, 128)) * 2).ravel()[0])
+    log("probe ok")
+
+    # shrink banks so L rows span 4 banks (65536 rows each at D=3072);
+    # _dma_bank_rows reads the constant at call time
+    distance._DMA_LIB_BYTES_MAX = 1 << (22 if CPU_CHECK else 28)
+
+    rng = np.random.default_rng(0x530)
+    lib = rng.integers(0, 256, size=(L, D), dtype=np.uint8)
+    pick = rng.integers(0, L, size=NB)
+    blocks = np.clip(
+        lib[pick].astype(np.int16) + rng.integers(-6, 7, size=(NB, D)),
+        0, 255,
+    ).astype(np.uint8)
+
+    banks = distance._lib_banks(lib, D)
+    bank_rows = [bk.size // D for bk in banks]
+    log(f"library [{L}, {D}] as {len(banks)} banks {bank_rows}")
+    assert len(banks) >= 4, "multi-bank geometry is the point of this run"
+
+    # A) the refactored oracle vs host brute, full top-K, bit-exact
+    t0 = time.perf_counter()
+    od, orr = distance._stripes_banked(blocks[:NA], banks, L, D, K)
+    oracle_s = time.perf_counter() - t0
+    a_ok = True
+    for i in range(NA):
+        hd, hr = host_topk(blocks[i], lib, K)
+        a_ok &= bool((hd == od[i]).all() and (hr == orr[i]).all())
+    log(f"A_oracle: {NA} blocks full top-{K} vs host brute: {a_ok} "
+        f"({oracle_s:.2f}s)")
+
+    # B) production adaptive with the audit forced on: spy that it RAN
+    audit_calls = []
+    orig = distance._ad_audit
+
+    def spy(out_d, out_r, blk, bks, l, d, kk, *, label):
+        audit_calls.append(
+            {"l": int(l), "ran": distance._audit_would_run(
+                l, int(blk.shape[0]), kk)}
+        )
+        return orig(out_d, out_r, blk, bks, l, d, kk, label=label)
+
+    # tiny CPU geometry needs explicit (m, cap) to stay _ad_plan-eligible
+    # (the production rule's default m exceeds nseg * cap at 8192 rows);
+    # the chip run uses the production parameters untouched
+    kw = {"m": 128, "cap": 4} if CPU_CHECK else {}
+    distance._ad_audit = spy
+    try:
+        t0 = time.perf_counter()
+        ad, ar = distance.l1_topk_adaptive(blocks, lib, K, **kw)
+        ad_s = time.perf_counter() - t0
+    finally:
+        distance._ad_audit = orig
+    audit_ran = bool(audit_calls) and all(a["ran"] for a in audit_calls)
+    b_ok = True
+    for i in range(0, NB, max(1, NB // 8)):
+        hd, hr = host_topk(blocks[i], lib, K)
+        b_ok &= bool((hd == ad[i]).all() and (hr == ar[i]).all())
+    log(f"B_adaptive: audit ran={audit_ran} (calls={audit_calls}); "
+        f"spot top-{K} vs host brute: {b_ok} ({ad_s:.2f}s)")
+
+    entry = {
+        "platform": dev.platform,
+        "L": L, "D": D, "k": K, "banks": bank_rows,
+        "oracle_blocks": NA, "oracle_bitexact": bool(a_ok),
+        "oracle_s": round(oracle_s, 2),
+        "adaptive_blocks": NB, "audit_ran": audit_ran,
+        "adaptive_spot_ok": bool(b_ok), "adaptive_s": round(ad_s, 2),
+        "note": "silicon run of the refactored audit oracle "
+        "(_bank_rows_flat_jit row-space slicing + shared "
+        "_fold_topk_host) at forced 4-bank geometry; full top-16 "
+        "bit-exact vs host brute and the production audit active "
+        "end-to-end.",
+    }
+    ok = a_ok and b_ok and audit_ran
+    if not CPU_CHECK:
+        try:
+            with open(OUT) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            results = {}
+        results["R_oracle_refactor_onchip"] = entry
+        with open(OUT + ".tmp", "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(OUT + ".tmp", OUT)
+    print(json.dumps({"A_oracle_bitexact": bool(a_ok),
+                      "B_audit_ran": audit_ran,
+                      "B_spot_ok": bool(b_ok)}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
