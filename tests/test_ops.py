@@ -862,6 +862,34 @@ def test_l1_topk_streamed_parity_ragged_banks_with_ties(rng):
     np.testing.assert_array_equal(r_s, np.asarray(r_o))
 
 
+def test_fold_topk_host_contract():
+    """The shared running-top-k fold (`_fold_topk_host` — the one merge
+    `l1_topk_streamed` and the audit oracle `_stripes_banked` both use)
+    pins its contract directly: sorted by (distance, lowest GLOBAL row)
+    with cross-chunk ties resolved to the lower row regardless of which
+    chunk held it, I32_MAX padding always losing, and `None` starting
+    the fold by adopting the first chunk as-is."""
+    from emosaic_tpu.ops.distance import I32_MAX, _fold_topk_host
+
+    l, kk = 1000, 3
+    # chunk A rows {10: d5, 500: d7, pad}; chunk B rows {3: d5, 900: d6}
+    a_d = np.array([[5, 7, I32_MAX]], np.int32)
+    a_r = np.array([[10, 500, 0]], np.int32)
+    b_d = np.array([[5, 6, I32_MAX]], np.int32)
+    b_r = np.array([[3, 900, 0]], np.int32)
+    d0, r0 = _fold_topk_host(None, None, a_d, a_r, kk, l)
+    assert d0 is a_d and r0 is a_r  # first chunk adopted unchanged
+    fd, fr = _fold_topk_host(d0, r0, b_d, b_r, kk, l)
+    # d5 tie between rows 10 (chunk A) and 3 (chunk B): row 3 first
+    np.testing.assert_array_equal(fd, [[5, 5, 6]])
+    np.testing.assert_array_equal(fr, [[3, 10, 900]])
+    # fold order must not matter (the streamed scorer folds bank by
+    # bank in upload order; the audit oracle in chunk order)
+    fd2, fr2 = _fold_topk_host(b_d, b_r, a_d, a_r, kk, l)
+    np.testing.assert_array_equal(fd2, fd)
+    np.testing.assert_array_equal(fr2, fr)
+
+
 def test_l1_topk_streamed_k_exceeds_bank_and_library(rng):
     """k larger than a bank (every bank contributes ALL its rows) and k
     larger than the whole library (trailing I32_MAX/row-0 padding) both
