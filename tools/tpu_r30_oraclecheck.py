@@ -104,7 +104,16 @@ def main():
     distance._DMA_LIB_BYTES_MAX = 1 << (22 if CPU_CHECK else 28)
 
     rng = np.random.default_rng(0x530)
-    lib = rng.integers(0, 256, size=(L, D), dtype=np.uint8)
+    # CLUSTERABLE library (per-tile base color + ±10 texture, the scale-
+    # phase model): a uniform-random library at D=3072 is the documented
+    # concentrated worst case, where the adaptivity gate correctly
+    # reroutes to the two-level scorer and phase B would never reach
+    # the audit (observed on the first silicon run of this tool).
+    nc3 = D // 3
+    colors = rng.integers(0, 256, size=(L, 3), dtype=np.int32)
+    tex = rng.integers(-10, 11, size=(L, D), dtype=np.int32)
+    lib = np.clip(np.tile(colors, (1, nc3)) + tex, 0, 255).astype(np.uint8)
+    del colors, tex
     pick = rng.integers(0, L, size=NB)
     blocks = np.clip(
         lib[pick].astype(np.int16) + rng.integers(-6, 7, size=(NB, D)),
@@ -129,7 +138,15 @@ def main():
 
     # B) production adaptive with the audit forced on: spy that it RAN
     audit_calls = []
+    reroutes = []
     orig = distance._ad_audit
+    orig_tl = distance.l1_topk_twolevel
+
+    def tl_spy(*a, **kw):
+        # the adaptivity gate rerouting here means the adaptive path
+        # (and its audit) never ran — make that loud in the output
+        reroutes.append(True)
+        return orig_tl(*a, **kw)
 
     def spy(out_d, out_r, blk, bks, l, d, kk, *, label):
         audit_calls.append(
@@ -143,18 +160,21 @@ def main():
     # the chip run uses the production parameters untouched
     kw = {"m": 128, "cap": 4} if CPU_CHECK else {}
     distance._ad_audit = spy
+    distance.l1_topk_twolevel = tl_spy
     try:
         t0 = time.perf_counter()
         ad, ar = distance.l1_topk_adaptive(blocks, lib, K, **kw)
         ad_s = time.perf_counter() - t0
     finally:
         distance._ad_audit = orig
+        distance.l1_topk_twolevel = orig_tl
     audit_ran = bool(audit_calls) and all(a["ran"] for a in audit_calls)
     b_ok = True
     for i in range(0, NB, max(1, NB // 8)):
         hd, hr = host_topk(blocks[i], lib, K)
         b_ok &= bool((hd == ad[i]).all() and (hr == ar[i]).all())
-    log(f"B_adaptive: audit ran={audit_ran} (calls={audit_calls}); "
+    log(f"B_adaptive: audit ran={audit_ran} (calls={audit_calls}, "
+        f"gate_reroutes={len(reroutes)}); "
         f"spot top-{K} vs host brute: {b_ok} ({ad_s:.2f}s)")
 
     entry = {
@@ -163,6 +183,7 @@ def main():
         "oracle_blocks": NA, "oracle_bitexact": bool(a_ok),
         "oracle_s": round(oracle_s, 2),
         "adaptive_blocks": NB, "audit_ran": audit_ran,
+        "gate_reroutes": len(reroutes),
         "adaptive_spot_ok": bool(b_ok), "adaptive_s": round(ad_s, 2),
         "note": "silicon run of the refactored audit oracle "
         "(_bank_rows_flat_jit row-space slicing + shared "
