@@ -249,3 +249,34 @@ def test_no_repeat_starved_blocks_render_black(rng):
             assert (tile == 0).all()  # black hole, not a crash
         else:
             assert (tile != 0).any()
+
+
+def test_match_blocks_dedup_path_parity(rng):
+    """The query-dedup fast path (match_blocks: b > 8192 with < 50%
+    unique blocks routes through np.unique + inverse scatter) must be
+    bit-identical to the direct dense kernel — sources repeat colors
+    heavily, so this branch carries real renders."""
+    from emosaic_tpu.ops.distance import l1_argmin
+    from emosaic_tpu.render.matched import match_blocks
+
+    d = 12  # mode 2: no LUT route, dense kernel
+    lib = rng.integers(0, 256, size=(300, d), dtype=np.uint8)
+    uniq = rng.integers(0, 256, size=(100, d), dtype=np.uint8)
+    blocks = uniq[rng.integers(0, 100, size=9000)]  # ~1% unique
+    dd, rr = match_blocks(blocks, lib)
+    do, ro = l1_argmin(blocks, lib)
+    np.testing.assert_array_equal(dd, np.asarray(do))
+    np.testing.assert_array_equal(rr, np.asarray(ro))
+
+
+def test_match_blocks_lut_always_requires_mode1(rng):
+    """use_lut='always' on a non-mode-1 library is a loud error, not a
+    silent fallback."""
+    import pytest
+
+    from emosaic_tpu.render.matched import match_blocks
+
+    blocks = rng.integers(0, 256, size=(16, 12), dtype=np.uint8)
+    lib = rng.integers(0, 256, size=(8, 12), dtype=np.uint8)
+    with pytest.raises(ValueError, match="LUT path requires mode 1"):
+        match_blocks(blocks, lib, use_lut="always")
