@@ -771,3 +771,22 @@ def test_malformed_content_length_400(scene):
         assert "invalid Content-Length" in resp
     finally:
         httpd.shutdown()
+
+
+def test_http_unknown_path_404(server):
+    base, _, _, _ = server
+    req = urllib.request.Request(f"{base}/nope", method="GET")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("unknown path accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+        assert json.loads(e.read())["error"] == "not found"
+
+
+def test_service_rejects_indivisible_tile_size(scene):
+    """mode dim must divide tile size — a loud init error, matching the
+    CLI's validation (the reference panics later, in analysis)."""
+    tiles, _, _ = scene
+    with pytest.raises(ValueError, match="not divisible"):
+        MosaicService(tiles, "16", 10, log=_quiet)  # dim 4, 10 % 4 != 0
