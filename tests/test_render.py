@@ -280,3 +280,22 @@ def test_match_blocks_lut_always_requires_mode1(rng):
     lib = rng.integers(0, 256, size=(8, 12), dtype=np.uint8)
     with pytest.raises(ValueError, match="LUT path requires mode 1"):
         match_blocks(blocks, lib, use_lut="always")
+
+
+def test_no_repeat_numpy_fallback_dispatch_bit_identical(rng, monkeypatch):
+    """With the native engine unavailable, render_nto1_no_repeat must
+    route through the pure-python greedy (make_numpy_refill +
+    greedy_global_assign) and produce a bit-identical render — the
+    fallback carries machines where the C++ helper cannot build."""
+    from emosaic_tpu import native
+
+    dim = 1
+    src = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(30, dim, 3), dtype=np.uint8)
+    stack = rng.integers(1, 256, size=(30, 8, 8, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(30)])
+    ref = render_nto1_no_repeat(src, ts, 8, stack=stack, **quiet)
+    monkeypatch.setattr(native, "available", lambda: False)
+    out = render_nto1_no_repeat(src, ts, 8, stack=stack, **quiet)
+    assert (np.asarray(out.image) == np.asarray(ref.image)).all()
+    assert (out.items == ref.items).all()
