@@ -276,3 +276,37 @@ def test_corrupt_source_image_friendly_error(scene):
     with pytest.raises(SystemExit, match="Failed to open source image"):
         main(["-s", "8", "-o", str(scene / "x.png"), str(bad),
               "mosaic", str(scene / "tiles")])
+
+
+def test_path_validation_errors_are_friendly(scene):
+    """The input/tiles/output path validations exit with the reference's
+    friendly messages (main.rs:272-345 semantics), not tracebacks."""
+    src = str(scene / "src.png")
+    tiles = str(scene / "tiles")
+
+    def rc_of(argv):
+        with pytest.raises(SystemExit) as e:
+            main(argv)
+        return e.value.code
+
+    # input path is a directory, not a file
+    code = rc_of(["-s", "8", "-o", "o.png", tiles, "mosaic", tiles])
+    assert code not in (0, None)
+    # input file with no extension
+    noext = scene / "noext"
+    noext.write_bytes(b"x")
+    assert rc_of(["-s", "8", "-o", "o.png", str(noext), "mosaic", tiles])
+    # unsupported image format
+    bad = scene / "src.tiff"
+    bad.write_bytes(b"x")
+    assert rc_of(["-s", "8", "-o", "o.png", str(bad), "mosaic", tiles])
+    # tiles path is not a directory
+    assert rc_of(["-s", "8", "-o", "o.png", src, "mosaic", src])
+    # output parent directory does not exist
+    assert rc_of(
+        ["-s", "8", "-o", str(scene / "nodir" / "o.png"), src, "mosaic", tiles]
+    )
+    # invalid --mesh spec
+    assert rc_of(
+        ["-s", "8", "-o", "o.png", src, "mosaic", tiles, "--mesh", "banana"]
+    )
