@@ -358,3 +358,36 @@ def test_generate_tile_set_with_process_pool(tmp_path, monkeypatch, rng):
     np.testing.assert_array_equal(ts_pool.palettes, ts_inline.palettes)
     assert [p.name for p in ts_pool.paths] == [p.name for p in ts_inline.paths]
     assert len(errs_pool) == len(errs_inline) == 1
+
+
+def test_tileset_accessors_and_builders(rng, tmp_path):
+    """TileSet parity surface: from_parts builder, seeded random_tile
+    (tileset.rs:93-97 with explicit RNG — randomness-parity deviation),
+    on-demand get_image with flip, and the two validation errors."""
+    import random
+
+    pal = rng.integers(0, 256, size=(4, 1, 3), dtype=np.uint8)
+    # on-demand image prep: one real tile file on disk
+    img = rng.integers(0, 256, size=(12, 12, 3), dtype=np.uint8)
+    p0 = tmp_path / "t0.png"
+    Image.fromarray(img).save(p0)
+    ts = TileSet.from_tiles(pal, [p0, p0, p0, p0], dates=["2020", None, None, None])
+    assert len(ts) == 4 and ts.get_tile(1).date_taken == "2020"
+
+    # seeded random_tile is deterministic
+    a = ts.random_tile(random.Random(7)).idx
+    b = ts.random_tile(random.Random(7)).idx
+    assert a == b and 1 <= a <= 4
+
+    # get_image prepares from disk when not cached, flip-aware
+    t_pos, t_neg = ts.get_tile(2), ts.get_tile(-2)
+    im_pos = ts.get_image(t_pos, 8)
+    im_neg = ts.get_image(t_neg, 8)
+    assert im_pos.shape == (8, 8, 3)
+    np.testing.assert_array_equal(im_neg, im_pos[:, ::-1, :])
+
+    # validation: palettes/paths mismatch and random-mode n_cells
+    with pytest.raises(ValueError, match="length mismatch"):
+        TileSet(palettes=pal, paths=[p0])
+    with pytest.raises(ValueError, match="no analysis"):
+        TileSet(palettes=None, paths=[p0]).n_cells
