@@ -48,8 +48,45 @@ class MemoryMonitor:
         return f"{self._peak_kb / 1024.0:.1f}" if self._peak_kb else "N/A"
 
 
+def get_device_memory_stats() -> list[dict] | None:
+    """Per-device HBM usage from the XLA allocator.
+
+    The TPU-side analogue of the reference's RSS sampling
+    (main.rs:157-216): /proc RSS cannot see device HBM, so the runtime
+    report also surfaces the backend allocator's own counters
+    (current/peak bytes in use, device limit). Returns None on backends
+    that don't expose them — the CPU backend's ``memory_stats()`` is
+    None, so CI runs simply omit the section.
+    """
+    try:
+        import jax
+
+        devices = jax.local_devices()
+    except Exception:
+        return None
+    out = []
+    for d in devices:
+        try:
+            ms = d.memory_stats()
+        except Exception:
+            ms = None
+        if not ms:
+            continue
+        in_use = int(ms.get("bytes_in_use", 0))
+        out.append(
+            {
+                "device": str(d),
+                "bytes_in_use": in_use,
+                "peak_bytes_in_use": int(ms.get("peak_bytes_in_use", in_use)),
+                "bytes_limit": int(ms.get("bytes_limit", 0)),
+            }
+        )
+    return out or None
+
+
 def print_runtime_stats(start_time: float, monitor: MemoryMonitor, log=None):
-    """main.rs:253-269."""
+    """main.rs:253-269 (+ device HBM counters, which the CUDA-less
+    reference has no analogue for)."""
     log = log or (lambda *a: print(*a, file=sys.stderr))
     total = time.time() - start_time
     log("📊 Runtime Statistics:")
@@ -58,6 +95,14 @@ def print_runtime_stats(start_time: float, monitor: MemoryMonitor, log=None):
         log(f"   ({int(total // 60)} min {total % 60.0:.1f}s)")
     if total >= 1.0:
         log(f"   Peak memory usage: {monitor.peak_mb()} MB")
+        for s in get_device_memory_stats() or []:
+            line = (
+                f"   Device memory [{s['device']}]: "
+                f"peak {s['peak_bytes_in_use'] / 2**20:.1f} MB"
+            )
+            if s["bytes_limit"]:
+                line += f" / {s['bytes_limit'] / 2**20:.0f} MB limit"
+            log(line)
 
 
 class PhaseTimer:

@@ -110,3 +110,69 @@ def test_print_runtime_stats_format():
     joined = " ".join(str(x) for ln in lines for x in ln)
     assert "Total execution time" in joined
     assert "Peak memory usage" in joined
+
+
+def test_device_memory_stats_parse(monkeypatch):
+    """get_device_memory_stats normalises the XLA allocator counters and
+    skips devices without them (the CPU backend returns None)."""
+    import jax
+
+    from emosaic_tpu import monitor
+
+    class _Dev:
+        def __init__(self, name, ms):
+            self._name, self._ms = name, ms
+
+        def __str__(self):
+            return self._name
+
+        def memory_stats(self):
+            if isinstance(self._ms, Exception):
+                raise self._ms
+            return self._ms
+
+    devs = [
+        _Dev("TPU_0", {"bytes_in_use": 5 << 20, "peak_bytes_in_use": 7 << 20,
+                       "bytes_limit": 16 << 30}),
+        _Dev("CPU_0", None),          # CPU backend: no counters
+        _Dev("TPU_1", {"bytes_in_use": 3 << 20}),  # no peak key -> falls back
+        _Dev("BAD_0", RuntimeError("boom")),       # raising device skipped
+    ]
+    monkeypatch.setattr(jax, "local_devices", lambda: devs)
+    stats = monitor.get_device_memory_stats()
+    assert [s["device"] for s in stats] == ["TPU_0", "TPU_1"]
+    assert stats[0]["peak_bytes_in_use"] == 7 << 20
+    assert stats[0]["bytes_limit"] == 16 << 30
+    assert stats[1]["peak_bytes_in_use"] == 3 << 20  # bytes_in_use fallback
+    assert stats[1]["bytes_limit"] == 0
+
+    # All-None device list -> None (the report omits the section entirely)
+    monkeypatch.setattr(jax, "local_devices", lambda: [_Dev("CPU_0", None)])
+    assert monitor.get_device_memory_stats() is None
+
+
+def test_print_runtime_stats_device_memory(monkeypatch):
+    """The runtime report prints a per-device HBM line when the backend
+    exposes allocator counters, with the limit only when known."""
+    from emosaic_tpu import monitor
+
+    monkeypatch.setattr(
+        monitor,
+        "get_device_memory_stats",
+        lambda: [
+            {"device": "TPU_0", "bytes_in_use": 1 << 20,
+             "peak_bytes_in_use": 2 << 20, "bytes_limit": 16 << 30},
+            {"device": "TPU_1", "bytes_in_use": 1 << 20,
+             "peak_bytes_in_use": 3 << 20, "bytes_limit": 0},
+        ],
+    )
+    m = monitor.MemoryMonitor().start()
+    m.stop()
+    lines = []
+    monitor.print_runtime_stats(
+        time.time() - 1.5, m, log=lambda *a: lines.append(" ".join(map(str, a)))
+    )
+    joined = "\n".join(lines)
+    assert "Device memory [TPU_0]: peak 2.0 MB / 16384 MB limit" in joined
+    assert "Device memory [TPU_1]: peak 3.0 MB" in joined
+    assert "TPU_1]: peak 3.0 MB / " not in joined  # no limit printed when 0
