@@ -71,6 +71,60 @@ def test_apply_orientation_mappings():
     assert (out1[0, 0] == 255).all()  # identity
 
 
+def test_exif_error_resilience(tmp_path):
+    """Unreadable paths and non-image bytes degrade to the defaults
+    (utils.rs:203-209 / :218-221 return defaults on any read failure)."""
+    missing = tmp_path / "nope.jpg"
+    assert get_orientation(missing) == 1
+    assert get_exif_date(missing) is None
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not an image at all")
+    assert get_orientation(bad) == 1
+    assert get_exif_date(bad) is None
+
+
+def test_exif_of_variants_survive_corrupt_exif_block():
+    """A decoder that raises while parsing the EXIF block (truncated APP1
+    segment) must not abort tile prep — defaults instead."""
+    from emosaic_tpu.io.exif import date_of, orientation_of
+
+    class _Boom:
+        def getexif(self):
+            raise RuntimeError("corrupt EXIF block")
+
+    assert orientation_of(_Boom()) == 1
+    assert date_of(_Boom()) is None
+
+
+def test_exif_date_bytes_and_nul_handling():
+    """Raw-bytes tag values decode; undecodable bytes skip to the next tag
+    in preference order; NUL padding is stripped (utils.rs:230-244)."""
+    from emosaic_tpu.io.exif import date_of
+
+    class _Exif(dict):
+        def get_ifd(self, tag):  # no sub-IFD: falls back to IFD0 tags
+            raise KeyError(tag)
+
+    class _Im:
+        def __init__(self, mapping):
+            self._e = _Exif(mapping)
+
+        def getexif(self):
+            return self._e
+
+    # some writers emit undecoded ASCII bytes
+    assert date_of(_Im({0x9003: b"2005:06:07 08:09:10"})) == "2005:06:07"
+    # undecodable bytes -> that tag is skipped, preference moves on
+    assert (
+        date_of(_Im({0x9003: b"\xff\xfe\xfd", 0x0132: "2010:11:12 01:02:03"}))
+        == "2010:11:12"
+    )
+    # NUL-padded value without a time part: stripped, returned whole
+    assert date_of(_Im({0x0132: "2001:02:03\x00\x00"})) == "2001:02:03"
+    # only undecodable values -> no date
+    assert date_of(_Im({0x9003: b"\xff"})) is None
+
+
 def test_prepare_applies_rotation(tmp_path, monkeypatch, rng):
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
     # bright left half; after orientation-6 (90 CW) rotate the bright half

@@ -1445,3 +1445,33 @@ def test_ad_proj_bank_guard_rejects_nondivisible():
     bf = jnp.zeros(12 * 4, jnp.uint8)  # 12 rows of d=4
     with _pytest.raises(ValueError, match="divisible by"):
         distance._ad_proj_bank_jit(bf, d=4, g=2, chan=False)
+
+
+def test_analysis_validation_errors(rng):
+    """Public-op input validation: shape, too-small grid, and the int32
+    box-sum overflow guard (review r4) on both the host wrapper and the
+    traceable core."""
+    import jax.numpy as jnp
+
+    from emosaic_tpu.ops.analysis import _analyse_batch_jit
+
+    with pytest.raises(ValueError, match=r"expected \[T,h,w,3\]"):
+        analyse_batch(np.zeros((2, 8, 8), np.uint8), dim=2)
+    with pytest.raises(ValueError, match="smaller than"):
+        analyse_batch(np.zeros((1, 3, 3, 3), np.uint8), dim=4)
+    with pytest.raises(ValueError, match="per-channel sums exceed"):
+        # a 2903^2 box is ~8.43M px: 255*8.43e6 > 2^31-1 wraps the int32
+        # accumulator; the guard fires before any device work
+        analyse_batch(np.zeros((1, 2903, 2903, 3), np.uint8), dim=1)
+    # the traceable core repeats the same guards at trace time
+    with pytest.raises(ValueError, match="smaller than"):
+        _analyse_batch_jit(jnp.zeros((1, 3, 3, 3), jnp.uint8), dim=4)
+    with pytest.raises(ValueError, match="per-channel sums exceed"):
+        _analyse_batch_jit(jnp.zeros((1, 2903, 2903, 3), jnp.uint8), dim=1)
+
+
+def test_source_blocks_validation_errors():
+    with pytest.raises(ValueError, match=r"expected \[H,W,3\]"):
+        source_blocks(np.zeros((8, 8), np.uint8), dim=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        source_blocks(np.zeros((9, 8, 3), np.uint8), dim=2)

@@ -391,3 +391,61 @@ def test_tileset_accessors_and_builders(rng, tmp_path):
         TileSet(palettes=pal, paths=[p0])
     with pytest.raises(ValueError, match="no analysis"):
         TileSet(palettes=None, paths=[p0]).n_cells
+
+
+def test_tile_identity_semantics():
+    """Tile eq/hash are on (idx, flipped) ONLY — colors and date are
+    ignored, like tile.rs:18-29 (the no-repeat set relies on this)."""
+    from emosaic_tpu.tiles.tile import Tile
+
+    a = Tile(3, colors=np.zeros((4, 3), np.uint8), date_taken="2020:01:01")
+    b = Tile(3, colors=np.ones((4, 3), np.uint8))  # different payload
+    assert a == b and hash(a) == hash(b)
+    assert a != Tile(3, flipped=True)
+    assert a != Tile(4)
+    assert a != "tile-3"  # non-Tile comparisons are False, not TypeError
+    assert len({a, b, Tile(3, flipped=True)}) == 2
+    assert Tile(3, flipped=True).item == -3 and b.item == 3
+
+
+def test_tile_coords_requires_colors():
+    from emosaic_tpu.tiles.tile import Tile
+
+    with pytest.raises(ValueError, match="no analysis colors"):
+        Tile(1).coords()
+
+
+def test_find_images_oserror_resilience(tmp_path, monkeypatch):
+    """Unreadable directories are skipped (walk continues) and resolve()
+    failures degrade gracefully — the reference's walk shares the
+    keep-going contract for unreadable entries (image.rs:7-23)."""
+    import pathlib
+
+    (tmp_path / "a.jpg").write_bytes(b"x")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.jpg").write_bytes(b"x")
+    locked = tmp_path / "locked"
+    locked.mkdir()
+    (locked / "c.jpg").write_bytes(b"x")
+
+    real_iterdir = pathlib.Path.iterdir
+
+    def iterdir(self):
+        if self.name == "locked":
+            raise OSError(13, "permission denied")
+        return real_iterdir(self)
+
+    monkeypatch.setattr(pathlib.Path, "iterdir", iterdir)
+    got = [p.name for p in find_images(tmp_path, ["jpg"])]
+    assert got == ["a.jpg", "b.jpg"]  # locked dir skipped, rest collected
+
+    # resolve() failing (stale handle / detached mount): cycle-dedup
+    # degrades — unresolvable subdirs are skipped, top-level files remain
+    monkeypatch.setattr(
+        pathlib.Path,
+        "resolve",
+        lambda self, strict=False: (_ for _ in ()).throw(OSError(5, "io")),
+    )
+    got = [p.name for p in find_images(tmp_path, ["jpg"])]
+    assert got == ["a.jpg"]

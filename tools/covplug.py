@@ -31,14 +31,16 @@ _TOOL = _mon.COVERAGE_ID
 _seen: set[tuple[str, int]] = set()
 
 
-def _line_cb(code, lineno):
+def _line_cb(code, lineno, _seen=_seen, _prefix=_PREFIX, _disable=_mon.DISABLE):
+    # module globals are purged to None mid-interpreter-shutdown while
+    # late callbacks still fire — everything the callback touches is
+    # bound as a default arg so it survives the purge (the dump already
+    # ran by then; observed: AttributeError on _mon.DISABLE at teardown)
     fn = code.co_filename
-    # _PREFIX can be None mid-interpreter-shutdown (module globals are
-    # purged while late callbacks still fire); the dump already ran
-    if _PREFIX is not None and fn.startswith(_PREFIX):
+    if fn.startswith(_prefix):
         _seen.add((fn, lineno))
     # either way, never fire again for this exact location
-    return _mon.DISABLE
+    return _disable
 
 
 def _dump():
