@@ -310,3 +310,144 @@ def test_path_validation_errors_are_friendly(scene):
     assert rc_of(
         ["-s", "8", "-o", "o.png", src, "mosaic", tiles, "--mesh", "banana"]
     )
+
+
+def test_tint_opacity_range_validation(scene):
+    """--tint-opacity outside [0,1] is an argparse error (main.rs:141-147)."""
+    with pytest.raises(SystemExit) as e:
+        main(["-s", "8", "-o", "o.png", str(scene / "src.png"),
+              "mosaic", str(scene / "tiles"), "-t", "1.5"])
+    assert e.value.code == 2
+
+
+def test_unsupported_format_message(scene):
+    """An extension outside the accepted list gets the friendly
+    unsupported-format message (main.rs:300-310), not an open attempt."""
+    bad = scene / "src.xyz"
+    bad.write_bytes(b"x")
+    with pytest.raises(SystemExit, match="Unsupported image format"):
+        main(["-s", "8", "-o", "o.png", str(bad),
+              "mosaic", str(scene / "tiles")])
+
+
+def test_output_parent_is_a_file(scene):
+    """-o whose parent exists but is a FILE is rejected up front."""
+    with pytest.raises(SystemExit, match="not a directory"):
+        main(["-s", "8", "-o", str(scene / "src.png" / "o.png"),
+              str(scene / "src.png"), "mosaic", str(scene / "tiles")])
+
+
+def test_mesh_auto_and_three_part_spec(scene):
+    """--mesh auto resolves to all visible devices data-parallel (8 on the
+    CI backend); a 3-part spec is rejected with the usage message."""
+    out = scene / "ma.png"
+    rc = main(["-s", "8", "-o", str(out), str(scene / "src.png"),
+               "mosaic", str(scene / "tiles"), "-m", "1", "--mesh", "auto"])
+    assert rc == 0 and out.exists()
+    with pytest.raises(SystemExit, match="Invalid --mesh"):
+        main(["-s", "8", "-o", "o.png", str(scene / "src.png"),
+              "mosaic", str(scene / "tiles"), "--mesh", "2x2x2"])
+
+
+def test_stack_cache_save_failure_nonfatal(scene, monkeypatch, capsys):
+    """A full/readonly disk while persisting the tile-stack cache must not
+    fail the run — same contract as the stats-image save (main.rs:498-507)."""
+    import emosaic_tpu.cli as cli
+
+    def boom(*a, **k):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(cli, "save_stack_cache", boom)
+    out = scene / "sc.png"
+    rc = main(["-s", "8", "-o", str(out), str(scene / "src.png"),
+               "mosaic", str(scene / "tiles"), "-m", "1"])
+    assert rc == 0 and out.exists()
+
+
+def test_random_mode_corrupt_tiles_skipped(scene, capsys):
+    """Random mode preps tiles itself; a corrupt file is skipped with a
+    warning (reference panics here — PARITY deviation), run succeeds."""
+    (scene / "tiles" / "bad1.jpg").write_bytes(b"junk not image")
+    out = scene / "rcorrupt.png"
+    rc = main(["-s", "8", "-o", str(out), str(scene / "src.png"),
+               "mosaic", str(scene / "tiles"), "-m", "random"])
+    assert rc == 0 and out.exists()
+    assert "skipping" in capsys.readouterr().err
+
+
+def test_random_mode_no_usable_tiles(scene):
+    bad = scene / "badtiles"
+    bad.mkdir()
+    (bad / "a.jpg").write_bytes(b"junk")
+    with pytest.raises(SystemExit, match="No usable tiles"):
+        main(["-s", "8", "-o", "o.png", str(scene / "src.png"),
+              "mosaic", str(bad), "-m", "random"])
+
+
+def test_tile_size_not_divisible_by_dim(scene, capsys):
+    """main.rs:603-611: tile size must be divisible by the mode's grid
+    edge; 10 % 4 != 0 exits 1 with the reference's message."""
+    with pytest.raises(SystemExit) as e:
+        main(["-s", "10", "-o", "o.png", str(scene / "src.png"),
+              "mosaic", str(scene / "tiles"), "-m", "16"])
+    assert e.value.code == 1
+    assert "Tile size must be divisible" in capsys.readouterr().err
+
+
+def test_source_dims_guard_defensive(scene, monkeypatch, capsys):
+    """preprocess_source always rounds to divisible dims; the post-check
+    is quirk-parity armor (main.rs:603-611) — force it to fire."""
+    import emosaic_tpu.cli as cli
+
+    monkeypatch.setattr(
+        cli, "preprocess_source",
+        lambda *a, **k: np.zeros((9, 8, 3), np.uint8),
+    )
+    with pytest.raises(SystemExit) as e:
+        main(["-s", "8", "-o", "o.png", str(scene / "src.png"),
+              "mosaic", str(scene / "tiles"), "-m", "2"])
+    assert e.value.code == 1
+    assert "must be divisible" in capsys.readouterr().err
+
+
+def test_global_norepeat_dropped_flags_warning(scene, capsys):
+    """The reference silently ignores randomize/matcher on the global
+    no-repeat route (main.rs:663-666); we warn instead (PARITY)."""
+    out = scene / "nrw.png"
+    rc = main(["-s", "8", "-o", str(out), str(scene / "src.png"),
+               "mosaic", str(scene / "tiles"), "-m", "4", "--no-repeat",
+               "--randomize", "10", "--matcher", "xla"])
+    assert rc == 0 and out.exists()
+    err = capsys.readouterr().err
+    assert "--randomize" in err and "--matcher xla" in err and "ignored" in err
+
+
+def test_distributed_nonzero_rank_skips_host_outputs(scene, monkeypatch):
+    """Under EMOSAIC_DISTRIBUTED every rank computes but only rank 0
+    writes files (pod convention) — a non-0 rank produces no outputs."""
+    import emosaic_tpu.parallel.distributed as dist
+
+    monkeypatch.setenv("EMOSAIC_DISTRIBUTED", "1")
+    monkeypatch.setattr(dist, "init_distributed", lambda *a, **k: None)
+    monkeypatch.setattr(dist, "is_rank0", lambda: False)
+    out = scene / "rank.png"
+    rc = main(["-s", "8", "-o", str(out), str(scene / "src.png"),
+               "mosaic", str(scene / "tiles"), "-m", "1", "--html"])
+    assert rc == 0
+    assert not out.exists()
+    assert not (scene / "rank.stats.png").exists()
+    assert not (scene / "rank.html").exists()
+
+
+def test_stats_artifact_save_failures_nonfatal(scene, capsys):
+    """Stats image/JSON save failures warn and continue (main.rs:498-507
+    treats the stats save as non-fatal); the mosaic itself still lands."""
+    out = scene / "sf.png"
+    (scene / "sf.stats.png").mkdir()  # image save -> IsADirectoryError
+    rc = main(["-s", "8", "-o", str(out), str(scene / "src.png"),
+               "mosaic", str(scene / "tiles"), "-m", "1",
+               "--stats-json", str(scene / "nodir" / "s.json")])
+    assert rc == 0 and out.exists()
+    err = capsys.readouterr().err
+    assert "Failed to save statistics image" in err
+    assert "Failed to save statistics JSON" in err
