@@ -1475,3 +1475,12 @@ def test_source_blocks_validation_errors():
         source_blocks(np.zeros((8, 8), np.uint8), dim=2)
     with pytest.raises(ValueError, match="not divisible"):
         source_blocks(np.zeros((9, 8, 3), np.uint8), dim=2)
+
+
+def test_flip_palettes_nonsquare_n():
+    """Flip augmentation needs a square cell grid (utils.rs:18-43 mirrors
+    rows of a dim x dim grid); a non-square N is a contract violation."""
+    from emosaic_tpu.ops.distance import flip_palettes
+
+    with pytest.raises(ValueError, match="perfect square"):
+        flip_palettes(np.zeros((2, 2, 3), np.uint8))

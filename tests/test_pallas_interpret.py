@@ -324,3 +324,32 @@ def test_ad_rescore_dma_path_equivalent(rng):
     np.testing.assert_array_equal(np.asarray(d_g), sd)
     np.testing.assert_array_equal(np.asarray(r_g), so)
     np.testing.assert_array_equal(np.asarray(ok_g), ok)
+
+
+def test_l1_rows_dma_bank_shape_validation(rng):
+    """The banked DMA form's trace-time contracts: bank rows must be a
+    power of two (the kernel derives the bank index by shift) and all
+    banks equal-sized except a smaller last (SCALE_r03 M_dma_limit
+    banking rules) — violations refuse loudly instead of mis-addressing."""
+    import jax.numpy as jnp
+
+    from emosaic_tpu.ops import distance
+
+    b, d, m = 2, 128, 16
+    blocks = jnp.zeros((b, d), jnp.uint8)
+    cand = jnp.zeros((b, m), jnp.int32)
+    mc = distance._rows_dma_mc(m, d)
+
+    def mk(rows):
+        return tuple(jnp.zeros((r, d), jnp.uint8) for r in rows)
+
+    with pytest.raises(ValueError, match="power of two"):
+        distance._l1_rows_dma(blocks, cand, mk([3, 3]), mc=mc, interpret=True)
+    with pytest.raises(ValueError, match="equal-sized"):
+        distance._l1_rows_dma(
+            blocks, cand, mk([128, 64, 64]), mc=mc, interpret=True
+        )
+    with pytest.raises(ValueError, match="equal-sized"):
+        distance._l1_rows_dma(
+            blocks, cand, mk([128, 256]), mc=mc, interpret=True
+        )

@@ -299,3 +299,58 @@ def test_no_repeat_numpy_fallback_dispatch_bit_identical(rng, monkeypatch):
     out = render_nto1_no_repeat(src, ts, 8, stack=stack, **quiet)
     assert (np.asarray(out.image) == np.asarray(ref.image)).all()
     assert (out.items == ref.items).all()
+
+
+def test_greedy_numpy_fallback_bit_identical(rng, monkeypatch):
+    """render_nto1's GREEDY no-repeat route (distinct from the global
+    route pinned above) must also produce a bit-identical render through
+    the pure-python fallback when the C++ engine is unavailable."""
+    from emosaic_tpu import native
+
+    src = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(30, 1, 3), dtype=np.uint8)
+    stack = rng.integers(1, 256, size=(30, 8, 8, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(30)])
+    ref = render_nto1(src, ts, 8, no_repeat=True, stack=stack, **quiet)
+    monkeypatch.setattr(native, "available", lambda: False)
+    out = render_nto1(src, ts, 8, no_repeat=True, stack=stack, **quiet)
+    assert (np.asarray(out.image) == np.asarray(ref.image)).all()
+    assert (np.asarray(out.items) == np.asarray(ref.items)).all()
+
+
+def test_matched_ignored_flags_warning(rng):
+    """The randomize / greedy no-repeat routes always score with the
+    exact L1 top-k; pinned matcher/metric knobs warn instead of being
+    dropped silently (the reference drops them — main.rs:663-666)."""
+    src = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(20, 1, 3), dtype=np.uint8)
+    stack = rng.integers(1, 256, size=(20, 8, 8, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(20)])
+    msgs = []
+    out = render_nto1(
+        src, ts, 8, randomize=10.0, use_lut="xla", metric="l2", hybrid=True,
+        stack=stack, log=msgs.append,
+    )
+    assert out.image is not None
+    warn = "\n".join(msgs)
+    assert "ignored" in warn and "--matcher xla" in warn
+    assert "--metric l2" in warn and "--matcher hybrid" in warn
+
+
+def test_compose_loads_stack_on_demand(rng, tmp_path, monkeypatch):
+    """stack=None with compose=True prepares the tile stack from disk
+    (the CLI passes None when the dense stack exceeds its memory cap)."""
+    from PIL import Image
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    paths = []
+    for i in range(5):
+        a = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+        p = tmp_path / f"t{i}.png"
+        Image.fromarray(a).save(p)
+        paths.append(p)
+    pal = rng.integers(0, 256, size=(5, 1, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=paths)
+    src = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    out = render_nto1(src, ts, 8, **quiet)
+    assert np.asarray(out.image).shape == (16, 24, 3)

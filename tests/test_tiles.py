@@ -449,3 +449,75 @@ def test_find_images_oserror_resilience(tmp_path, monkeypatch):
     )
     got = [p.name for p in find_images(tmp_path, ["jpg"])]
     assert got == ["a.jpg"]
+
+
+def test_prepare_tile_error_paths(tmp_path, monkeypatch, rng):
+    """prepare_tile wraps every failure class in ImageError so the
+    builder can collect it (utils.rs:63-196 error chain): unreadable
+    path, all-white trim-to-nothing, and cache-write failure."""
+    import emosaic_tpu.io.prep as prep
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+
+    # unreadable path (a directory behind an image name)
+    d = tmp_path / "imadir.jpg"
+    d.mkdir()
+    with pytest.raises(ImageError):
+        prepare_tile(d, 8, crop=False)
+
+    # all-white image + crop: the white-trim leaves nothing
+    white = tmp_path / "white.png"
+    Image.fromarray(np.full((32, 32, 3), 255, np.uint8)).save(white)
+    with pytest.raises(ImageError):
+        prepare_tile(white, 8, crop=True)
+
+    # cache write failure (read-only cache dir) is an ImageError, not a
+    # crash half-way through the pipeline
+    ok = tmp_path / "ok.png"
+    Image.fromarray(
+        rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    ).save(ok)
+    with pytest.MonkeyPatch.context() as mp:
+        def boom(*a):
+            raise OSError(30, "Read-only file system")
+
+        mp.setattr(prep.os, "replace", boom)
+        with pytest.raises(ImageError, match="failed to write cache"):
+            prepare_tile(ok, 8, crop=False)
+
+
+def test_prepare_tile_corrupt_cache_regenerates(tmp_path, monkeypatch, rng):
+    """A corrupt/truncated md5-cache entry falls through to regeneration
+    (the reference's or_else chain, utils.rs:86-101) instead of
+    poisoning the stack build."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    ok = tmp_path / "ok.png"
+    Image.fromarray(
+        rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    ).save(ok)
+    first = prepare_tile(ok, 8, crop=False)
+    cached = list((tmp_path / "xdg").rglob("*.8.jpg"))
+    assert len(cached) == 1
+    cached[0].write_bytes(b"truncated junk, not a jpeg")
+    again = prepare_tile(ok, 8, crop=False)
+    np.testing.assert_array_equal(first, again)  # regenerated, identical
+
+
+def test_prep_worker_never_raises(tmp_path, monkeypatch):
+    """The process-pool worker converts ImageError AND unexpected crashes
+    into (path, None, None, message) — a worker bug must not kill the
+    whole generation run."""
+    import emosaic_tpu.io.prep as prep
+    from emosaic_tpu.io.prep import prep_worker
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    p, img, date, err = prep_worker((str(tmp_path / "none.png"), 8, False))
+    assert img is None and date is None and err
+
+    with pytest.MonkeyPatch.context() as mp:
+        def crash(*a, **k):
+            raise RuntimeError("worker bug")
+
+        mp.setattr(prep, "prepare_tile_with_date", crash)
+        p, img, date, err = prep_worker(("x.png", 8, False))
+        assert img is None and err == "worker bug"
