@@ -197,3 +197,70 @@ def test_iter_bands_host_flips_and_black(tmp_path, rng, monkeypatch):
     assert (out[:8, 8:] == t2[:, ::-1, :]).all()  # flipped
     assert (out[8:, :8] == 0).all()  # item 0 -> black
     assert (out[8:, 8:] == t3).all()
+
+
+def test_multisegment_up_filter_and_backpressure(tmp_path, rng, monkeypatch):
+    """Many small compression segments: the Up filter must chain across
+    segment boundaries via prev_row, and the pending-futures backpressure
+    drains oldest-first; round trip stays exact."""
+    import emosaic_tpu.io.codecs as codecs
+
+    monkeypatch.setattr(codecs, "_SEG_TARGET", 256)  # force tiny segments
+    img = rng.integers(0, 256, size=(64, 8, 3), dtype=np.uint8)
+    path = tmp_path / "ms.png"
+    with StreamingPNGWriter(path, 8, 64, filter_type="up", workers=2) as w:
+        w.write_band(img[:30])
+        w.write_band(img[30:])
+    back = np.asarray(Image.open(path).convert("RGB"))
+    assert (back == img).all()
+
+
+def test_close_idempotent_and_nonowned_flush_failure():
+    """File-like sinks are flushed but never closed; a flush failure on
+    release (broken pipe after the bytes were written) is swallowed, and
+    a second close() is a no-op."""
+
+    class Sink:
+        def __init__(self):
+            self.data = bytearray()
+
+        def write(self, b):
+            self.data += bytes(b)
+            return len(b)
+
+        def flush(self):
+            raise OSError(32, "Broken pipe")
+
+    sink = Sink()
+    w = StreamingPNGWriter(sink, 2, 2, workers=1)
+    w.write_band(np.zeros((2, 2, 3), np.uint8))
+    w.close()  # flush raises -> swallowed
+    w.close()  # idempotent
+    assert bytes(sink.data[:8]) == b"\x89PNG\r\n\x1a\n"
+    assert b"IEND" in bytes(sink.data)
+
+
+def test_zero_pixel_image_header_only_stream(tmp_path):
+    """A 0-row image closes with a valid header-only zlib stream (the
+    0x78 0x01 header is emitted in the tail since no segment ever ran)."""
+    path = tmp_path / "z.png"
+    w = StreamingPNGWriter(path, 0, 0, workers=1)
+    w.close()
+    data = path.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    idat = data.find(b"IDAT")
+    assert idat != -1 and data[idat + 4 : idat + 6] == b"\x78\x01"
+    assert b"IEND" in data
+
+
+def test_exit_on_exception_releases_pool(tmp_path):
+    """A caller exception inside the with-block shuts the pool down and
+    releases the file without trying to finalize a half-written PNG."""
+    path = tmp_path / "e.png"
+    with pytest.raises(RuntimeError, match="caller failed"):
+        with StreamingPNGWriter(path, 4, 4, workers=2) as w:
+            w.write_band(np.zeros((2, 4, 3), np.uint8))
+            raise RuntimeError("caller failed")
+    data = path.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IEND" not in data  # incomplete by design

@@ -100,3 +100,39 @@ def test_stats_json_cli(tmp_path, rng, monkeypatch):
     assert len(data["worst_matches"]) <= 10
     assert data["worst_matches"][0]["distance"] == data["max_distance"]
     assert data["config"]["tile_size"] == 8
+
+
+def test_push_after_from_grid_materializes_arrays():
+    """push_tile on a bulk-built (from_grid) stats object must first
+    materialize the lazy arrays into lists, preserving every placement
+    and its date."""
+    ts = TileSet(
+        palettes=np.zeros((3, 1, 3), dtype=np.uint8),
+        paths=[Path(f"t{i}.jpg") for i in range(3)],
+        dates=["2020:01:01", None, "2021:05:05"],
+    )
+    items = np.array([[1, -3], [2, 0]])  # one flipped, one unassigned
+    dists = np.array([[10, 20], [30, 0]])
+    s = RenderStats.from_grid(items, dists, 16, 16, ts)
+    assert s.tile_count() == 3  # item 0 skipped
+    s.push_tile(64, 64, ts.get_tile(2), 99)
+    assert s.tile_count() == 4
+    entries = s.tiles
+    assert entries[(0, 0)].idx == 1 and entries[(0, 0)].distance == 10
+    assert entries[(16, 0)].idx == 3 and entries[(16, 0)].flipped  # -3
+    assert entries[(16, 0)].date_taken == "2021:05:05"
+    assert entries[(64, 64)].distance == 99
+    # pushing at an existing key still overwrites after materialization
+    s.push_tile(0, 0, ts.get_tile(3), 7)
+    assert s.tile_count() == 4 and s.tiles[(0, 0)].distance == 7
+
+
+def test_render_heatmap_all_zero_distances():
+    """max distance 0 (perfect matches everywhere) renders an all-black
+    heatmap instead of dividing by zero."""
+    ts = make_tileset()
+    s = RenderStats()
+    s.push_tile(0, 0, ts.get_tile(1), 0)
+    s.push_tile(16, 16, ts.get_tile(2), 0)
+    img = s.render(16)
+    assert img.shape == (2, 2, 3) and (img == 0).all()
