@@ -1484,3 +1484,28 @@ def test_flip_palettes_nonsquare_n():
 
     with pytest.raises(ValueError, match="perfect square"):
         flip_palettes(np.zeros((2, 2, 3), np.uint8))
+
+
+def test_lut_validation_and_packed_entry(rng):
+    """LUT build/match input contracts + the pre-packed index entry point
+    matching the [B,3] entry bit-for-bit."""
+    from emosaic_tpu.ops import lut as lutmod
+
+    with pytest.raises(ValueError, match=r"requires \[L,3\]"):
+        lutmod.build_l1_lut(np.zeros((4, 6), np.uint8))
+    with pytest.raises(ValueError, match="empty library"):
+        lutmod.build_l1_lut(np.zeros((0, 3), np.uint8))
+    with pytest.raises(ValueError, match="LUT cap"):
+        lutmod.build_l1_lut(np.zeros((lutmod.MAX_ROWS + 1, 3), np.uint8))
+
+    lib = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    lut = lutmod.build_l1_lut(lib)
+    with pytest.raises(ValueError, match=r"requires \[B,3\]"):
+        lutmod.lut_match(np.zeros((4, 4), np.uint8), lut)
+    blocks = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    d1, r1 = map(np.asarray, lutmod.lut_match(blocks, lut))
+    d2, r2 = map(
+        np.asarray, lutmod.lut_match_packed(lutmod.pack_rgb(blocks), lut)
+    )
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(r1, r2)

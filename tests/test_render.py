@@ -354,3 +354,41 @@ def test_compose_loads_stack_on_demand(rng, tmp_path, monkeypatch):
     src = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
     out = render_nto1(src, ts, 8, **quiet)
     assert np.asarray(out.image).shape == (16, 24, 3)
+
+
+def test_norepeat_scorer_typo_fails_loud(rng):
+    """A scorer typo must not silently run the exact path."""
+    src = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(10, 1, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(10)])
+    with pytest.raises(ValueError, match="scorer must be"):
+        render_nto1_no_repeat(src, ts, 8, scorer="fastest", **quiet)
+
+
+def test_greedy_engines_exhaustion_skip(rng):
+    """With every row (and its mirror pair, global route) consumed, the
+    remaining blocks are skipped with row -1 (rendering.rs:349-351) —
+    the engines terminate instead of spinning on an exhausted refill."""
+    from emosaic_tpu.ops.distance import build_library, l1_topk
+    from emosaic_tpu.render.greedy import (
+        greedy_global_assign,
+        greedy_sequence_assign,
+        make_numpy_refill,
+    )
+
+    blocks = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(1, 1, 3), dtype=np.uint8)  # ONE tile
+    lib = np.asarray(build_library(pal))  # 2 rows: tile + its flip
+    cd, cr = map(np.asarray, l1_topk(blocks, lib, 2))
+
+    # global route: choosing a row retires its mirror too -> 1 placement
+    rows_g, _ = greedy_global_assign(
+        cd, cr, lib.shape[0], 1, make_numpy_refill(blocks, lib)
+    )
+    assert (rows_g != -1).sum() == 1
+
+    # sequence route: rows retire individually -> 2 placements, 2 skipped
+    rows_s, _ = greedy_sequence_assign(
+        np.arange(4), cd, cr, lib.shape[0], make_numpy_refill(blocks, lib)
+    )
+    assert (rows_s != -1).sum() == 2

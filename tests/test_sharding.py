@@ -514,3 +514,31 @@ def test_sharded_jits_are_cached_across_calls(rng, devices):
     sharded_l1_topk(blocks, lib, 3, mesh)
     info = sh._topk_run_jit.cache_info()
     assert info.misses == 1 and info.hits >= 1, info
+
+
+def test_sharded_validation_errors(rng):
+    """Mesh/shape contracts fail loudly: model must divide the device
+    count, the LUT lattice axis must split evenly, and the fused mosaic
+    step requires divisible tile/block counts."""
+    from emosaic_tpu.parallel.lut import sharded_build_l1_lut
+
+    with pytest.raises(ValueError, match="not divisible by model"):
+        make_mesh(8, model=3)
+
+    mesh6 = make_mesh(6, model=1)  # 256 % 6 != 0
+    with pytest.raises(ValueError, match="not divisible by 6 devices"):
+        sharded_build_l1_lut(np.zeros((4, 3), np.uint8), mesh6)
+    mesh8 = make_mesh(8, model=2)
+    with pytest.raises(ValueError, match=r"requires \[L,3\]"):
+        sharded_build_l1_lut(np.zeros((4, 6), np.uint8), mesh8)
+    with pytest.raises(ValueError, match="out of range"):
+        sharded_build_l1_lut(np.zeros((0, 3), np.uint8), mesh8)
+
+    tiles = rng.integers(0, 256, size=(3, 8, 8, 3), dtype=np.uint8)
+    src = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="not divisible by model"):
+        sharded_mosaic_step(tiles, src, mesh8, 2, 8)  # T=3, model=2
+    tiles4 = rng.integers(0, 256, size=(4, 8, 8, 3), dtype=np.uint8)
+    src_odd = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="block rows"):
+        sharded_mosaic_step(tiles4, src_odd, mesh8, 2, 8)  # nby=3, data=4

@@ -521,3 +521,72 @@ def test_prep_worker_never_raises(tmp_path, monkeypatch):
         mp.setattr(prep, "prepare_tile_with_date", crash)
         p, img, date, err = prep_worker(("x.png", 8, False))
         assert img is None and err == "worker bug"
+
+
+def test_tileset_cache_rejects_foreign_and_inconsistent(tmp_path):
+    """The analysis cache treats a wrong magic or internally inconsistent
+    npz as a miss (main.rs:622-623 corrupt-cache semantics), never as
+    data."""
+    import io as _io
+
+    p = tmp_path / ".emosaic_1to1"
+
+    def write_npz(**kw):
+        buf = _io.BytesIO()
+        np.savez_compressed(buf, **kw)
+        p.write_bytes(buf.getvalue())
+
+    good = tmp_path / "t0.jpg"
+    good.write_bytes(b"x")
+    write_npz(
+        magic=np.array("some-other-tool-v9"),
+        palettes=np.zeros((1, 1, 3), np.uint8),
+        paths=np.array([str(good)]),
+        dates=np.array([""]),
+    )
+    assert load_tileset_cache(p, {"jpg"}) is None  # foreign magic
+
+    write_npz(
+        magic=np.array("emosaic_tpu-analysis-v1"),
+        palettes=np.zeros((2, 1, 3), np.uint8),  # 2 palettes, 1 path
+        paths=np.array([str(good)]),
+        dates=np.array([""]),
+    )
+    assert load_tileset_cache(p, {"jpg"}) is None  # length mismatch
+
+
+def test_stack_cache_rejects_foreign_magic_and_path_change(tmp_path):
+    import io as _io
+
+    from emosaic_tpu.tiles.cache import load_stack_cache, save_stack_cache
+
+    p = tmp_path / ".emosaic_stack_8"
+    paths = [tmp_path / "a.jpg", tmp_path / "b.jpg"]
+    stack = np.zeros((2, 8, 8, 3), np.uint8)
+    save_stack_cache(p, paths, stack)
+    # path-set drift (renamed/added tiles) invalidates
+    assert load_stack_cache(p, [paths[0]]) is None
+    got = load_stack_cache(p, paths)
+    assert got is not None and got.shape == stack.shape
+
+    buf = _io.BytesIO()
+    np.savez(buf, magic=np.array("not-ours"), paths=np.array([]),
+             stack=stack)
+    p.write_bytes(buf.getvalue())
+    assert load_stack_cache(p, paths) is None  # foreign magic
+
+
+def test_generate_tile_set_all_images_unusable(tmp_path):
+    """Every image failing prep returns an EMPTY tile set plus the
+    collected errors (the CLI then exits with its friendly message) —
+    not an exception from np.concatenate on zero parts."""
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    (tiles / "a.jpg").write_bytes(b"junk")
+    (tiles / "b.jpg").write_bytes(b"more junk")
+    ts, errors = generate_tile_set(
+        tiles, 8, {"jpg"}, crop=False, dim=1, log=lambda *a: None
+    )
+    assert len(ts) == 0
+    assert len(errors) == 2
+    assert ts.palettes.shape == (0, 1, 3)

@@ -119,3 +119,39 @@ def test_widget_escapes_hostile_paths(tmp_path):
     html = out.read_text()
     assert "<script>alert(1)</script>" not in html
     assert "&lt;script&gt;" in html or "alert(1)" not in html
+
+
+def test_widget_empty_stats_raises(tmp_path):
+    ts, _, config = make_fixture(tmp_path)
+    with pytest.raises(ValueError, match="No tiles recorded"):
+        generate_mosaic_widget_with_options(
+            RenderStats(), tmp_path / "m.png", tmp_path / "w.html", ts,
+            config, web_compatible=False,
+        )
+
+
+def test_widget_garbage_year_and_foreign_tile_path(tmp_path):
+    """A non-numeric EXIF year is skipped by the year-range scan
+    (widget.rs:46-60 parse failures), and a tile path outside the tiles
+    dir falls back to its bare file name in the URL."""
+    ts = TileSet(
+        palettes=np.zeros((2, 1, 3), dtype=np.uint8),
+        paths=[tmp_path / "tiles/t0.jpg", Path("/elsewhere/odd.jpg")],
+        dates=["notayear:01:01", "2018:06:06"],
+    )
+    stats = RenderStats()
+    stats.push_tile(0, 0, ts.get_tile(1), 10)
+    stats.push_tile(16, 0, ts.get_tile(2), 20)
+    assert extract_year_range(stats) == (2018, 2018)
+    _, _, config = make_fixture(tmp_path)
+    out = tmp_path / "w.html"
+    generate_mosaic_widget_with_options(
+        stats, tmp_path / "m.png", out, ts, config, web_compatible=True
+    )
+    html = out.read_text()
+    # the image URL falls back to the bare name; the original path
+    # survives only as the data-tile-path metadata attribute
+    assert 'data-src="tiles/odd.jpg"' in html
+    assert 'data-tile-path="/elsewhere/odd.jpg"' in html
+    assert 'src="tiles//elsewhere' not in html
+    assert 'data-year="unknown"' in html  # unparseable year -> unknown
