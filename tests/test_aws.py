@@ -391,3 +391,53 @@ def test_invalid_requests_do_not_burn_quota(backend):
     assert not any(k.startswith("quota#") for k in rates.items), (
         "rejected requests consumed quota units"
     )
+
+
+def test_http_api_v2_event_shape_and_preflight(backend):
+    """HTTP API v2 events carry the method under requestContext.http
+    (no top-level httpMethod — deviation 10: the backend is API GW v2);
+    OPTIONS preflight returns 200 with CORS headers and touches nothing."""
+    mods, flags, rates = backend
+    ev = {
+        "pathParameters": {"tileHash": "abc9"},
+        "body": None,
+        "requestContext": {
+            "http": {"method": "OPTIONS", "sourceIp": "1.2.3.4"}
+        },
+    }
+    for name in ("toggle_flag", "get_flags"):
+        r = mods[name].handler(ev, None)
+        assert r["statusCode"] == 200
+    assert not flags.items  # preflight never writes
+
+    # a real v2 POST flags the tile
+    ev["requestContext"]["http"]["method"] = "POST"
+    r = mods["toggle_flag"].handler(ev, None)
+    assert r["statusCode"] == 200 and json.loads(r["body"])["flagged"]
+
+
+def test_malformed_json_bodies(backend):
+    """toggle_flag treats an unparseable body as empty metadata (the flag
+    itself still lands); get_flags rejects it as a 400."""
+    mods, flags, _ = backend
+    ev = _event("POST", "dead00")
+    ev["body"] = "{not json"
+    r = mods["toggle_flag"].handler(ev, None)
+    assert r["statusCode"] == 200 and json.loads(r["body"])["flagged"]
+
+    ev2 = _event("POST")
+    ev2["body"] = "{not json"
+    r = mods["get_flags"].handler(ev2, None)
+    assert r["statusCode"] == 400
+    assert "invalid JSON" in json.loads(r["body"])["error"]
+
+
+def test_admin_bad_page_size_falls_back(backend):
+    mods, flags, _ = backend
+    mods["toggle_flag"].handler(_event("POST", "aa11"), None)
+    r = mods["admin_get_all_flags"].handler(
+        _event("GET", qs={"pageSize": "not-a-number"}), None
+    )
+    assert r["statusCode"] == 200
+    body = json.loads(r["body"])
+    assert body["count"] == 1 and body["summary"]["uniqueFlaggers"] == 1

@@ -392,3 +392,24 @@ def test_greedy_engines_exhaustion_skip(rng):
         np.arange(4), cd, cr, lib.shape[0], make_numpy_refill(blocks, lib)
     )
     assert (rows_s != -1).sum() == 2
+
+
+def test_render_random_empty_and_on_demand_stack(rng, tmp_path, monkeypatch):
+    from PIL import Image
+
+    with pytest.raises(ValueError, match="empty tile set"):
+        render_random(
+            np.zeros((2, 2, 3), np.uint8),
+            TileSet(palettes=None, paths=[]),
+            8,
+        )
+    # stack=None prepares from disk (rendering.rs:418-440 loads lazily)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    p = tmp_path / "t.png"
+    Image.fromarray(
+        rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    ).save(p)
+    out = render_random(
+        np.zeros((2, 3, 3), np.uint8), TileSet(palettes=None, paths=[p]), 8
+    )
+    assert out.shape == (16, 24, 3)
