@@ -413,3 +413,52 @@ def test_render_random_empty_and_on_demand_stack(rng, tmp_path, monkeypatch):
         np.zeros((2, 3, 3), np.uint8), TileSet(palettes=None, paths=[p]), 8
     )
     assert out.shape == (16, 24, 3)
+
+
+def test_device_refill_knobs(rng, monkeypatch):
+    """EMOSAIC_DEVICE_REFILL=1 drives the batched device refiller (its
+    call count logged), is overridden when the library exceeds the
+    device-resident budget, and the defer knob parses from the env."""
+    from emosaic_tpu import native
+    from emosaic_tpu.ops import distance as dd
+    from emosaic_tpu.render import norepeat as nr
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+
+    monkeypatch.setenv("EMOSAIC_DEVICE_REFILL", "1")
+    monkeypatch.setenv("EMOSAIC_DEVICE_REFILL_DEFER", "0")  # no batching
+    monkeypatch.setattr(nr, "_TRUNCATED_K", 2)  # force candidate refills
+    monkeypatch.setattr(nr, "_EXACT_BUDGET", 0)  # truncated adaptive route
+    src = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)  # 9 blocks
+    # identical palettes: every block's truncated candidate list points
+    # at the same lowest rows, guaranteeing exhaustion -> refill events
+    pal = np.full((9, 1, 3), 7, dtype=np.uint8)
+    stack = rng.integers(1, 256, size=(9, 8, 8, 3), dtype=np.uint8)
+    ts = TileSet(palettes=pal, paths=[Path(f"{i}.jpg") for i in range(9)])
+    msgs = []
+    out = render_nto1_no_repeat(src, ts, 8, stack=stack, log=msgs.append)
+    assert out.image is not None
+    assert any("device refill events" in m for m in msgs)
+    # truncation never changes the assignment (the refill re-derives the
+    # exact continuation): bit-identical to the untruncated run
+    monkeypatch.setenv("EMOSAIC_DEVICE_REFILL", "0")
+    monkeypatch.setattr(nr, "_TRUNCATED_K", 512)
+    monkeypatch.setattr(nr, "_EXACT_BUDGET", 10**12)  # exact-full route
+    ref = render_nto1_no_repeat(src, ts, 8, stack=stack, **quiet)
+    assert (np.asarray(out.image) == np.asarray(ref.image)).all()
+
+    # oversized library: the explicit =1 request is overridden, loudly
+    monkeypatch.setenv("EMOSAIC_DEVICE_REFILL", "1")
+    monkeypatch.setattr(dd, "_DEVICE_LIB_BYTES_MAX", 0)
+    msgs2 = []
+    out2 = render_nto1_no_repeat(src, ts, 8, stack=stack, log=msgs2.append)
+    assert any("overridden" in m for m in msgs2)
+    assert (np.asarray(out2.image) == np.asarray(ref.image)).all()
+
+    # defer knob parses from the env at construction time
+    monkeypatch.setenv("EMOSAIC_DEVICE_REFILL_DEFER", "3")
+    r = dd.DeviceRefiller(
+        np.zeros((2, 3), np.uint8), np.zeros((4, 3), np.uint8)
+    )
+    assert r.defer_events == 3
