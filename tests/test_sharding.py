@@ -542,3 +542,35 @@ def test_sharded_validation_errors(rng):
     src_odd = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="block rows"):
         sharded_mosaic_step(tiles4, src_odd, mesh8, 2, 8)  # nby=3, data=4
+
+
+def test_ring_argmin_streams_beyond_budget(rng, monkeypatch):
+    """A library whose per-ring shard exceeds the device-resident budget
+    streams host banks through the SAME ring kernel, bit-identical to
+    the single-chip argmin (lowest-row ties preserved cross-bank)."""
+    from emosaic_tpu.ops import distance as dd
+    from emosaic_tpu.parallel import sharded_l1_argmin_ring
+
+    blocks = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    lib = rng.integers(0, 256, size=(600, 3), dtype=np.uint8)
+    mesh = make_mesh(8, model=1)
+    d0, r0 = map(np.asarray, dd.l1_argmin_xla(blocks, lib))
+    monkeypatch.setattr(dd, "_DEVICE_LIB_BYTES_MAX", 16)
+    d1, r1 = sharded_l1_argmin_ring(blocks, lib, mesh)
+    np.testing.assert_array_equal(np.asarray(d1), d0)
+    np.testing.assert_array_equal(np.asarray(r1), r0)
+
+
+def test_sharded_stripes_i32_form_bit_identical(rng, monkeypatch):
+    """Beyond the f32-lane byte budget the per-shard stripe switches to
+    i32 lanes; both forms are exact for u8 operands — bit-identical."""
+    from emosaic_tpu.ops import distance as dd
+
+    blocks = rng.integers(0, 256, size=(16, 12), dtype=np.uint8)
+    lib = rng.integers(0, 256, size=(64, 12), dtype=np.uint8)
+    mesh = make_mesh(8, model=2)
+    d0, r0 = map(np.asarray, dd.l1_argmin_xla(blocks, lib))
+    monkeypatch.setattr(dd, "_STRIPE_F32_MAX_BYTES", 0)
+    d1, r1 = map(np.asarray, sharded_l1_argmin(blocks, lib, mesh))
+    np.testing.assert_array_equal(d1, d0)
+    np.testing.assert_array_equal(r1, r0)
