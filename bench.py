@@ -183,7 +183,47 @@ def _emit_cached(reason: str) -> None:
     out = dict(_LAST_GOOD)
     out["stale"] = True
     out["stale_reason"] = reason[:300]
+    ok, flagged = _scale_digest(
+        os.path.join(os.path.dirname(__file__), "SCALE_r03.json")
+    )
+    out["scale_proofs_ok"] = ok
+    out["scale_proofs_flagged"] = flagged
+    out["scale_proof_file"] = "SCALE_r03.json"
     print(json.dumps(out), flush=True)
+
+
+#: per-entry booleans that are run CONFIGURATION, not pass/fail verdicts
+#: (N_stream6p8G_audit legitimately records prefetch=false)
+_SCALE_CONFIG_BOOLS = {"prefetch"}
+
+
+def _scale_digest(path: str) -> tuple[list[str], list[str]]:
+    """(all-green keys, keys with any false verdict) from the scale ledger.
+
+    A key is "green" when every top-level boolean field that isn't a
+    config knob (_SCALE_CONFIG_BOOLS) is true. Entries with NO verdict
+    booleans are omitted entirely (diagnostic dumps and timing-only
+    entries carry no pass/fail claim to roll up), as are non-dict
+    entries (e.g. the preserved L2_ad2M_prefix_history list)."""
+    try:
+        with open(path) as f:
+            scale = json.load(f)
+    except (OSError, ValueError):
+        return [], []
+    ok: list[str] = []
+    flagged: list[str] = []
+    for key in sorted(scale):
+        entry = scale[key]
+        if not isinstance(entry, dict):
+            continue
+        verdicts = [
+            v
+            for k, v in entry.items()
+            if isinstance(v, bool) and k not in _SCALE_CONFIG_BOOLS
+        ]
+        if verdicts:
+            (ok if all(verdicts) else flagged).append(key)
+    return ok, flagged
 
 
 def _arm_watchdog():
@@ -472,22 +512,25 @@ def main() -> int:
     total_med = t_match_med + N_BANDS * t_band_med
     out_mp = (SRC * TILE_SIZE) ** 2 / 1e6  # 17179.87 MP
     target_s = 2.0
-    # beyond-reference scale proof (100k-tile / 200k-row library, LUT at
-    # 200k rows, mid-D DMA route): measured by tools/tpu_r6_scale.py in
-    # its own device process; embed the ledger so BENCH_rN carries it
-    scale = None
-    try:
-        with open(os.path.join(os.path.dirname(__file__), "SCALE_r03.json")) as f:
-            scale = json.load(f)
-    except (OSError, ValueError):
-        pass
+    # Beyond-reference scale proofs live in SCALE_r03.json (measured by
+    # the tools/tpu_r*_*.py device scripts in their own processes). The
+    # bench line carries only a compact per-key verdict DIGEST of it:
+    # BENCH_r04 embedded the whole ledger (~15 KB with diagnostic notes),
+    # the driver's tail window front-truncated the line, and the round's
+    # bench artifact recorded "parsed": null. The full ledger stays on
+    # disk for the judge; the output line must stay parseable.
+    scale_ok, scale_flagged = _scale_digest(
+        os.path.join(os.path.dirname(__file__), "SCALE_r03.json")
+    )
     # first-class fields (VERDICT r2 #6): the driver and future rounds
     # diff these mechanically; metric/value/unit/vs_baseline keep their
     # round-1 meaning (gigapixel headline vs the 2 s target)
     print(
         json.dumps(
             {
-                "scale_proof": scale,
+                "scale_proofs_ok": scale_ok,
+                "scale_proofs_flagged": scale_flagged,
+                "scale_proof_file": "SCALE_r03.json",
                 "metric": "gigapixel_mosaic_composited_megapixels_per_sec",
                 "value": round(out_mp / total, 1),
                 "unit": f"MP/s (4096^2 src, {NUM_TILES} tiles, ts={TILE_SIZE},"
