@@ -725,10 +725,11 @@ def _mxu_prefilter_jit(blocks_flat, lib_flat, *, d, bc, k_pre):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d", "bc", "k", "real_l", "use_dma")
+    jax.jit, static_argnames=("d", "bc", "k", "real_l", "use_dma", "interpret")
 )
 def _l1_rescore_jit(
-    blocks_flat, cand_rows, lib_flat, *, d, bc, k, real_l, use_dma=False
+    blocks_flat, cand_rows, lib_flat, *, d, bc, k, real_l, use_dma=False,
+    interpret=False,
 ):
     blocks = blocks_flat.reshape(-1, d)
     lib = lib_flat.reshape(-1, d)
@@ -744,7 +745,7 @@ def _l1_rescore_jit(
     if use_dma and (mc % 128 == 0 or mc == k_pre) and d % 128 == 0:
         # DMA shortlist rescore (~19 ns/row vs ~87 ns XLA gather on v5e);
         # mid-D rows are zero-padded to alignment inside _l1_rows_dma
-        dist_all = _l1_rows_dma(blocks, cand, lib, mc=mc)
+        dist_all = _l1_rows_dma(blocks, cand, lib, mc=mc, interpret=interpret)
         dist_all = jnp.where(cand < real_l, dist_all, I32_MAX)
 
         def per_chunk(args):
@@ -1699,11 +1700,11 @@ def _l1_rows_dma(blocks, cand, libp, *, mc, interpret=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d", "bc", "m", "k", "real_l", "use_dma")
+    jax.jit, static_argnames=("d", "bc", "m", "k", "real_l", "use_dma", "interpret")
 )
 def _ad_rescore_jit(
     blocks_flat, vals, cols, s_min, lib_pad_flat, *, d, bc, m, k, real_l,
-    use_dma=False,
+    use_dma=False, interpret=False,
 ):
     """Steps 2-4: select m candidates, exact rescore, certify.
 
@@ -1739,7 +1740,7 @@ def _ad_rescore_jit(
 
     mc = _rows_dma_mc(m, d)
     if use_dma and (mc % 128 == 0 or mc == m) and d % 128 == 0:
-        dist = _l1_rows_dma(blocks, cand, banks2, mc=mc)
+        dist = _l1_rows_dma(blocks, cand, banks2, mc=mc, interpret=interpret)
     else:
         libp = banks2[0] if len(banks2) == 1 else jnp.concatenate(banks2)
 

@@ -353,3 +353,72 @@ def test_l1_rows_dma_bank_shape_validation(rng):
         distance._l1_rows_dma(
             blocks, cand, mk([128, 256]), mc=mc, interpret=True
         )
+
+
+def test_l1_rescore_jit_dma_branch_bit_identical(rng):
+    """Execute _l1_rescore_jit's use_dma=True dispatch (the hybrid
+    scorer's TPU wiring, ops/distance.py:745) end to end via the Pallas
+    interpreter and pin it bit-identical to the gather branch — including
+    the padding-row masking and the sorted-candidate lowest-row
+    tie-break. Before the `interpret` plumb this wiring only ever ran on
+    silicon (tools/tpu_validate_distance.py DONE2)."""
+    import jax.numpy as jnp
+
+    b, bc, d, lp, real_l, k_pre, k = 8, 4, 128, 256, 250, 32, 8
+    lib = rng.integers(0, 256, size=(lp, d), dtype=np.uint8)
+    lib[real_l:] = 0  # padding rows — must be masked, not matched
+    blocks = lib[rng.integers(0, real_l, size=b)]
+    cand = rng.integers(0, lp, size=(b, k_pre)).astype(np.int32)
+    cand[:, 0] = real_l  # a padding row in every candidate list
+    cand[0, 1:3] = [7, 7]  # duplicate row: tie must resolve identically
+    bf = jnp.asarray(blocks.reshape(-1))
+    lf = jnp.asarray(lib.reshape(-1))
+    cj = jnp.asarray(cand)
+    assert distance._rows_dma_mc(k_pre, d) == k_pre  # branch condition
+    d_dma, r_dma = distance._l1_rescore_jit(
+        bf, cj, lf, d=d, bc=bc, k=k, real_l=real_l,
+        use_dma=True, interpret=True,
+    )
+    d_g, r_g = distance._l1_rescore_jit(
+        bf, cj, lf, d=d, bc=bc, k=k, real_l=real_l, use_dma=False,
+    )
+    np.testing.assert_array_equal(np.asarray(d_dma), np.asarray(d_g))
+    np.testing.assert_array_equal(np.asarray(r_dma), np.asarray(r_g))
+    assert (np.asarray(r_dma) < real_l).all()  # padding never selected
+
+
+@pytest.mark.parametrize("banked", [False, True])
+def test_ad_rescore_jit_dma_branch_bit_identical(monkeypatch, rng, banked):
+    """Execute _ad_rescore_jit's use_dma=True dispatch (the adaptive
+    scorer's TPU wiring, ops/distance.py:1742) through the interpreter
+    and pin (dists, rows, ok) bit-identical to the gather branch, in both
+    the single-buffer and the banked `_lib_banks` library forms."""
+    import jax.numpy as jnp
+
+    b, l, d, g, cap, m, k = 16, 2000, 128, 4, 4, 32, 6
+    lp = -(-l // 128) * 128  # 2048
+    lib = rng.integers(0, 256, size=(l, d), dtype=np.uint8)
+    blocks = lib[rng.integers(0, l, size=b)]
+    lib_pad = np.zeros((lp, d), np.uint8)
+    lib_pad[:l] = lib
+    bf = jnp.asarray(blocks.reshape(-1))
+    if banked:
+        monkeypatch.setattr(distance, "_DMA_LIB_BYTES_MAX", 300_000)
+        lib_arg = distance._lib_banks(lib_pad, d)
+        assert len(lib_arg) > 1
+    else:
+        lib_arg = jnp.asarray(lib_pad.reshape(-1))
+    vals, cols, s_min = distance._ad_coarse_jit(
+        bf, lib_arg, d=d, g=g, chan=False, bc=8, cap=cap, real_l=l
+    )
+    assert distance._rows_dma_mc(m, d) == m  # branch condition
+    out_dma = distance._ad_rescore_jit(
+        bf, vals, cols, s_min, lib_arg, d=d, bc=8, m=m, k=k, real_l=l,
+        use_dma=True, interpret=True,
+    )
+    out_g = distance._ad_rescore_jit(
+        bf, vals, cols, s_min, lib_arg, d=d, bc=8, m=m, k=k, real_l=l,
+        use_dma=False,
+    )
+    for a, bb in zip(out_dma, out_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
